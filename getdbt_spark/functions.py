@@ -1,0 +1,187 @@
+"""BigQuery→Spark scalar-function helper library (SURVEY.md §2.8).
+
+Each helper closes one semantic gotcha observed in the reference SQL,
+so model builders never hand-roll the translation:
+
+- ``split_literal``      BQ SPLIT splits on a LITERAL; Spark on a regex
+                         (reference delimiter ``'_||_'`` would be a
+                         catastrophic silent wrong-answer unescaped —
+                         ``atinternet_smarttag_streams_daily_v4.sql:53``).
+- ``safe_offset``        BQ ``arr[SAFE_OFFSET(i)]`` is 0-based NULL-safe;
+                         Spark ``element_at`` is 1-based (``:113-123``).
+- ``iso_year``           BQ ``EXTRACT(ISOYEAR ...)`` — NOT ``F.year``
+                         (Dec 29–Jan 3 straddle; dashboard weekly joins).
+- ``nullif_``            portable NULLIF (``:113-119``).
+- ``bq_div``             BQ ``DIV`` integer division (``:181``).
+- ``timestamp_diff_seconds``  BQ ``timestamp_diff(t1, t2, second)``
+                         = t1−t2 sign convention (``:64``).
+- ``string_agg_ordered`` BQ ``STRING_AGG(x, sep ORDER BY x)`` —
+                         deterministic ordered concat agg (``:219``).
+- ``date_spine`` / ``timestamp_spine``  BQ GENERATE_DATE_ARRAY /
+                         GENERATE_TIMESTAMP_ARRAY (inclusive bounds).
+- ``union_by_position``  UNION ALL branches with untyped NULL pad
+                         columns — BigQuery infers the supertype across
+                         branches, Spark errors on NullType; align here.
+
+All helpers stay JVM-side (pure Column expressions — no Python UDFs),
+so they inline into whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def split_literal(col: Column | str, delimiter: str) -> Column:
+    """SPLIT(s, delim) with a LITERAL delimiter (BQ semantics).
+
+    Spark's split() takes a Java regex; quote the delimiter so
+    multi-char delimiters like ``'_||_'`` split literally.
+    Trailing empty strings are kept (limit=-1) to match BigQuery.
+    """
+    return F.split(_col(col), re.escape(delimiter), -1)
+
+
+def safe_offset(col: Column | str, index: int) -> Column:
+    """arr[SAFE_OFFSET(i)] — 0-based, NULL (not error) when out of bounds."""
+    return F.try_element_at(_col(col), F.lit(index + 1))
+
+
+def nullif_(col: Column | str, value) -> Column:
+    """NULLIF(x, v) — NULL when x == v else x."""
+    c = _col(col)
+    return F.when(c == F.lit(value), F.lit(None)).otherwise(c)
+
+
+def iso_year(col: Column | str) -> Column:
+    """EXTRACT(ISOYEAR FROM d) — the year owning the ISO week."""
+    return F.extract(F.lit("YEAROFWEEK"), _col(col))
+
+
+def iso_week(col: Column | str) -> Column:
+    """EXTRACT(ISOWEEK FROM d) — Spark weekofyear is already ISO-8601."""
+    return F.weekofyear(_col(col))
+
+
+def bq_div(x: Column | str, y: Column | str | int) -> Column:
+    """BQ DIV(x, y): integer division truncating toward zero (INT64).
+
+    Spark `%` takes the dividend's sign (same as BigQuery MOD), so
+    (x - x % y) / y truncates toward zero for all sign combinations.
+    """
+    xc = _col(x).cast("long")
+    yc = F.lit(y) if isinstance(y, int) else _col(y)
+    return ((xc - (xc % yc)) / yc).cast("long")
+
+
+def timestamp_diff_seconds(t1: Column | str, t2: Column | str) -> Column:
+    """BQ timestamp_diff(t1, t2, SECOND) = whole seconds of (t1 - t2)."""
+    return F.timestamp_diff("SECOND", _col(t2), _col(t1))
+
+
+def string_agg_ordered(col: Column | str, sep: str = ",") -> Column:
+    """STRING_AGG(x, sep ORDER BY x) — deterministic ordered concat.
+
+    collect_list order is nondeterministic under shuffle, so sort the
+    collected array before joining; NULL elements are dropped first
+    (BigQuery STRING_AGG ignores NULLs).
+    """
+    c = _col(col)
+    return F.array_join(
+        F.array_sort(F.collect_list(c)), sep
+    )
+
+
+def date_spine(start: str, end: Column | str, step_days: int = 7) -> Column:
+    """GENERATE_DATE_ARRAY(start, end, INTERVAL step DAY/WEEK) — an
+    array column of dates, inclusive of both bounds (explode to get the
+    spine rows)."""
+    end_col = F.to_date(F.lit(end)) if isinstance(end, str) else _col(end)
+    return F.sequence(
+        F.to_date(F.lit(start)), end_col, F.expr(f"interval {step_days} days")
+    )
+
+
+def timestamp_spine(begin: Column | str, end: Column | str, minutes: int = 1) -> Column:
+    """GENERATE_TIMESTAMP_ARRAY(b, e, INTERVAL n MINUTE), inclusive bounds."""
+    return F.sequence(_col(begin), _col(end), F.expr(f"interval {minutes} minutes"))
+
+
+def union_by_position(*dfs: DataFrame) -> DataFrame:
+    """UNION ALL by position with NullType-pad alignment.
+
+    BigQuery infers a common supertype across branches; Spark refuses
+    untyped NullType columns in some paths.  For each column position,
+    pick the first non-NullType dtype among branches and cast every
+    branch to it, then fold unionAll.
+    """
+    if not dfs:
+        raise ValueError("union_by_position needs at least one DataFrame")
+    width = len(dfs[0].columns)
+    for df in dfs:
+        if len(df.columns) != width:
+            raise ValueError(
+                f"branch width mismatch: {len(df.columns)} vs {width}"
+            )
+    # Resolve per-position target type: first branch whose dtype isn't void.
+    target_types: list[str] = []
+    for i in range(width):
+        dtype = "string"
+        for df in dfs:
+            dt = df.dtypes[i][1]
+            if dt != "void":
+                dtype = dt
+                break
+        target_types.append(dtype)
+    out_names = dfs[0].columns
+    aligned = []
+    for df in dfs:
+        cols = [
+            F.col(df.columns[i]).cast(target_types[i]).alias(out_names[i])
+            for i in range(width)
+        ]
+        aligned.append(df.select(*cols))
+    result = aligned[0]
+    for df in aligned[1:]:
+        result = result.unionAll(df)
+    return result
+
+
+def null_lit(dtype: str) -> Column:
+    """Typed NULL literal (BQ infers the type; Spark must be told)."""
+    return F.lit(None).cast(dtype)
+
+
+def round_to(col: Column | str, ndigits: int = 2) -> Column:
+    """Round a double with ``floor(x*10^n + 0.5) / 10^n``.
+
+    Spark's ``F.round`` rounds the double's shortest DECIMAL
+    representation (HALF_UP on BigDecimal), while DuckDB/C++ round the
+    BINARY value — they disagree on values like 74721.525 whose binary
+    form is 74721.52499…  This floor form is pure IEEE arithmetic, so
+    it is bit-identical across engines (and equals DuckDB's round();
+    10^n has no power-of-two factor, so exact .5 ties cannot occur).
+    Used for every double the oracle harness hashes.
+    """
+    scale = F.lit(float(10**ndigits))
+    return F.floor(_col(col) * scale + F.lit(0.5)) / scale
+
+
+def safe_divide(num: Column | str, den: Column | str) -> Column:
+    """x / NULLIF(y, 0) — the reference's zero-guard ratio idiom."""
+    d = _col(den)
+    return _col(num) / F.when(d == 0, F.lit(None)).otherwise(d)
+
+
+def concat_bq(*cols: Column | str) -> Column:
+    """CONCAT — NULL if any argument is NULL (both engines agree;
+    helper exists so builders are explicit about the semantics)."""
+    return F.concat(*[_col(c) for c in cols])

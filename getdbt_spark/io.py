@@ -1,0 +1,63 @@
+"""Table loaders over the parquet test corpus.
+
+``load_table(spark, sf_dir, name)`` is the single scan entry point
+(SURVEY.md §2.1 ``scan_declared_source`` / ``scan_direct_table``):
+every query builder goes through it so scan-level concerns —
+nanosecond-timestamp normalization, column pruning, partition
+discovery — live in one place.
+
+At 100 TB the same function maps to a catalog lookup over
+date-partitioned parquet; the API (name → DataFrame) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import configure
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns stored as parquet TIMESTAMP(NANOS) — Spark surfaces them as
+# long (see session.RUNTIME_CONFS) and we rebuild a TIMESTAMP_NTZ in a
+# session-timezone-INDEPENDENT way (pure epoch arithmetic on NTZ, no
+# instant↔wall-clock conversion anywhere).
+_NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _nanos_to_ts_ntz(col: str) -> F.Column:
+    """long nanoseconds-since-epoch → TIMESTAMP_NTZ, timezone-independent."""
+    return F.expr(
+        f"timestampadd(MICROSECOND, ({col} div 1000) % 1000000, "
+        f"timestampadd(SECOND, {col} div 1000000000, "
+        f"TIMESTAMP_NTZ'1970-01-01 00:00:00'))"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table; normalize types to engine conventions."""
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLUMNS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, _nanos_to_ts_ntz(c))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view (the ``sql()`` entry
+    point and oracle harness both address tables by bare name)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

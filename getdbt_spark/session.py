@@ -1,0 +1,80 @@
+"""SparkSession factory and session configuration.
+
+The reference pipeline's timezone discipline is load-bearing (CET
+wall-clock alignment between player events and broadcast schedules —
+reference ``atinternet_smarttag_streams_daily_v4.sql:29,68``), so the
+factory pins ``spark.sql.session.timeZone``.  All scale-relevant
+defaults (AQE, skew-join handling, dynamic partition overwrite) are
+set here once so every entry point — tests, bench, driver — runs the
+same way a production cluster would.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs applied to ANY session handed to us (including the
+# driver's).  All of these are runtime-settable SQL confs.
+RUNTIME_CONFS: dict[str, str] = {
+    # The driver-generated events.parquet stores nanosecond timestamps,
+    # which Spark's parquet reader rejects unless told to surface them
+    # as raw longs (we convert explicitly in io.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Incremental models replace exactly the partitions present in the
+    # written DataFrame (reference insert_overwrite semantics).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Runtime re-planning: partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent).
+
+    Used by the query entry points because the verification driver owns
+    the SparkSession; we only get to adjust runtime confs.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable in this deployment — leave the default.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "getdbt_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    timezone: str = "Europe/Amsterdam",
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``local[N]`` for tests; on a real cluster the caller's
+    spark-submit conf wins for master/memory and we only layer SQL
+    confs on top.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", timezone)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return configure(spark)

@@ -1,0 +1,147 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet dir, then compares row count, column
+names, and an order-insensitive value hash.  Used while iterating so
+the per-round driver check never surprises us.
+
+Usage:
+    python tools/verify_local.py [sf_dir] [query_id ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+from datetime import date, datetime
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.9g}"
+    if isinstance(v, (pd.Timestamp, datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+        seq = v.tolist() if hasattr(v, "tolist") else v
+        return "[" + ",".join(_norm_cell(x) for x in seq) + "]"
+    if isinstance(v, (bool,)):
+        return "true" if v else "false"
+    return str(v)
+
+
+def frame_hash(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        rows.append("\x01".join(_norm_cell(v) for v in tup))
+    rows.sort()
+    digest = hashlib.md5("\n".join(rows).encode()).hexdigest()
+    return len(rows), cols, digest
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def compare(qid: str, spark_df, con, oracle: str | None, verbose=True):
+    spd = spark_df.toPandas()
+    n_s, cols_s, h_s = frame_hash(spd)
+    if oracle is None:
+        status = "ROWS_ONLY" if n_s >= 0 else "FAIL"
+        if verbose:
+            print(f"{qid:36s} {status:10s} rows={n_s}")
+        return True, spd, None
+    # .arrow() keeps DATE columns as date32 (fetchdf coerces them to
+    # datetime64 midnight, which would spuriously mismatch Spark DateType).
+    dkd = con.execute(oracle).arrow().to_pandas()
+    n_d, cols_d, h_d = frame_hash(dkd)
+    ok = (n_s == n_d) and (cols_s == cols_d) and (h_s == h_d)
+    if verbose:
+        print(
+            f"{qid:36s} {'OK' if ok else 'MISMATCH':10s} "
+            f"rows={n_s}/{n_d} cols={'=' if cols_s == cols_d else cols_s}"
+            f"{'' if cols_s == cols_d else cols_d} hash={'=' if h_s == h_d else 'DIFF'}"
+        )
+    return ok, spd, dkd
+
+
+def show_diff(qid: str, spd: pd.DataFrame, dkd: pd.DataFrame, n=6):
+    cols = sorted(spd.columns)
+    s_rows = {
+        "\x01".join(_norm_cell(v) for v in t)
+        for t in spd[cols].itertuples(index=False, name=None)
+    }
+    if dkd is None:
+        return
+    d_rows = {
+        "\x01".join(_norm_cell(v) for v in t)
+        for t in dkd[sorted(dkd.columns)].itertuples(index=False, name=None)
+    }
+    print(f"  cols: {cols}")
+    only_s = list(s_rows - d_rows)[:n]
+    only_d = list(d_rows - s_rows)[:n]
+    for r in only_s:
+        print("  spark-only:", r.replace("\x01", " | ")[:220])
+    for r in only_d:
+        print("  duck-only :", r.replace("\x01", " | ")[:220])
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    from getdbt_spark.queries import QUERIES, ORACLES, load_all
+    from getdbt_spark.session import get_spark
+
+    load_all()
+    spark = get_spark("verify_local", master="local[8]", shuffle_partitions=8)
+    con = duck_con(sf_dir)
+
+    failures = []
+    for qid, fn in QUERIES.items():
+        if only and qid not in only:
+            continue
+        try:
+            ok, spd, dkd = compare(qid, fn(spark, sf_dir), con, ORACLES.get(qid))
+            if not ok:
+                failures.append(qid)
+                show_diff(qid, spd, dkd)
+        except Exception as e:
+            failures.append(qid)
+            print(f"{qid:36s} ERROR      {type(e).__name__}: {str(e)[:200]}")
+    print()
+    if failures:
+        print(f"FAILURES ({len(failures)}): {failures}")
+        sys.exit(1)
+    print(f"all {len([q for q in QUERIES if not only or q in only])} queries OK")
+
+
+if __name__ == "__main__":
+    main()
