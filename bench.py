@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed via the noop sink (``format("noop")``)
+so the measurement includes scan → shuffle → final projection without
+driver-side collect overhead — the same thing a cluster run would pay.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from getdbt_spark.session import get_spark
+
+# Headline set: the heaviest / most representative shapes from
+# SURVEY.md §2 plus the LLM-pipeline operators. Keep ≤ ~12 so the
+# sf0.1 run stays fast enough for a per-round driver invocation.
+HEADLINE = [
+    "join_date_spine",        # spine densification + ISO-week join (dashboard shape)
+    "join_asof_nearest",      # as-of match: equi join + window rank
+    "agg_two_stage",          # stacked per-stream → per-date aggregation
+    "agg_count_distinct",     # exact distinct (the scale pain point)
+    "setop_union_all",        # 7-branch long-format stacking
+    "win_row_number_dedup",   # 5-col window dedup
+    "join_full_outer",        # full outer + HAVING
+    "filter_partition_window",# incremental pruning predicate
+    "fn_math_pipeline",       # scalar-function hot loop over lineitem
+]
+# Pipeline operators are appended if registered (round 2+).
+PIPELINE_HEADLINE = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    spark = get_spark(app_name="getdbt_spark_bench")
+
+    names = [q for q in HEADLINE if q in QUERIES]
+    names += [q for q in PIPELINE_HEADLINE if q in QUERIES]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
