@@ -74,12 +74,14 @@ def iso_week(col: Column | str) -> Column:
 def bq_div(x: Column | str, y: Column | str | int) -> Column:
     """BQ DIV(x, y): integer division truncating toward zero (INT64).
 
-    Spark `%` takes the dividend's sign (same as BigQuery MOD), so
-    (x - x % y) / y truncates toward zero for all sign combinations.
+    Uses Spark's integral ``div`` so the arithmetic stays in LONG —
+    routing through DOUBLE division would lose exactness for
+    |quotient| > 2^53. Spark ``div`` truncates toward zero, same as
+    BigQuery DIV, for all sign combinations.
     """
     xc = _col(x).cast("long")
-    yc = F.lit(y) if isinstance(y, int) else _col(y)
-    return ((xc - (xc % yc)) / yc).cast("long")
+    yc = (F.lit(y) if isinstance(y, int) else _col(y)).cast("long")
+    return F.call_function("div", xc, yc)
 
 
 def timestamp_diff_seconds(t1: Column | str, t2: Column | str) -> Column:
@@ -161,18 +163,22 @@ def null_lit(dtype: str) -> Column:
 
 
 def round_to(col: Column | str, ndigits: int = 2) -> Column:
-    """Round a double with ``floor(x*10^n + 0.5) / 10^n``.
+    """Round half away from zero: ``sign(x) * floor(|x|*10^n + 0.5) / 10^n``.
 
     Spark's ``F.round`` rounds the double's shortest DECIMAL
     representation (HALF_UP on BigDecimal), while DuckDB/C++ round the
     BINARY value — they disagree on values like 74721.525 whose binary
     form is 74721.52499…  This floor form is pure IEEE arithmetic, so
-    it is bit-identical across engines (and equals DuckDB's round();
-    10^n has no power-of-two factor, so exact .5 ties cannot occur).
+    it is bit-identical across engines (and equals DuckDB's round()).
+    The sign/abs wrap makes exact binary ties (dyadic inputs like
+    -0.25 at ndigits=1) round away from zero on both signs — BigQuery
+    ROUND semantics; plain floor would send negative ties toward +∞.
     Used for every double the oracle harness hashes.
     """
+    c = _col(col)
     scale = F.lit(float(10**ndigits))
-    return F.floor(_col(col) * scale + F.lit(0.5)) / scale
+    magnitude = F.floor(F.abs(c) * scale + F.lit(0.5)) / scale
+    return F.signum(c) * magnitude
 
 
 def safe_divide(num: Column | str, den: Column | str) -> Column:

@@ -24,6 +24,15 @@ def query(qid: str, oracle: str | None = None):
     """Register a query builder and (optionally) its DuckDB oracle."""
 
     def deco(fn):
+        prior = QUERIES.get(qid)
+        if prior is not None and (
+            prior.__module__ != fn.__module__
+            or prior.__qualname__ != fn.__qualname__
+        ):
+            # A *different* function under an existing id would silently
+            # shadow an operator and shrink coverage; same-identity
+            # re-registration (module reload) is harmless and allowed.
+            raise ValueError(f"duplicate query id {qid!r}")
         QUERIES[qid] = fn
         if oracle is not None:
             ORACLES[qid] = oracle

@@ -16,6 +16,8 @@ stable:
 
 from __future__ import annotations
 
+from uuid import uuid4
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -95,12 +97,13 @@ def sink_view(spark, sf_dir):
     Reference: dbt default view materialization (dbt_project.yml:4-11).
     """
     orders = _t(spark, sf_dir, "orders")
-    orders.filter(F.col("o_totalprice") > 1000).createOrReplaceTempView(
-        "sink_view_big_orders"
-    )
+    # Unique per-invocation view name: concurrent/repeated builds on a
+    # shared SparkSession must not collide or read stale definitions.
+    view = f"sink_view_big_orders_{uuid4().hex[:8]}"
+    orders.filter(F.col("o_totalprice") > 1000).createOrReplaceTempView(view)
     return spark.sql(
         "SELECT o_orderstatus, count(*) AS n_orders "
-        "FROM sink_view_big_orders GROUP BY o_orderstatus"
+        f"FROM {view} GROUP BY o_orderstatus"
     )
 
 
@@ -231,13 +234,20 @@ def filter_partition_window(spark, sf_dir):
 
     Reference: partitions_to_replace streams_daily_v4.sql:1-12,75,101 —
     current_date-relative; here anchored to max(ts) for determinism.
-    The anchor is a 1-row broadcast, so partition pruning on evt_date
-    still applies on a date-partitioned layout.
+
+    Two-phase, mirroring dbt's compile-time expansion: the anchor date
+    is computed first (tiny agg action over just the ts column), then
+    injected as a LITERAL predicate so Parquet partition/row-group
+    pruning fires on the events scan. The previous one-phase form
+    (non-equi join against a 1-row broadcast) planned as a
+    BroadcastNestedLoopJoin that full-scans the fact table at 100 TB.
     """
     ev = _t(spark, sf_dir, "events")
-    anchor = ev.agg(F.date_sub(F.to_date(F.max("ts")), 8).alias("_from"))
+    window_start = ev.agg(
+        F.date_sub(F.to_date(F.max("ts")), 8).alias("_from")
+    ).first()[0]
     return (
-        ev.join(F.broadcast(anchor), F.to_date("ts") >= F.col("_from"))
+        ev.filter(F.to_date("ts") >= F.lit(window_start))
         .groupBy(F.to_date("ts").alias("evt_date"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -759,11 +769,12 @@ def agg_group_by_ordinal(spark, sf_dir):
 
     Reference: GROUP BY 1..14, streams_daily_v4.sql:40,136,160.
     """
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q_lineitem")
+    view = f"q_lineitem_{uuid4().hex[:8]}"
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
     return spark.sql(
         "SELECT l_returnflag, l_linestatus, "
         "sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n_lines "
-        "FROM q_lineitem GROUP BY 1, 2"
+        f"FROM {view} GROUP BY 1, 2"
     )
 
 

@@ -1,0 +1,246 @@
+"""Unit tests for the BigQuery→Spark helper library (SURVEY.md §2.8).
+
+One test per gotcha from the survey's "genuinely hard parts" list:
+regex-vs-literal SPLIT, 0- vs 1-based offsets, ISO year boundary
+dates, inclusive sequence bounds, NullType union alignment, rounding
+ties, and LONG-exact integer division.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from getdbt_spark import functions as E
+
+
+def one(spark, col):
+    """Evaluate a Column against a single dummy row."""
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+# -- split_literal: BQ SPLIT is literal, Spark split is regex ---------------
+
+
+def test_split_literal_multichar_pipe_delimiter(spark):
+    # Reference delimiter '_||_' (streams_daily_v4.sql:53): unescaped,
+    # Spark's regex split would shred on every char boundary.
+    assert one(spark, E.split_literal(F.lit("a_||_b_||_c"), "_||_")) == ["a", "b", "c"]
+
+
+def test_split_literal_keeps_trailing_empties(spark):
+    assert one(spark, E.split_literal(F.lit("x_||_"), "_||_")) == ["x", ""]
+
+
+def test_split_literal_regex_metachars_are_literal(spark):
+    assert one(spark, E.split_literal(F.lit("a.b"), ".")) == ["a", "b"]
+
+
+# -- safe_offset: 0-based, NULL on out-of-bounds ----------------------------
+
+
+def test_safe_offset_zero_based(spark):
+    arr = F.array(F.lit("p"), F.lit("q"))
+    assert one(spark, E.safe_offset(arr, 0)) == "p"
+    assert one(spark, E.safe_offset(arr, 1)) == "q"
+
+
+def test_safe_offset_out_of_bounds_is_null(spark):
+    arr = F.array(F.lit("p"))
+    assert one(spark, E.safe_offset(arr, 5)) is None
+
+
+# -- iso_year / iso_week: Dec 28 – Jan 4 straddle ---------------------------
+
+
+@pytest.mark.parametrize(
+    ("date", "year", "week"),
+    [
+        ("2018-12-31", 2019, 1),  # Monday of ISO week 1/2019
+        ("2019-01-01", 2019, 1),
+        ("2016-01-01", 2015, 53),  # Friday of ISO week 53/2015
+        ("2015-12-28", 2015, 53),
+        ("2021-01-03", 2020, 53),  # Sunday closing ISO week 53/2020
+        ("2021-01-04", 2021, 1),
+        ("2019-12-28", 2019, 52),
+    ],
+)
+def test_iso_year_week_boundaries(spark, date, year, week):
+    d = F.to_date(F.lit(date))
+    assert one(spark, E.iso_year(d)) == year
+    assert one(spark, E.iso_week(d)) == week
+
+
+# -- bq_div: LONG-exact truncation toward zero ------------------------------
+
+
+def test_bq_div_basic(spark):
+    assert one(spark, E.bq_div(F.lit(7), 2)) == 3
+    assert one(spark, E.bq_div(F.lit(7000), 1000)) == 7
+
+
+def test_bq_div_negative_truncates_toward_zero(spark):
+    assert one(spark, E.bq_div(F.lit(-7), 2)) == -3
+    assert one(spark, E.bq_div(F.lit(7), -2)) == -3
+    assert one(spark, E.bq_div(F.lit(-7), -2)) == 3
+
+
+def test_bq_div_exact_beyond_2_53(spark):
+    # 2^61 / 2 must stay exact — double-routed division loses the low bits.
+    big = 2**61 + 3
+    assert one(spark, E.bq_div(F.lit(big), 2)) == (2**61 + 3) // 2  # trunc = floor >0
+    assert one(spark, E.bq_div(F.lit(big), 1)) == big
+
+
+def test_bq_div_result_type_is_long(spark):
+    df = spark.range(1).select(E.bq_div(F.lit(10), 3).alias("v"))
+    assert dict(df.dtypes)["v"] == "bigint"
+
+
+# -- round_to: half away from zero, binary-stable ---------------------------
+
+
+def test_round_to_positive(spark):
+    assert one(spark, E.round_to(F.lit(2.345), 2)) == 2.35
+    assert one(spark, E.round_to(F.lit(0.25), 1)) == 0.3  # exact dyadic tie
+
+
+def test_round_to_negative_ties_away_from_zero(spark):
+    # floor-only form sends -0.25 → -0.2 (toward +inf); BQ/DuckDB → -0.3.
+    assert one(spark, E.round_to(F.lit(-0.25), 1)) == -0.3
+    assert one(spark, E.round_to(F.lit(-1.5), 0)) == -2.0
+    assert one(spark, E.round_to(F.lit(-2.345), 2)) == -2.35
+
+
+def test_round_to_zero_and_null(spark):
+    assert one(spark, E.round_to(F.lit(0.0), 2)) == 0.0
+    assert one(spark, E.round_to(F.lit(None).cast("double"), 2)) is None
+
+
+# -- nullif_ / safe_divide --------------------------------------------------
+
+
+def test_nullif_matches_and_passes_through(spark):
+    assert one(spark, E.nullif_(F.lit("null"), "null")) is None
+    assert one(spark, E.nullif_(F.lit("x"), "null")) == "x"
+    # double-nesting idiom from streams_daily_v4.sql:117
+    assert one(spark, E.nullif_(E.nullif_(F.lit(""), ""), "null")) is None
+
+
+def test_safe_divide_zero_denominator(spark):
+    assert one(spark, E.safe_divide(F.lit(10.0), F.lit(0.0))) is None
+    assert one(spark, E.safe_divide(F.lit(10.0), F.lit(4.0))) == 2.5
+
+
+# -- timestamp_diff sign convention -----------------------------------------
+
+
+def test_timestamp_diff_seconds_sign(spark):
+    t1 = F.to_timestamp(F.lit("2024-01-01 00:01:40"))
+    t2 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    assert one(spark, E.timestamp_diff_seconds(t1, t2)) == 100  # t1 - t2
+    assert one(spark, E.timestamp_diff_seconds(t2, t1)) == -100
+
+
+# -- spines: inclusive bounds ----------------------------------------------
+
+
+def test_date_spine_inclusive_both_bounds(spark):
+    arr = one(spark, E.date_spine("2024-01-01", "2024-01-15", 7))
+    assert arr == [
+        datetime.date(2024, 1, 1),
+        datetime.date(2024, 1, 8),
+        datetime.date(2024, 1, 15),
+    ]
+
+
+def test_date_spine_end_not_on_step(spark):
+    arr = one(spark, E.date_spine("2024-01-01", "2024-01-13", 7))
+    assert arr == [datetime.date(2024, 1, 1), datetime.date(2024, 1, 8)]
+
+
+def test_timestamp_spine_minute_steps(spark):
+    b = F.to_timestamp(F.lit("2024-01-01 10:00:00"))
+    e = F.to_timestamp(F.lit("2024-01-01 10:03:00"))
+    arr = one(spark, E.timestamp_spine(b, e, 1))
+    assert len(arr) == 4  # inclusive of both bounds
+
+
+# -- string_agg_ordered -----------------------------------------------------
+
+
+def test_string_agg_ordered_deterministic_and_null_free(spark):
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "a"), ("g", None), ("g", "c")], ["k", "v"]
+    )
+    out = df.groupBy("k").agg(E.string_agg_ordered("v", ",").alias("s")).first()["s"]
+    assert out == "a,b,c"
+
+
+# -- union_by_position: NullType pad alignment ------------------------------
+
+
+def test_union_by_position_aligns_void_columns(spark):
+    a = spark.createDataFrame([Row(x=1, y="p")])
+    b = spark.range(1).select(
+        F.lit(2).alias("x"), F.lit(None).alias("y")  # untyped NullType pad
+    )
+    out = E.union_by_position(a, b)
+    assert dict(out.dtypes) == {"x": "bigint", "y": "string"}
+    rows = {(r.x, r.y) for r in out.collect()}
+    assert rows == {(1, "p"), (2, None)}
+
+
+def test_union_by_position_positional_not_by_name(spark):
+    a = spark.createDataFrame([Row(x=1, y=2)])
+    b = spark.createDataFrame([Row(y=3, x=4)])  # names differ by position
+    out = E.union_by_position(a, b)
+    assert [r.asDict() for r in out.orderBy("x").collect()] == [
+        {"x": 1, "y": 2},
+        {"x": 3, "y": 4},
+    ]
+
+
+def test_union_by_position_width_mismatch_raises(spark):
+    a = spark.createDataFrame([Row(x=1)])
+    b = spark.createDataFrame([Row(x=1, y=2)])
+    with pytest.raises(ValueError, match="width"):
+        E.union_by_position(a, b)
+
+
+# -- null_lit / concat ------------------------------------------------------
+
+
+def test_null_lit_is_typed(spark):
+    df = spark.range(1).select(E.null_lit("double").alias("v"))
+    assert dict(df.dtypes)["v"] == "double"
+
+
+def test_concat_bq_null_propagation(spark):
+    assert one(spark, E.concat_bq(F.lit("a"), E.null_lit("string"))) is None
+    assert one(spark, E.concat_bq(F.lit("a"), F.lit("b"))) == "ab"
+
+
+# -- registry guard ---------------------------------------------------------
+
+
+def test_query_registry_rejects_duplicate_ids():
+    from getdbt_spark.queries import QUERIES, query
+
+    @query("_test_dup_guard")
+    def q1(spark, sf_dir):  # pragma: no cover - never executed
+        raise AssertionError
+
+    try:
+        with pytest.raises(ValueError, match="duplicate"):
+
+            @query("_test_dup_guard")
+            def q2(spark, sf_dir):  # pragma: no cover
+                raise AssertionError
+
+    finally:
+        QUERIES.pop("_test_dup_guard", None)
