@@ -71,6 +71,8 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", timezone)
         .config("spark.ui.enabled", "false")
+        # Keep stdout parseable: the driver greps bench.py's JSON line.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in RUNTIME_CONFS.items():
