@@ -45,3 +45,4 @@ def load_all() -> None:
     """Import every query module (side-effect: registration)."""
     from . import relational  # noqa: F401
     from . import pipeline_queries  # noqa: F401
+    from . import model_queries  # noqa: F401

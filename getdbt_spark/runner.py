@@ -1,0 +1,118 @@
+"""DAG runner + materializations (→ dbt's ``run`` lifecycle, SURVEY.md §3).
+
+Given a registry and a source map, builds models in topological order
+and materializes each per its config:
+
+- ``view``         → the DataFrame itself is the materialization (kept
+                     in the result map and registered as a temp view so
+                     the ``sql()`` entry point can address it — the
+                     Spark analog of ``CREATE OR REPLACE VIEW``).
+- ``incremental``  → ``insert_overwrite``: dynamic-partition-overwrite
+                     Parquet write replacing exactly the partitions
+                     present in the build output.  Builders pre-filter
+                     to ``ctx.partition_window`` (the trailing
+                     ``replay_days`` dates), so a run rewrites exactly
+                     those partitions and touches nothing older —
+                     the reference's BigQuery ``insert_overwrite`` with
+                     ``partitions=partitions_to_replace``
+                     (``streams_daily_v4.sql:15-22``) on plain Parquet.
+
+Scale notes: the write path relies on
+``spark.sql.sources.partitionOverwriteMode=dynamic`` (set in
+``session.RUNTIME_CONFS``) so only output partitions shuffle/commit;
+old partitions are never read, listed, or rewritten.  Late events ≤
+``replay_days−1`` days old are picked up because their partition is
+recomputed; older ones are dropped — the reference's late-data policy
+(SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import MODELS, Model, ModelContext, topo_sort
+
+
+class Runner:
+    """Materialize a model DAG.
+
+    Parameters
+    ----------
+    spark:      session (from ``session.get_spark`` — needs the dynamic
+                partition-overwrite + timezone confs).
+    sources:    ``{(source_name, table): DataFrame}`` raw inputs.
+    run_date:   frozen "today" (never ``current_date()`` — SURVEY §7).
+    warehouse:  directory for incremental table storage.  ``None`` →
+                incremental models stay unexecuted DataFrames (pure
+                build mode: what the driver's correctness queries use).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sources: Mapping[tuple[str, str], DataFrame],
+        run_date: dt.date,
+        warehouse: str | None = None,
+        registry: dict[str, Model] | None = None,
+        register_views: bool = False,
+    ):
+        self.spark = spark
+        self.sources = dict(sources)
+        self.run_date = run_date
+        self.warehouse = warehouse
+        self.registry = MODELS if registry is None else registry
+        self.register_views = register_views
+
+    # -- build ---------------------------------------------------------
+
+    def build(self, name: str, resolved: dict[str, DataFrame]) -> DataFrame:
+        m = self.registry[name]
+        ctx = ModelContext(
+            spark=self.spark,
+            run_date=self.run_date,
+            _sources=self.sources,
+            _resolved=resolved,
+            _model=m,
+            replay_days=m.config.replay_days,
+        )
+        return m.builder(ctx)
+
+    def run(self, select: Iterable[str] | None = None) -> dict[str, DataFrame]:
+        """Materialize (the ancestor-closure of) ``select`` in DAG order.
+
+        Returns ``{model_name: DataFrame}`` where incremental models are
+        the *read-back* of their materialized table when a warehouse is
+        configured (so downstream consumers see exactly what persisted).
+        """
+        out: dict[str, DataFrame] = {}
+        for m in topo_sort(select, self.registry):
+            df = self.build(m.name, out)
+            if m.config.materialized == "incremental" and self.warehouse:
+                df = self._insert_overwrite(m, df)
+            if self.register_views:
+                df.createOrReplaceTempView(m.name)
+            out[m.name] = df
+        return out
+
+    # -- incremental ---------------------------------------------------
+
+    def table_path(self, m: Model | str) -> str:
+        name = m if isinstance(m, str) else m.name
+        mdl = self.registry[name]
+        assert self.warehouse is not None
+        return os.path.join(self.warehouse, mdl.config.schema, name)
+
+    def _insert_overwrite(self, m: Model, df: DataFrame) -> DataFrame:
+        """Dynamic partition overwrite; replaces exactly df's partitions."""
+        path = self.table_path(m)
+        assert m.config.partition_by is not None
+        (
+            df.write.mode("overwrite")
+            .partitionBy(m.config.partition_by)
+            .parquet(path)
+        )
+        return self.spark.read.parquet(path)
