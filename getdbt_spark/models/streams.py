@@ -1,0 +1,360 @@
+"""``atinternet_smarttag_streams_daily_v4`` — the incremental heart of
+the reference DAG (244 lines; ``models/datamarts/npo-data-hub/
+intermediary/atinternet_smarttag_streams_daily_v4.sql``).
+
+Pipeline per run (all line refs into that file):
+
+1. ``adv_events``: broadcast schedule → one row per broadcast MINUTE
+   (``:26-41`` minute-spine explode, NPO-channel regex, 7-col dedup).
+2. ``raw_events``: two UNION ALL branches over player events filtered
+   to the trailing 9-day partition window (``:44-102``) —
+   *livestream*: inner-join channel mapping on the content id, as-of
+   LEFT join to the broadcast minute, nearest-show ``row_number``
+   (``:62-70``); *regular*: everything else with a faked ``dedup=1``.
+3. ``agg_events_per_stream``: per-(playid,user,day,…) totals with
+   NULLIF/SAFE_OFFSET field cleaning (``:105-137``).
+4. ``agg_events_per_date``: per-day re-aggregation incl. the ≥30 s
+   threshold computed on stage-1 totals (``:140-161``) — the two-stage
+   shape is semantic, never fuse.
+5. ``metadata``: descendant ranking, episode MAX-IF, ordered
+   STRING_AGG of broadcasters, NED-channel ranking (``:164-237``).
+6. Final LEFT join metadata on ``evt_mid`` (``:239-244``).
+
+Scale notes: the partition-window predicate is a LITERAL IN-list
+(frozen ``ctx.partition_window``) so parquet pruning fires on the event
+scan; the channel mapping is broadcast; the as-of join is an equi join
+on (channel, minute) + one window — no theta join anywhere; metadata
+sub-aggregations are per-mid array ops or small groupBys joined back
+broadcast-style.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import (
+    nullif_,
+    safe_offset,
+    split_literal,
+    string_agg_ordered,
+    timestamp_diff_seconds,
+)
+from ..registry import model
+
+D = "_||_"  # the AT Internet multi-value delimiter (split LITERALLY)
+
+
+def _clean_theme2(col):
+    """``IF(REGEXP_CONTAINS(d_rm_theme2,'_/|/|_'), SPLIT(...), NULL)``
+    (``:56-59``) — the regex is an ALTERNATION (matches '_/', '/' or
+    '_'), so values like '00:00:01' become NULL arrays; replicated
+    verbatim."""
+    return F.when(col.rlike("_/|/|_"), split_literal(col, D))
+
+
+@model(
+    "atinternet_smarttag_streams_daily_v4",
+    refs=[
+        "media_events",
+        "advantedge_tv_viewer_density_per_show_daily_v1",
+        "live_stream_name_mapping_v1",
+        "audiovisual_metadata_poms_metadata_v1",
+    ],
+    schema="atinternet_smarttag_streams_daily",
+    materialized="incremental",
+    incremental_strategy="insert_overwrite",
+    partition_by="evt_date",
+)
+def atinternet_smarttag_streams_daily_v4(ctx):
+    events = ctx.ref("media_events")
+    adv = ctx.ref("advantedge_tv_viewer_density_per_show_daily_v1")
+    mapping = ctx.ref("live_stream_name_mapping_v1")
+    md = ctx.ref("audiovisual_metadata_poms_metadata_v1")
+    window = [d.isoformat() for d in ctx.partition_window]
+
+    # -- 1. adv_events: minute spine per broadcast (:26-41) ------------
+    adv_events = (
+        adv.filter(F.col("channel").rlike("NPO"))
+        .select(
+            F.col("date").alias("adv_date"),
+            F.col("beginTimeCET").alias("adv_beginTimeCET"),
+            F.col("endTimeCET").alias("adv_endTimeCET"),
+            F.explode(
+                F.sequence(
+                    "beginTimeCET", "endTimeCET", F.expr("interval 1 minute")
+                )
+            ).alias("adv_minute"),
+            F.col("title").alias("adv_title"),
+            F.col("channel").alias("adv_channel"),
+            F.col("mediaId").alias("adv_mid"),
+        )
+        .distinct()  # GROUP BY 1..7 (:40) — pure dedup
+    )
+
+    # -- 2. raw_events (:44-102) ---------------------------------------
+    in_window = F.to_date("d_date_hour_event").isin(window)
+    base = events.filter(F.col("d_rm_type") != "Animations").filter(in_window)
+
+    live = (
+        base.filter(F.col("d_rm_theme1") == "livetvzender")
+        .join(
+            F.broadcast(mapping),
+            F.col("channel_id")
+            == nullif_(safe_offset(split_literal("d_rm_content", D), 1), ""),
+            "inner",
+        )
+        .join(
+            adv_events,
+            (F.col("channel") == F.col("adv_channel"))
+            & (
+                F.date_trunc("minute", "d_date_hour_event").cast(
+                    "timestamp_ntz"
+                )
+                == F.col("adv_minute")
+            ),
+            "left",
+        )
+    )
+    live = live.select(
+        "d_rm_playid",
+        F.concat("d_visit_id", "d_uv_id").alias("unique_user_id"),
+        "d_date_hour_event",
+        "d_rm_action",
+        "d_rm_l2",
+        "d_rm_playback_time",
+        split_literal("d_rm_content", D).alias("content"),
+        F.col("adv_mid").alias("matched_livestream_id"),
+        split_literal("d_rm_theme1", D).alias("theme1"),
+        _clean_theme2(F.col("d_rm_theme2")).alias("theme2"),
+        split_literal("d_rm_theme3", D).alias("theme3"),
+        F.when(
+            F.col("adv_mid").isNotNull(),
+            "livetvzender - streamID_matched",
+        )
+        .otherwise("livetvzender - no_streamID_to_match")
+        .alias("stream_match_type"),
+        F.row_number()
+        .over(
+            Window.partitionBy(
+                "d_rm_playid",
+                F.concat("d_visit_id", "d_uv_id"),
+                "d_date_hour_event",
+                "d_rm_action",
+                "d_rm_playback_time",
+            ).orderBy(
+                timestamp_diff_seconds(
+                    F.col("d_date_hour_event"), F.col("adv_beginTimeCET")
+                ).asc()
+            )
+        )
+        .alias("dedup"),
+    )
+
+    regular = (
+        base.filter(
+            F.col("d_rm_theme1").isNull()
+            | (F.col("d_rm_theme1") != "livetvzender")
+        )
+        .select(
+            "d_rm_playid",
+            F.concat("d_visit_id", "d_uv_id").alias("unique_user_id"),
+            "d_date_hour_event",
+            "d_rm_action",
+            "d_rm_l2",
+            "d_rm_playback_time",
+            split_literal("d_rm_content", D).alias("content"),
+            F.lit(None).cast("string").alias("matched_livestream_id"),
+            split_literal("d_rm_theme1", D).alias("theme1"),
+            _clean_theme2(F.col("d_rm_theme2")).alias("theme2"),
+            split_literal("d_rm_theme3", D).alias("theme3"),
+            F.lit("regular streamid").alias("stream_match_type"),
+            F.lit(1).alias("dedup"),
+        )
+    )
+    raw_events = live.unionAll(regular)
+
+    # -- 3. agg_events_per_stream (:105-137) ---------------------------
+    per_stream = (
+        raw_events.filter(F.col("dedup") == 1)
+        .groupBy(
+            "d_rm_playid",
+            "unique_user_id",
+            F.to_date("d_date_hour_event").alias("evt_date"),
+            nullif_(safe_offset("content", 1), "").alias("evt_base_mid"),
+            "stream_match_type",
+            F.coalesce(
+                "matched_livestream_id",
+                nullif_(safe_offset("content", 1), ""),
+            ).alias("evt_mid"),
+            nullif_(safe_offset("content", 0), "").alias("evt_media_name"),
+            nullif_(nullif_(safe_offset("theme1", 0), ""), "null").alias(
+                "evt_stream_type"
+            ),
+            nullif_(safe_offset("theme2", 0), "null").alias("evt_programme"),
+            nullif_(safe_offset("theme2", 1), "null").alias(
+                "evt_broadcaster"
+            ),
+            safe_offset("theme2", 2).alias("evt_programme_podcast"),
+            safe_offset("theme3", 0).alias("evt_player_platform"),
+            safe_offset("theme3", 1).alias("evt_player_version"),
+            F.col("d_rm_l2").alias("evt_brand"),
+        )
+        .agg(
+            F.sum("d_rm_playback_time").alias("evt_playback_time_total_in_sec"),
+            F.countDistinct(
+                F.when(
+                    (F.col("d_rm_action") == "Play")
+                    | (
+                        F.col("stream_match_type")
+                        == "livetvzender - streamID_matched"
+                    ),
+                    F.col("d_rm_playid"),
+                )
+            ).alias("evt_play_count_total"),
+        )
+    )
+
+    # -- 4. agg_events_per_date (:140-161) -----------------------------
+    per_date = per_stream.groupBy(
+        "evt_date",
+        "evt_mid",
+        "evt_base_mid",
+        "evt_media_name",
+        "stream_match_type",
+        "evt_stream_type",
+        "evt_programme",
+        "evt_broadcaster",
+        "evt_programme_podcast",
+        "evt_player_platform",
+        "evt_player_version",
+        "evt_brand",
+    ).agg(
+        F.countDistinct("unique_user_id").alias("n_unique_userids"),
+        F.sum("evt_playback_time_total_in_sec").alias(
+            "evt_playback_time_total_in_sec"
+        ),
+        F.sum("evt_play_count_total").alias("evt_play_count_total"),
+        F.sum(
+            F.when(
+                F.col("evt_playback_time_total_in_sec") >= 30,
+                F.col("evt_play_count_total"),
+            ).otherwise(0)
+        ).alias("evt_play_count_over_30s"),
+    )
+
+    # -- 5. metadata (:164-237) ----------------------------------------
+    descendants = (
+        md.select(
+            "id",
+            F.explode("descendant_of").alias("d"),
+        )
+        .filter(F.col("d.type").isin("SEASON", "SERIES"))
+        .select(
+            "id",
+            F.col("d.type").alias("type"),
+            F.col("d.mid_ref").alias("mid_ref"),
+        )
+        .withColumn(
+            "index",
+            F.row_number().over(
+                Window.partitionBy("id", "type").orderBy(
+                    "id", "type", "mid_ref"
+                )
+            ),
+        )
+    )
+    season = descendants.filter(
+        (F.col("type") == "SEASON") & (F.col("index") == 1)
+    ).select("id", F.col("mid_ref").alias("mtd_season_mid"))
+    series = descendants.filter(
+        (F.col("type") == "SERIES") & (F.col("index") == 1)
+    ).select("id", F.col("mid_ref").alias("mtd_series_mid"))
+
+    episode = (
+        md.select("id", F.explode("episode_of").alias("e"))
+        .groupBy("id")
+        .agg(
+            F.max(
+                F.when(F.col("e.type") == "SEASON", F.col("e.index"))
+            ).alias("mtd_episode_of_index")
+        )
+    )
+    broadcasters = (
+        md.select("id", F.explode("broadcasters").alias("b"))
+        .groupBy("id")
+        .agg(string_agg_ordered(F.col("b.value")).alias("mtd_broadcasters"))
+    )
+    channels = (
+        md.select("id", F.explode("schedule_events").alias("s"))
+        .filter(F.col("s.channel").isin("NED1", "NED2", "NED3"))
+        .select("id", F.col("s.channel").alias("mtd_channel"))
+        .distinct()  # GROUP BY 1,2 (:235) before ranking
+        .withColumn(
+            "cidx",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("id", "mtd_channel")
+            ),
+        )
+        .filter(F.col("cidx") == 1)
+        .drop("cidx")
+    )
+
+    metadata = (
+        md.select(
+            "id",
+            F.expr("duration div 1000").alias("mtd_duration_in_sec"),
+            F.col("sort_date").alias("mtd_sort_date"),
+            F.col("type").alias("mtd_type"),
+            safe_offset(safe_offset("genres", 0).getField("terms"), 0).alias(
+                "mtd_genre_main"
+            ),
+            safe_offset(safe_offset("genres", 0).getField("terms"), 1).alias(
+                "mtd_genre_sub"
+            ),
+            safe_offset("titles", 0).getField("value").alias("mtd_title_main"),
+            safe_offset("titles", 1).getField("value").alias("mtd_title_sub"),
+        )
+        .join(season, "id", "left")
+        .join(series, "id", "left")
+        .join(episode, "id", "left")
+        .join(broadcasters, "id", "left")
+        .join(channels, "id", "left")
+    )
+
+    # -- 6. final join (:239-244) --------------------------------------
+    out_cols = [
+        "evt_date",
+        "evt_mid",
+        "evt_base_mid",
+        "evt_media_name",
+        "stream_match_type",
+        "evt_stream_type",
+        "evt_programme",
+        "evt_broadcaster",
+        "evt_programme_podcast",
+        "evt_player_platform",
+        "evt_player_version",
+        "evt_brand",
+        "n_unique_userids",
+        "evt_playback_time_total_in_sec",
+        "evt_play_count_total",
+        "evt_play_count_over_30s",
+        "mtd_duration_in_sec",
+        "mtd_sort_date",
+        "mtd_type",
+        "mtd_genre_main",
+        "mtd_genre_sub",
+        "mtd_title_main",
+        "mtd_title_sub",
+        "mtd_season_mid",
+        "mtd_series_mid",
+        "mtd_episode_of_index",
+        "mtd_channel",
+        "mtd_broadcasters",
+    ]
+    return (
+        per_date.join(
+            metadata, per_date["evt_mid"] == metadata["id"], "left"
+        ).select(*out_cols)
+    )
