@@ -137,6 +137,9 @@ SELECT
   'omr' || CAST(n_nationkey % 7 AS STRING)              AS Omroep,
   'ccc' || CAST(n_nationkey % 4 AS STRING)              AS CCC,
   'ser' || CAST(n_nationkey % 12 AS STRING)             AS Serie_mid,
+  CASE WHEN n_nationkey % 4 = 3 THEN NULL
+       ELSE 'Stream Title ' || CAST(n_nationkey % 12 AS STRING) END
+                                                        AS Stream_Titel,
   'site' || CAST(n_nationkey % 15 AS STRING)            AS ATI_Titel,
   CAST(1000 + n_nationkey AS BIGINT)                    AS QL_FB_ID,
   CAST(2000 + n_nationkey AS BIGINT)                    AS QL_IG_ID,
@@ -427,8 +430,9 @@ def fixture_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def fixture_ctes(names: list[str]) -> str:
-    """``name AS (sql), ...`` fragment for DuckDB oracle assembly."""
-    return ", ".join(f"{n} AS ({fixture_sql(n, 'duckdb')})" for n in names)
+    """``"name" AS (sql), ...`` fragment for DuckDB oracle assembly
+    (quoted — one fixture name starts with a digit)."""
+    return ", ".join(f'"{n}" AS ({fixture_sql(n, "duckdb")})' for n in names)
 
 
 def sources_map(

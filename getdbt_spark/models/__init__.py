@@ -17,3 +17,4 @@ def load_all() -> None:
     from . import sources  # noqa: F401
     from . import poms  # noqa: F401
     from . import streams  # noqa: F401
+    from . import reporting  # noqa: F401
