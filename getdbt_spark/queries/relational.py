@@ -1385,3 +1385,116 @@ def fn_math_pipeline(spark, sf_dir):
         E.round_to(F.col("l_extendedprice") / 60 / 60, 4).alias("price_in_hours"),
         E.round_to(F.col("l_quantity") / 7, 3).alias("qty_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2 tail — dedicated entries for operators previously only exercised
+# indirectly (VERDICT r1 item 7).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_generate_timestamp_array",
+    oracle="""
+    WITH adv AS (
+      SELECT
+        CAST(date_trunc('minute', ts) AS TIMESTAMP)
+          - (event_id % 7) * INTERVAL 1 MINUTE AS b,
+        event_id
+      FROM events WHERE event_id % 17 = 0
+    )
+    SELECT
+      event_id,
+      b AS begin_ts,
+      unnest(generate_series(b, b + (5 + event_id % 11) * INTERVAL 1 MINUTE,
+                             INTERVAL 1 MINUTE)) AS minute_slot
+    FROM adv
+    """,
+)
+def fn_generate_timestamp_array(spark, sf_dir):
+    """GENERATE_TIMESTAMP_ARRAY(b, e, INTERVAL 1 MINUTE) — the minute
+    spine of the live-TV as-of match (streams_daily_v4.sql:37).
+    ``F.sequence`` with inclusive bounds, exploded; one narrow map
+    stage per input row, no shuffle."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    b = (
+        F.date_trunc("minute", "ts").cast("timestamp_ntz")
+        - (F.col("event_id") % 7) * F.expr("interval 1 minute")
+    )
+    e = b + (F.lit(5) + F.col("event_id") % 11) * F.expr("interval 1 minute")
+    return ev.select(
+        "event_id",
+        b.alias("begin_ts"),
+        F.explode(E.timestamp_spine(b, e)).alias("minute_slot"),
+    )
+
+
+@query(
+    "sort_window_order",
+    oracle="""
+    SELECT
+      o_custkey,
+      min(CASE WHEN rk = 1 THEN o_orderkey END) AS first_orderkey,
+      string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+        AS priorities
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderpriority,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate ASC, o_orderkey ASC) AS rk
+      FROM orders
+    ) t
+    GROUP BY 1
+    """,
+)
+def sort_window_order(spark, sf_dir):
+    """ORDER BY inside OVER() and inside STRING_AGG
+    (streams_daily_v4.sql:64,219; poms_flattened.sql:66): multi-key
+    window ordering with deterministic tie-break + ordered distinct
+    string aggregation (array_sort before array_join — collect order
+    under shuffle is nondeterministic)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).alias("rk"),
+    )
+    return ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rk") == 1, F.col("o_orderkey"))).alias(
+            "first_orderkey"
+        ),
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), "|"
+        ).alias("priorities"),
+    )
+
+
+@query(
+    "fn_timestamp_cast",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts,
+      CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS reparsed_ts,
+      CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts
+    FROM events WHERE event_id % 25 = 0
+    """,
+)
+def fn_timestamp_cast(spark, sf_dir):
+    """TIMESTAMP(x) casts (streams_daily_v4.sql:37,64): date→timestamp
+    midnight expansion, string→timestamp parse round-trip, and
+    TIMESTAMP_TRUNC — all NTZ wall-clock (the engine's CET discipline
+    means no instant conversion may sneak in)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
+    return ev.select(
+        "event_id",
+        F.col("ts").cast("date").cast("timestamp_ntz").alias("day_ts"),
+        F.to_timestamp_ntz(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("yyyy-MM-dd HH:mm:ss"),
+        ).alias("reparsed_ts"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_ts"),
+    )
