@@ -38,6 +38,12 @@ PIPELINE_HEADLINE = [
     "sim_topk_cosine",
     "text_quality_score",
 ]
+# End-to-end model-DAG shapes (round 2+): the incremental stream model
+# and the full dashboard (builds the whole 22-model DAG under one action).
+MODEL_HEADLINE = [
+    "model_streams_daily_v4",
+    "model_dashboard_channel_weekly",
+]
 
 
 def main() -> None:
@@ -51,6 +57,7 @@ def main() -> None:
 
     names = [q for q in HEADLINE if q in QUERIES]
     names += [q for q in PIPELINE_HEADLINE if q in QUERIES]
+    names += [q for q in MODEL_HEADLINE if q in QUERIES]
 
     timings: dict[str, float] = {}
     for name in names:
