@@ -14,7 +14,7 @@ Architecture (SURVEY.md §7):
   - ``functions`` BigQuery→Spark gotcha-closing helper library
   - ``registry``  ``@model`` decorator + DAG (replaces dbt's Jinja ``ref()``)
   - ``runner``    view / table / incremental materializations
-  - ``models``    the reference's 13 models as DataFrame builders
+  - ``models``    the reference's 20-model DAG as DataFrame builders
   - ``queries``   operator inventory as oracle-checkable queries
   - ``pipeline``  dedup / similarity / text / multimodal operators
   - ``streaming`` Structured Streaming variant of the stream-stats model

@@ -204,3 +204,34 @@ def _register_model_query(qid: str, model_name: str, cte: str) -> None:
 
 for _qid, (_model, _cte) in _MODEL_QUERIES.items():
     _register_model_query(_qid, _model, _cte)
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant (SURVEY §2.9) — the unified-API batch twin of the
+# Structured Streaming job; the streaming path itself (watermark, file
+# source, availableNow, late-data merge) is exercised in
+# tests/test_streaming.py and must produce identical rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_daily_event_stats",
+    oracle="""
+    SELECT
+      CAST(date_trunc('day', ts) AS DATE) AS evt_date,
+      event_type,
+      count(*) AS n_events,
+      round(sum(value), 2) AS total_value,
+      min(value) AS min_value,
+      max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_daily_event_stats(spark, sf_dir):
+    """Per-(day, type) tumbling-window rollup — the same function runs
+    on readStream with withWatermark('8 days') (getdbt_spark/streaming.py);
+    watermark == the reference's 9-day partition replay window."""
+    from ..streaming import batch_equivalent
+
+    return batch_equivalent(spark, sf_dir)

@@ -1,0 +1,117 @@
+"""Structured Streaming variant of the stream-stats pipeline (SURVEY §2.9).
+
+The reference has no true streaming: ``media_events`` is an append-only
+event table processed in daily incremental batches, with the 9-day
+partition-overwrite window acting as the late-data policy
+(``atinternet_smarttag_streams_daily_v4.sql:1-22,75,101`` — late events
+≤ 8 days old are picked up because their partition is recomputed; older
+ones silently dropped).  This module maps that policy onto Spark
+Structured Streaming:
+
+- the 9-day reprocess window  →  ``withWatermark(ts, '8 days')``
+  (state for a day is closed once the watermark passes it — the same
+  "≤ 8 days late counts, older is dropped" contract);
+- the daily partition grain   →  a 1-day tumbling ``F.window``;
+- the batch runner            →  ``readStream`` over the same
+  date-partitioned parquet layout the incremental sink writes.
+
+The transformation is written against the *unified* DataFrame API: the
+same function runs on a static DataFrame (where ``withWatermark`` is a
+no-op) — that batch path is what the driver's DuckDB oracle checks —
+and on a streaming DataFrame (exercised in tests via an
+``availableNow`` file-source run that must produce byte-identical
+results to the batch path).
+
+Streaming-legal aggregations only: no exact COUNT(DISTINCT) in a
+streaming agg (Spark restriction) — the engine's exact-distinct lives
+in the batch path; ``approx_count_distinct`` is the documented
+streaming substitute (kept out of the oracle-checked columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .session import configure
+
+WATERMARK = "8 days"  # == the reference's replay window minus the current day
+
+
+def daily_event_stats(events: DataFrame) -> DataFrame:
+    """Per-(day, event_type) rollup of the corpus event stream.
+
+    Works identically on static and streaming inputs.  Output grain
+    mirrors the reference's per-date incremental table: one row per
+    closed day per type, late data merged until the watermark passes.
+    """
+    # Watermarks require TIMESTAMP (with timezone) event time — NTZ is
+    # rejected.  But ``F.window`` aligns day buckets to UTC *instants*,
+    # so a bare cast (wall-clock → Amsterdam instant) would put
+    # 00:00-00:59 CET events into the previous UTC day.  The
+    # ``from_utc_timestamp`` shift manufactures an instant whose UTC
+    # face equals the CET wall clock (DST-aware per timestamp), keeping
+    # day buckets and the final ``cast(date)`` aligned with the batch
+    # layer's NTZ wall-clock discipline.
+    events = events.withColumn(
+        "ts",
+        F.from_utc_timestamp(
+            F.col("ts").cast("timestamp"), F.expr("current_timezone()")
+        ),
+    )
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("double")).alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("evt_date"),
+            "event_type",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def stream_source(
+    spark: SparkSession, path: str, schema_from: DataFrame
+) -> DataFrame:
+    """File-based streaming source over a parquet directory, schema
+    pinned from a batch DataFrame (streaming readers need it up front)."""
+    configure(spark)
+    return spark.readStream.schema(schema_from.schema).parquet(path)
+
+
+def batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static-path twin of the streaming job (what the driver's
+    oracle verifies — same code path, batch input)."""
+    return daily_event_stats(load_table(spark, sf_dir, "events"))
+
+
+def run_available_now(
+    spark: SparkSession, source_path: str, schema_from: DataFrame, name: str
+) -> DataFrame:
+    """Run the streaming job over everything currently in
+    ``source_path`` (availableNow trigger), collect into an in-memory
+    sink, and return the result table.  Used by tests to prove
+    stream/batch parity."""
+    stream = daily_event_stats(stream_source(spark, source_path, schema_from))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

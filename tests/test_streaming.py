@@ -1,0 +1,76 @@
+"""Streaming variant tests (SURVEY §2.9): stream/batch parity and the
+watermark late-data contract."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from getdbt_spark.io import load_table
+from getdbt_spark.streaming import (
+    batch_equivalent,
+    daily_event_stats,
+    run_available_now,
+    stream_source,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Copy the sf0.001 events into a writable dir (as normal parquet —
+    the streaming reader gets the already-normalized batch schema)."""
+    src = load_table(spark, SF, "events")
+    path = str(tmp_path / "events_stream")
+    src.write.parquet(path)
+    return path, src
+
+
+def _key(rows):
+    return {
+        (str(r["evt_date"]), r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in rows
+    }
+
+
+class TestStreamBatchParity:
+    def test_available_now_matches_batch(self, spark, events_dir):
+        path, src = events_dir
+        got = run_available_now(spark, path, src, "t_parity")
+        want = daily_event_stats(spark.read.parquet(path))
+        assert _key(got.collect()) == _key(want.collect())
+        assert _key(got.collect()) == _key(batch_equivalent(spark, SF).collect())
+
+    def test_plan_has_event_time_watermark(self, spark, events_dir):
+        path, src = events_dir
+        stream = daily_event_stats(stream_source(spark, path, src))
+        assert stream.isStreaming
+        plan = stream._jdf.queryExecution().analyzed().toString()
+        assert "EventTimeWatermark" in plan
+
+    def test_late_data_merged_across_microbatches(self, spark, tmp_path):
+        """A second micro-batch carrying a late (but within-watermark)
+        event updates the already-seen day — the streaming analog of the
+        reference recomputing a trailing partition."""
+        import datetime as dt
+
+        path = str(tmp_path / "late_events")
+        base = dt.datetime(2024, 1, 10, 12, 0, 0)
+        rows1 = [(1, base, 1, "click", 10.0, "p")]
+        schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+        spark.createDataFrame(rows1, schema).write.mode("append").parquet(path)
+        src = spark.read.parquet(path)
+        r1 = run_available_now(spark, path, src, "t_late_1")
+        assert _key(r1.collect())[("2024-01-10", "click")] == (1, 10.0)
+
+        # late event for the SAME day arrives in a later file
+        rows2 = [(2, base + dt.timedelta(hours=1), 2, "click", 5.0, "p")]
+        spark.createDataFrame(rows2, schema).write.mode("append").parquet(path)
+        r2 = run_available_now(spark, path, src, "t_late_2")
+        assert _key(r2.collect())[("2024-01-10", "click")] == (2, 15.0)
