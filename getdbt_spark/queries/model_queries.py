@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 from .. import fixtures as FX
 from ..functions import safe_offset
+from ..io import load_table as _lt
 from . import query
+
+
+def _t(spark, sf_dir, name):
+    return _lt(spark, sf_dir, name)
 
 
 def _run_model(spark, sf_dir: str, name: str):
@@ -235,3 +240,112 @@ def streaming_daily_event_stats(spark, sf_dir):
     from ..streaming import batch_equivalent
 
     return batch_equivalent(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§2.7/§2.8 leftovers — dedicated driver entries
+# ---------------------------------------------------------------------------
+
+
+@query("sink_incremental_insert_overwrite", oracle=oracle_for("atinternet_smarttag_streams_daily_v4"))
+def sink_incremental_insert_overwrite(spark, sf_dir):
+    """The incremental insert_overwrite sink EXERCISED: the streams
+    model is materialized through the Runner's dynamic-partition-
+    overwrite write path into a scratch warehouse and the READ-BACK is
+    returned — so the oracle verifies what persisted, not just what
+    was built (reference ``streams_daily_v4.sql:1-22``).  Partition
+    mechanics (exactly the trailing window rewritten, older partitions
+    byte-untouched) are asserted in tests/test_registry_runner.py."""
+    import tempfile
+
+    from .. import models as M
+    from ..fixtures import sources_map
+    from ..io import load_table
+    from ..runner import Runner
+
+    M.load_all()
+    anchor = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.to_date("ts")))
+        .collect()[0][0]
+    )
+    wh = tempfile.mkdtemp(prefix="getdbt_spark_wh_")
+    runner = Runner(spark, sources_map(spark, sf_dir), anchor, warehouse=wh)
+    out = runner.run(["atinternet_smarttag_streams_daily_v4"])
+    df = out["atinternet_smarttag_streams_daily_v4"]
+    # Partition discovery returns evt_date as the partition column at
+    # the END and type-inferred DATE; restore the oracle's column order.
+    cols = [c for c in df.columns if c != "evt_date"]
+    return df.select(F.col("evt_date").cast("date"), *cols)
+
+
+@query(
+    "sort_in_cte",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC
+    )
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def sort_in_cte(spark, sf_dir):
+    """ORDER BY inside a CTE whose consumer aggregates — semantically
+    inert (no LIMIT), exactly the reference's ``ORDER BY 1,2,3`` inside
+    CTEs (``streams_daily_v4.sql:175,236``).  The engine keeps the sort
+    in the plan (Spark drops it under the agg exchange anyway) and the
+    oracle proves the result is order-independent."""
+    orders = _t(spark, sf_dir, "orders")
+    ranked = orders.select("o_custkey", "o_totalprice").orderBy(
+        F.desc("o_totalprice")
+    )
+    return ranked.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "fn_current_date",
+    oracle="""
+    WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+    win AS (
+      SELECT CAST((SELECT d FROM anchor) - CAST(unnest(range(9)) AS INTEGER)
+                  AS DATE) AS partition_date
+    ),
+    cnt AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+    )
+    SELECT w.partition_date,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM win w LEFT JOIN cnt c ON c.d = w.partition_date
+    """,
+)
+def fn_current_date(spark, sf_dir):
+    """CURRENT_DATE()-relative logic under the frozen-run_date policy
+    (SURVEY §7): the reference's ``partitions_to_replace`` list
+    (``streams_daily_v4.sql:1-12``) built from a two-phase anchor — a
+    tiny scalar action whose result is injected as LITERALS, so the
+    per-partition predicate reaches the scan as a prunable filter
+    instead of a correlated subquery."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    window = [anchor - dt.timedelta(days=i) for i in range(9)]
+    counts = (
+        ev.select(F.to_date("ts").alias("d"))
+        .filter(F.col("d").isin(window))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    spine = spark.createDataFrame(
+        [(d,) for d in window], "partition_date date"
+    )
+    return spine.join(
+        counts, spine["partition_date"] == counts["d"], "left"
+    ).select(
+        "partition_date", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
