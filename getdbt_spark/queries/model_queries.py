@@ -349,3 +349,20 @@ def fn_current_date(spark, sf_dir):
     ).select(
         "partition_date", F.coalesce("n_events", F.lit(0)).alias("n_events")
     )
+
+
+@query("agg_approx_count_distinct")  # rows-only: approx values have no oracle
+def agg_approx_count_distinct(spark, sf_dir):
+    """The engine's scale substitute for exact COUNT(DISTINCT) (SURVEY
+    §4.2: the expand+two-phase exact distinct is the 100 TB pain point;
+    HLL++ is one pass, mergeable, fixed memory).  Driver check is
+    rows-only by design; tests/test_functions.py bounds the relative
+    error against the exact count."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+    )

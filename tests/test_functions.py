@@ -244,3 +244,18 @@ def test_query_registry_rejects_duplicate_ids():
 
     finally:
         QUERIES.pop("_test_dup_guard", None)
+
+
+def test_approx_count_distinct_relative_error(spark):
+    """HLL++ rsd=0.02 stays within a conservative 6% of exact on the
+    corpus grouping used by agg_approx_count_distinct."""
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["agg_approx_count_distinct"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_customers"]
+        assert abs(r["approx_customers"] - exact) <= max(1, 0.06 * exact)
