@@ -366,3 +366,72 @@ def agg_approx_count_distinct(spark, sf_dir):
             F.countDistinct("o_custkey").alias("exact_customers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 snapshot (dbt snapshots/ capability surface — snapshots.py)
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_ORACLE = """
+WITH src1 AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment
+  FROM customer WHERE c_custkey % 7 <> 0
+), src2 AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'SEGMENT_CHANGED'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 11 <> 3
+), changed AS (
+  SELECT s1.c_custkey
+  FROM src1 s1 JOIN src2 s2 USING (c_custkey)
+  WHERE s1.c_mktsegment IS DISTINCT FROM s2.c_mktsegment
+)
+SELECT s1.c_custkey, s1.c_nationkey, s1.c_mktsegment,
+       TIMESTAMP '2024-01-01 00:00:00' AS dbt_valid_from,
+       CASE WHEN c.c_custkey IS NOT NULL
+            THEN TIMESTAMP '2024-02-01 00:00:00' END AS dbt_valid_to
+FROM src1 s1 LEFT JOIN changed c USING (c_custkey)
+UNION ALL
+SELECT s2.c_custkey, s2.c_nationkey, s2.c_mktsegment,
+       TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS TIMESTAMP)
+FROM src2 s2
+WHERE s2.c_custkey IN (SELECT c_custkey FROM changed)
+   OR s2.c_custkey NOT IN (SELECT c_custkey FROM src1)
+"""
+
+
+@query("sink_snapshot_scd2", oracle=_SNAPSHOT_ORACLE)
+def sink_snapshot_scd2(spark, sf_dir):
+    """dbt check-strategy SCD2 snapshot, driver-verified end to end.
+
+    Two deterministic source states of ``customer`` (the reference
+    declares the snapshots/ capability but ships none — SURVEY §1.1):
+    T2 drops some keys (vanished → stay open), changes c_mktsegment for
+    keys divisible by 5 (→ close + reopen), and re-adds keys absent
+    from T1 (→ new open version).  ``snapshot_init`` + one
+    ``snapshot_apply`` must reproduce the declarative SCD2 state the
+    oracle computes set-wise.  Multi-run history passthrough is covered
+    by tests/test_snapshots.py."""
+    import datetime as dt
+
+    from ..snapshots import snapshot_apply, snapshot_init
+
+    cust = _t(spark, sf_dir, "customer")
+    src1 = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    src2 = cust.filter(F.col("c_custkey") % 11 != 3).select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("SEGMENT_CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    snap = snapshot_apply(
+        snapshot_init(src1, dt.datetime(2024, 1, 1)),
+        src2,
+        "c_custkey",
+        ["c_mktsegment"],
+        dt.datetime(2024, 2, 1),
+    )
+    return snap

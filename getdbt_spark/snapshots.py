@@ -35,9 +35,19 @@ VALID_FROM = "dbt_valid_from"
 VALID_TO = "dbt_valid_to"
 
 
+def _ts(as_of: dt.datetime) -> F.Column:
+    """Snapshot validity bounds are naive wall-clock (TIMESTAMP_NTZ).
+
+    Built from the ISO string, not ``F.lit(datetime)``: a datetime lit
+    is converted to an instant using the *driver process* TZ and then
+    re-rendered in the session TZ (Europe/Amsterdam) — shifting the
+    wall clock by the TZ offset.  String → NTZ parse is TZ-free."""
+    return F.lit(as_of.isoformat(sep=" ")).cast("timestamp_ntz")
+
+
 def snapshot_init(source: DataFrame, as_of: dt.datetime) -> DataFrame:
     """First snapshot run: every source row becomes an open version."""
-    return source.withColumn(VALID_FROM, F.lit(as_of)).withColumn(
+    return source.withColumn(VALID_FROM, _ts(as_of)).withColumn(
         VALID_TO, F.lit(None).cast("timestamp_ntz")
     )
 
@@ -70,7 +80,7 @@ def snapshot_apply(
     closed = (
         joined.filter(change_pred)
         .select(*keep_cols)
-        .withColumn(VALID_TO, F.lit(as_of))
+        .withColumn(VALID_TO, _ts(as_of))
     )
     changed_keys = joined.filter(change_pred).select(
         current[key].alias("_k")
@@ -78,12 +88,12 @@ def snapshot_apply(
     reopened = (
         source.join(changed_keys, source[key] == F.col("_k"), "inner")
         .drop("_k")
-        .withColumn(VALID_FROM, F.lit(as_of))
+        .withColumn(VALID_FROM, _ts(as_of))
         .withColumn(VALID_TO, F.lit(None).cast("timestamp_ntz"))
     )
     new_keys = (
         source.join(current, on=key, how="left_anti")
-        .withColumn(VALID_FROM, F.lit(as_of))
+        .withColumn(VALID_FROM, _ts(as_of))
         .withColumn(VALID_TO, F.lit(None).cast("timestamp_ntz"))
     )
     return (
