@@ -76,8 +76,10 @@ def _quintly_mart(ctx, quintly_name: str, id_col: str, out_cols):
         "q_year", iso_year("intervalBegin")
     ).withColumn("q_week", iso_week("intervalBegin"))
     base = _week_cols(vt.crossJoin(_spine(ctx)))
+    # Broadcast the facts side: quintly weeklies are bounded by
+    # #profiles × #weeks (catalog-shaped) at any corpus scale.
     joined = base.join(
-        q,
+        F.broadcast(q),
         (base[id_col] == q["profileId"])
         & (base["year"] == q["q_year"])
         & (base["weeknr"] == q["q_week"]),
@@ -201,8 +203,9 @@ def integral_reporting_sites_and_apps(ctx):
 
     vt = ctx.ref(VERTAAL).filter(F.col("Naam").isNotNull())
     base = _week_cols(vt.crossJoin(_spine(ctx)))
+    # ATI weeklies are bounded by #titles × #weeks — broadcast-safe.
     joined = base.join(
-        ati,
+        F.broadcast(ati),
         (base["ATI_Titel"] == ati["level_2"])
         & (ati["year"] == base["year"])
         & (ati["weeknum"] == base["weeknr"]),
@@ -262,7 +265,7 @@ def integral_reporting_tvbroadcasts(ctx):
 
     tv_ep = (
         _tv_filtered(adv)
-        .join(dim, dim["episode_id"] == adv["mediaId"], "left")
+        .join(F.broadcast(dim), dim["episode_id"] == adv["mediaId"], "left")
         .groupBy(
             "title",
             "date",
@@ -306,12 +309,17 @@ def integral_reporting_tvbroadcasts(ctx):
     )
     return (
         spine.join(
-            tv_title,
+            # per-(series, week) aggregates — catalog-bounded.
+            F.broadcast(tv_title),
             (spine["sp_weeknr"] == tv_title["weeknr"])
             & (tv_title["year"] == spine["sp_year"]),
             "left",
         )
-        .join(vt, vt["Serie_mid"] == tv_title["poms_series_id"], "left")
+        .join(
+            F.broadcast(vt),
+            vt["Serie_mid"] == tv_title["poms_series_id"],
+            "left",
+        )
         .select(
             "Naam",
             "Net",
@@ -356,7 +364,7 @@ def integral_reporting_vodstreaming(ctx):
     w_season = Window.partitionBy("season_id")
     new_tv_eps = (
         _tv_filtered(adv)
-        .join(pf, pf["mid"] == adv["mediaId"], "left")
+        .join(F.broadcast(pf), pf["mid"] == adv["mediaId"], "left")
         .select(
             "title",
             F.col("date").alias("first_broadcast_date"),
@@ -397,8 +405,12 @@ def integral_reporting_vodstreaming(ctx):
     w_ref = Window.partitionBy("season_ref")
     new_releases = (
         dim.filter(F.col("episode_type") == "BROADCAST")
-        .join(new_tv_eps, dim["episode_id"] == new_tv_eps["mediaId"], "left")
-        .join(fsd, fsd["evt_mid"] == dim["episode_id"], "left")
+        .join(
+            F.broadcast(new_tv_eps),
+            dim["episode_id"] == new_tv_eps["mediaId"],
+            "left",
+        )
+        .join(F.broadcast(fsd), fsd["evt_mid"] == dim["episode_id"], "left")
         .select(
             dim["episode_id"].alias("mediaid"),
             "series_ref",
@@ -442,8 +454,10 @@ def integral_reporting_vodstreaming(ctx):
     )
     d1 = dim.alias("d1")
     s1 = streams.join(
-        nr, nr["mediaid"] == streams["evt_mid"], "left"
-    ).join(d1, F.col("d1.episode_id") == streams["evt_mid"], "left")
+        F.broadcast(nr), nr["mediaid"] == streams["evt_mid"], "left"
+    ).join(
+        F.broadcast(d1), F.col("d1.episode_id") == streams["evt_mid"], "left"
+    )
     in_28 = (F.col("mtd_type") == "BROADCAST") & (
         F.datediff("evt_date", "last_known_broadcast_season") <= 28
     )
@@ -494,7 +508,9 @@ def integral_reporting_vodstreaming(ctx):
     )
 
     d2 = dim.alias("d2")
-    s2 = streams.join(d2, F.col("d2.episode_id") == streams["evt_mid"], "left")
+    s2 = streams.join(
+        F.broadcast(d2), F.col("d2.episode_id") == streams["evt_mid"], "left"
+    )
     branch2 = s2.groupBy(
         "evt_mid",
         "series_ref",
@@ -533,11 +549,16 @@ def integral_reporting_vodstreaming(ctx):
         {"weeknr": "sp_weeknr", "year": "sp_year"}
     )
     joined = spine.join(
-        streaming_info,
+        # per-(series, week) aggregates — catalog-bounded.
+        F.broadcast(streaming_info),
         (streaming_info["evt_year"] == spine["sp_year"])
         & (streaming_info["evt_weeknr"] == spine["sp_weeknr"]),
         "left",
-    ).join(vt, vt["Serie_mid"] == streaming_info["series_ref"], "left")
+    ).join(
+        F.broadcast(vt),
+        vt["Serie_mid"] == streaming_info["series_ref"],
+        "left",
+    )
 
     return (
         joined.groupBy(
@@ -857,7 +878,8 @@ def integral_reporting_dashboard_channel_weekly(ctx):
         F.col("streaming_number_of_new_released_eps").alias("vj_n_new_eps"),
     )
     j_vod = vod_sel.join(
-        cleaning,
+        # (series, year) aggregate — catalog-bounded.
+        F.broadcast(cleaning),
         (F.col("c_series") == F.col("vj_series_id"))
         & (F.col("c_year") == F.col("vj_year")),
         "inner",

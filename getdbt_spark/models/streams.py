@@ -37,7 +37,6 @@ from ..functions import (
     nullif_,
     safe_offset,
     split_literal,
-    string_agg_ordered,
     timestamp_diff_seconds,
 )
 from ..registry import model
@@ -74,22 +73,38 @@ def atinternet_smarttag_streams_daily_v4(ctx):
     window = [d.isoformat() for d in ctx.partition_window]
 
     # -- 1. adv_events: minute spine per broadcast (:26-41) ------------
+    # GROUP BY 1..7 (:40) is pure dedup over the exploded minutes;
+    # dedup BEFORE the explode instead — minutes within one schedule
+    # row are strictly increasing, so (6-col distinct) ⊕ explode is
+    # row-for-row identical to explode ⊕ (7-col distinct) while the
+    # shuffle covers schedule rows, not broadcast-minutes (~1440×
+    # smaller at any scale).
     adv_events = (
         adv.filter(F.col("channel").rlike("NPO"))
         .select(
             F.col("date").alias("adv_date"),
             F.col("beginTimeCET").alias("adv_beginTimeCET"),
             F.col("endTimeCET").alias("adv_endTimeCET"),
-            F.explode(
-                F.sequence(
-                    "beginTimeCET", "endTimeCET", F.expr("interval 1 minute")
-                )
-            ).alias("adv_minute"),
             F.col("title").alias("adv_title"),
             F.col("channel").alias("adv_channel"),
             F.col("mediaId").alias("adv_mid"),
         )
-        .distinct()  # GROUP BY 1..7 (:40) — pure dedup
+        .distinct()
+        .select(
+            "adv_date",
+            "adv_beginTimeCET",
+            "adv_endTimeCET",
+            F.explode(
+                F.sequence(
+                    "adv_beginTimeCET",
+                    "adv_endTimeCET",
+                    F.expr("interval 1 minute"),
+                )
+            ).alias("adv_minute"),
+            "adv_title",
+            "adv_channel",
+            "adv_mid",
+        )
     )
 
     # -- 2. raw_events (:44-102) ---------------------------------------
@@ -105,7 +120,10 @@ def atinternet_smarttag_streams_daily_v4(ctx):
             "inner",
         )
         .join(
-            adv_events,
+            # Broadcast: the minute spine is schedule data, bounded by
+            # #channels × 1440 min/day × replay_days (≈100k rows) at ANY
+            # corpus scale — never shuffle the event side for it.
+            F.broadcast(adv_events),
             (F.col("channel") == F.col("adv_channel"))
             & (
                 F.date_trunc("minute", "d_date_hour_event").cast(
@@ -202,16 +220,30 @@ def atinternet_smarttag_streams_daily_v4(ctx):
         )
         .agg(
             F.sum("d_rm_playback_time").alias("evt_playback_time_total_in_sec"),
-            F.countDistinct(
-                F.when(
-                    (F.col("d_rm_action") == "Play")
-                    | (
-                        F.col("stream_match_type")
-                        == "livetvzender - streamID_matched"
-                    ),
-                    F.col("d_rm_playid"),
-                )
-            ).alias("evt_play_count_total"),
+            # Reference: COUNT(DISTINCT IF(cond, d_rm_playid, NULL))
+            # (:131-135) — but d_rm_playid is a GROUP BY key here, so
+            # the distinct count is exactly 1 if any row in the group
+            # satisfies cond (and playid is non-null) else 0.  MAX-IF
+            # gives the identical value without the distinct-aggregate
+            # expand/extra shuffle Spark plans for COUNT(DISTINCT).
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (
+                            (F.col("d_rm_action") == "Play")
+                            | (
+                                F.col("stream_match_type")
+                                == "livetvzender - streamID_matched"
+                            )
+                        )
+                        & F.col("d_rm_playid").isNotNull(),
+                        F.lit(1),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("evt_play_count_total"),
         )
     )
 
@@ -244,82 +276,76 @@ def atinternet_smarttag_streams_daily_v4(ctx):
     )
 
     # -- 5. metadata (:164-237) ----------------------------------------
-    descendants = (
-        md.select(
-            "id",
-            F.explode("descendant_of").alias("d"),
-        )
-        .filter(F.col("d.type").isin("SEASON", "SERIES"))
-        .select(
-            "id",
-            F.col("d.type").alias("type"),
-            F.col("d.mid_ref").alias("mid_ref"),
-        )
-        .withColumn(
-            "index",
-            F.row_number().over(
-                Window.partitionBy("id", "type").orderBy(
-                    "id", "type", "mid_ref"
-                )
-            ),
-        )
-    )
-    season = descendants.filter(
-        (F.col("type") == "SEASON") & (F.col("index") == 1)
-    ).select("id", F.col("mid_ref").alias("mtd_season_mid"))
-    series = descendants.filter(
-        (F.col("type") == "SERIES") & (F.col("index") == 1)
-    ).select("id", F.col("mid_ref").alias("mtd_series_mid"))
+    # The reference computes five per-``id`` sub-aggregations by
+    # UNNEST + GROUP BY/QUALIFY and LEFT-joins them back (:164-237).
+    # Every one of them is a function of a single row's arrays, so we
+    # compute them as array higher-order expressions in ONE projection:
+    # no explode, no shuffle, no join — per-row work that scales
+    # linearly on a metadata table of any size.  (HOFs are interpreted
+    # per element, which is fine here: poms arrays hold a handful of
+    # entries — dense numeric kernels are the case that needs pandas
+    # UDFs, not this.)
 
-    episode = (
-        md.select("id", F.explode("episode_of").alias("e"))
-        .groupBy("id")
-        .agg(
-            F.max(
-                F.when(F.col("e.type") == "SEASON", F.col("e.index"))
-            ).alias("mtd_episode_of_index")
-        )
-    )
-    broadcasters = (
-        md.select("id", F.explode("broadcasters").alias("b"))
-        .groupBy("id")
-        .agg(string_agg_ordered(F.col("b.value")).alias("mtd_broadcasters"))
-    )
-    channels = (
-        md.select("id", F.explode("schedule_events").alias("s"))
-        .filter(F.col("s.channel").isin("NED1", "NED2", "NED3"))
-        .select("id", F.col("s.channel").alias("mtd_channel"))
-        .distinct()  # GROUP BY 1,2 (:235) before ranking
-        .withColumn(
-            "cidx",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy("id", "mtd_channel")
+    def _first_ref(typ: str):
+        # row_number() OVER (PARTITION BY id, type ORDER BY mid_ref)
+        # = 1 (:173-186): ascending NULLS FIRST, so any NULL mid_ref
+        # wins the rank; otherwise the minimum mid_ref does.
+        mids = F.transform(
+            F.filter(
+                F.col("descendant_of"), lambda d: d["type"] == F.lit(typ)
             ),
+            lambda d: d["mid_ref"],
         )
-        .filter(F.col("cidx") == 1)
-        .drop("cidx")
+        return F.when(
+            F.exists(mids, lambda m: m.isNull()), F.lit(None).cast("string")
+        ).otherwise(F.array_min(mids))
+
+    # MAX(IF(type='SEASON', index, NULL)) per id (:195-203); MAX and
+    # array_max both ignore NULLs; empty/no-SEASON → NULL either way.
+    episode_idx = F.array_max(
+        F.transform(
+            F.filter(
+                F.col("episode_of"), lambda e: e["type"] == F.lit("SEASON")
+            ),
+            lambda e: e["index"],
+        )
+    )
+    # STRING_AGG(value, ',' ORDER BY value) per id (:205-214): the
+    # grouped form only emits a row when the array explodes to ≥1
+    # element, so guard on size; array_join skips NULL elements just
+    # as STRING_AGG ignores NULLs.
+    bcast_vals = F.transform(F.col("broadcasters"), lambda b: b["value"])
+    broadcasters_agg = F.when(
+        F.size("broadcasters") > 0,
+        F.array_join(F.array_sort(bcast_vals), ","),
+    )
+    # DISTINCT NED-channel + rank 1 (:226-237) = alphabetical minimum
+    # of the NED1/NED2/NED3 channels present (isin() drops NULLs).
+    ned = F.array_distinct(
+        F.filter(
+            F.transform(F.col("schedule_events"), lambda s: s["channel"]),
+            lambda c: c.isin("NED1", "NED2", "NED3"),
+        )
     )
 
-    metadata = (
-        md.select(
-            "id",
-            F.expr("duration div 1000").alias("mtd_duration_in_sec"),
-            F.col("sort_date").alias("mtd_sort_date"),
-            F.col("type").alias("mtd_type"),
-            safe_offset(safe_offset("genres", 0).getField("terms"), 0).alias(
-                "mtd_genre_main"
-            ),
-            safe_offset(safe_offset("genres", 0).getField("terms"), 1).alias(
-                "mtd_genre_sub"
-            ),
-            safe_offset("titles", 0).getField("value").alias("mtd_title_main"),
-            safe_offset("titles", 1).getField("value").alias("mtd_title_sub"),
-        )
-        .join(season, "id", "left")
-        .join(series, "id", "left")
-        .join(episode, "id", "left")
-        .join(broadcasters, "id", "left")
-        .join(channels, "id", "left")
+    metadata = md.select(
+        "id",
+        F.expr("duration div 1000").alias("mtd_duration_in_sec"),
+        F.col("sort_date").alias("mtd_sort_date"),
+        F.col("type").alias("mtd_type"),
+        safe_offset(safe_offset("genres", 0).getField("terms"), 0).alias(
+            "mtd_genre_main"
+        ),
+        safe_offset(safe_offset("genres", 0).getField("terms"), 1).alias(
+            "mtd_genre_sub"
+        ),
+        safe_offset("titles", 0).getField("value").alias("mtd_title_main"),
+        safe_offset("titles", 1).getField("value").alias("mtd_title_sub"),
+        _first_ref("SEASON").alias("mtd_season_mid"),
+        _first_ref("SERIES").alias("mtd_series_mid"),
+        episode_idx.alias("mtd_episode_of_index"),
+        broadcasters_agg.alias("mtd_broadcasters"),
+        F.array_min(ned).alias("mtd_channel"),
     )
 
     # -- 6. final join (:239-244) --------------------------------------
