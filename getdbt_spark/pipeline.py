@@ -105,83 +105,85 @@ JACCARD_THRESHOLD = 0.6
 _U32 = (1 << 32) - 1
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, sig: array<long>[MINHASH_N]) via double hashing g_i = h1 + i*h2.
+def _shingles_and_sig(k: int = 3, max_token_bytes: int = 24):
+    """Arrow-batched kernel: raw text → (shingles, minhash sig) per doc.
 
-    The shingle is already a 64-bit hash, so its two halves serve as
-    the independent h1/h2 of the double-hashing scheme; each value is
-    ≤ 32 bits, keeping g_i far below 2^63 (Spark 4 ANSI mode makes
-    silent overflow a hard error).
+    One vectorized pass does ALL the per-doc work — tokenize, hash
+    every token, combine k consecutive token hashes into 64-bit
+    shingles (XOR of distinct rotations), distinct them, and fold the
+    128-seed double-hash minimum (g_i = lo + i·hi on the shingle's two
+    32-bit halves).  Why a Pandas UDF: the per-element Column/HOF
+    version of this kernel is interpreted (never codegen'd) and
+    measured ~5 s for 5 000 × ~500-token docs at sf0.1, plus another
+    ~3 s for a JVM ``transform(w, xxhash64)`` token-hash pass; this
+    Arrow batch runs the same math in well under a second.
 
-    This is the one deliberate Pandas-UDF hot path in the module: the
-    kernel is dense numeric (n_shingles × 128 min-reduce per row), and
-    Spark's higher-order functions are interpreted per element — the
-    pure-Column nested-transform version of this exact formula
-    measured 18 s for 5 000 docs at sf0.1 vs <1 s for the Arrow/numpy
-    batch below. Still embarrassingly parallel, no shuffle, column-
-    pruned input; at 100 TB it scales with the map stage.
+    Token hashing is FNV-style over a zero-padded ``max_token_bytes``-
+    wide byte matrix — fully vectorized (one multiply-XOR per byte
+    position over the whole batch), deterministic across executors
+    (no Python string-hash salt), tokens longer than the width share a
+    prefix bucket (harmless for a Jaccard estimate at the 0.6
+    threshold; collisions perturb ~n²/2^64 of pairs).  Tokenization is
+    ``lower().split(" ")`` on UTF-8 bytes — byte-for-byte the
+    ``ws_tokens`` convention.  Docs with < k tokens yield NULL arrays
+    (callers filter), mirroring the old JVM pre-filter.
+
+    Still embarrassingly parallel: no shuffle, column-pruned input; at
+    100 TB it scales with the map stage.
     """
-    from pyspark.sql.types import ArrayType, LongType
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    seeds = np.arange(MINHASH_N, dtype=np.int64)
+    seeds = np.arange(MINHASH_N, dtype=np.uint64)
+    rots = [(1 + 21 * j) % 64 for j in range(k)]
+    fnv = np.uint64(1099511628211)
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _sig(shingles: pd.Series) -> pd.Series:
-        out = []
-        for arr in shingles:
-            h = np.asarray(arr, dtype=np.int64)
-            lo = h & _U32
-            hi = (h >> 32) & _U32  # == shiftrightunsigned(h, 32)
-            out.append((lo[:, None] + hi[:, None] * seeds[None, :]).min(axis=0))
-        return pd.Series(out)
-
-    return sh.select("doc_id", _sig("shingles").alias("sig"))
-
-
-def shingled_docs(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingles) for docs with at least k tokens."""
-    toks = ws_tokens(F.col("text"))
-    return (
-        docs.select("doc_id", toks.alias("w"))
-        .filter(F.size("w") >= k)
-        .select("doc_id", word_shingles(F.col("w"), k).alias("shingles"))
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("shingles", ArrayType(LongType())),
+                StructField("sig", ArrayType(LongType())),
+            ]
+        )
     )
+    def _kernel(texts: pd.Series) -> pd.DataFrame:
+        tok_lists = [
+            t.lower().encode("utf-8").split(b" ") for t in texts
+        ]
+        counts = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        flat = [tok for lst in tok_lists for tok in lst]
+        if flat:
+            m = np.frombuffer(
+                np.array(flat, dtype=f"S{max_token_bytes}"), dtype=np.uint8
+            ).reshape(len(flat), max_token_bytes)
+            h = np.zeros(len(flat), dtype=np.uint64)
+            for pos in range(max_token_bytes):
+                h = h * fnv ^ m[:, pos].astype(np.uint64)
+        else:
+            h = np.zeros(0, dtype=np.uint64)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        sh_out, sig_out = [], []
+        for i in range(len(tok_lists)):
+            hd = h[offs[i] : offs[i + 1]]
+            n = len(hd) - k + 1
+            if n <= 0:
+                sh_out.append(None)
+                sig_out.append(None)
+                continue
+            g = np.zeros(n, dtype=np.uint64)
+            for j, r in enumerate(rots):
+                hj = hd[j : j + n]
+                g ^= (hj << np.uint64(r)) | (hj >> np.uint64(64 - r))
+            sh = np.unique(g)
+            lo = sh & np.uint64(_U32)
+            hi = sh >> np.uint64(32)
+            sig = (lo[:, None] + hi[:, None] * seeds[None, :]).min(axis=0)
+            sh_out.append(sh.view(np.int64))
+            sig_out.append(sig.view(np.int64))
+        return pd.DataFrame({"shingles": sh_out, "sig": sig_out})
 
-
-def _rotl(c: Column, bits: int) -> Column:
-    return F.shiftleft(c, bits).bitwiseOR(F.shiftrightunsigned(c, 64 - bits))
-
-
-def hashed_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingles) where each word k-gram is a 64-bit hash.
-
-    Tokens are hashed once (one xxhash64 per token), then each shingle
-    combines k consecutive token hashes with XOR of distinct rotations
-    — order-sensitive, overflow-free (Spark 4 ANSI errors on long
-    overflow, so no multiply chains), and never materializes shingle
-    strings. At 100 TB this is the difference between shuffling long
-    arrays and shuffling wide string arrays; hash collisions perturb a
-    Jaccard estimate with probability ~n²/2^64 per doc pair —
-    irrelevant next to the 0.6 decision threshold.
-    """
-    toks = ws_tokens(F.col("text"))
-    harr = F.transform(F.col("w"), lambda x: F.xxhash64(x))
-    idx = F.sequence(F.lit(0), F.size(F.col("h")) - k)
-
-    def _combine(i):
-        c = _rotl(F.element_at(F.col("h"), i + 1), 1)
-        for j in range(1, k):
-            c = c.bitwiseXOR(
-                _rotl(F.element_at(F.col("h"), i + 1 + j), (1 + 21 * j) % 64)
-            )
-        return c
-
-    return (
-        docs.select("doc_id", toks.alias("w"))
-        .filter(F.size("w") >= k)
-        .select("doc_id", harr.alias("h"))
-        .select("doc_id", F.array_distinct(F.transform(idx, _combine)).alias("shingles"))
-    )
+    return _kernel
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
@@ -193,29 +195,55 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     near-identical docs) → distinct candidate pairs → join back the
     two shingle sets → exact Jaccard filter. No stage is all-pairs.
 
-    The shingle projection is a three-consumer intermediate (signature
-    input + both sides of the verify join); cache it rather than
-    recompute the tokenize+hash scan per consumer (MEMORY_AND_DISK so
-    a 100 TB run spills instead of evicting mid-plan).
+    The shingle+signature projection is a three-consumer intermediate
+    (band explode + both sides of the verify join); cache it rather
+    than recompute the tokenize+hash+kernel scan per consumer
+    (MEMORY_AND_DISK so a 100 TB run spills instead of evicting
+    mid-plan).  All per-doc math runs in one Arrow/numpy kernel
+    (``_shingles_and_sig``); docs with < 3 tokens come back NULL and
+    are dropped, matching the oracle's ``len(w) >= 3`` filter.
     """
     from pyspark import StorageLevel
 
-    sh = hashed_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures(sh)
+    n_cores = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        # Spread the kernel across cores even when the source arrives
+        # as few input splits (a local parquet file is ONE split → one
+        # task): shuffling the narrow (doc_id, text) projection is
+        # cheap relative to the per-doc CPU it unlocks.  On a real
+        # cluster with thousands of splits this is a no-op-sized
+        # exchange, never a bottleneck.
+        docs.select("doc_id", "text")
+        .repartition(n_cores)
+        .select("doc_id", _shingles_and_sig(3)("text").alias("ss"))
+        .filter(F.col("ss.shingles").isNotNull())
+        .select(
+            "doc_id",
+            F.col("ss.shingles").alias("shingles"),
+            F.col("ss.sig").alias("sig"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = sh.select("doc_id", "sig")
+    # Band explode as ONE small HOF expression instead of an unrolled
+    # 64-struct array literal: same rows, but a plan node of constant
+    # size — the unrolled form made Catalyst/codegen chew a 192-field
+    # expression tree on every compile.  64 interpreted elements per
+    # row is noise next to the shuffle that follows.
     bands = sig.select(
         "doc_id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        *[
-                            F.element_at("sig", b * LSH_ROWS + r + 1).alias(f"h{r}")
-                            for r in range(LSH_ROWS)
-                        ],
-                    )
-                    for b in range(LSH_BANDS)
-                ]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    *[
+                        F.element_at("sig", b * LSH_ROWS + r + 1).alias(
+                            f"h{r}"
+                        )
+                        for r in range(LSH_ROWS)
+                    ],
+                ),
             )
         ).alias("bk"),
     ).select("doc_id", "bk.*")
