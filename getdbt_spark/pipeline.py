@@ -269,6 +269,79 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 2, threshold: float = 0.6
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard near-dup pairs via prefix filtering.
+
+    Complements ``minhash_lsh_pairs``: no signatures, no probabilistic
+    miss — the classic PPJoin prefix-filter guarantees completeness.
+    Under one global gram order (numeric hash order here), two sets
+    with J(A,B) >= t must share an element within each set's first
+    ``|S| - ceil(t*|S|) + 1`` sorted grams (if they didn't, the
+    >= ceil(t*|S|) common grams would all sit in a suffix of size
+    ceil(t*|S|) - 1).  So candidate generation explodes ONLY that
+    prefix — at t=0.6 that is ~40% of each gram set — and joins on the
+    gram hash; everything else is pruned before any pairing.
+
+    Plan shape at scale: narrow gram projection → prefix explode →
+    shuffle on gram hash (the inverted index; fan-in bounded by gram
+    document-frequency, and hot grams are exactly the near-duplicate
+    clusters the query exists to find) → distinct candidate pairs →
+    exact verify on the full sorted-gram arrays.  No stage is
+    all-pairs; the O(n²) form exists only in the DuckDB oracle.
+
+    Gram arrays are tiny (≤ ~100 words/doc) so interpreted HOFs are
+    fine here — the dense-kernel Pandas-UDF treatment is for MinHash's
+    128-seed fold, not this.
+    """
+    from pyspark import StorageLevel
+
+    toks = ws_tokens(F.col("text"))
+    gram_hash = F.transform(
+        F.sequence(F.lit(0), F.size("w") - k),
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                "|", *[F.element_at("w", i + j + 1) for j in range(k)]
+            )
+        ),
+    )
+    sh = (
+        docs.select("doc_id", toks.alias("w"))
+        .filter(F.size("w") >= k)
+        .select(
+            "doc_id", F.array_sort(F.array_distinct(gram_hash)).alias("s")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    plen = (
+        F.size("s")
+        - F.ceil(F.lit(threshold) * F.size("s")).cast("int")
+        + 1
+    )
+    pre = sh.select("doc_id", F.explode(F.slice("s", F.lit(1), plen)).alias("g"))
+    candidates = (
+        pre.alias("a")
+        .join(pre.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(
+        F.array_union("sa", "sb")
+    )
+    return (
+        candidates.join(a, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", E.round_to(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -423,3 +496,63 @@ def decode_multimodal(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_decode, schema=MULTIMODAL_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, modality string, frame_idx long, frame_offset long, "
+    "frame_len long, frame_checksum long, resized_w long, resized_h long"
+)
+
+
+def sample_frames(df: DataFrame, stride: int = 7, box: int = 224) -> DataFrame:
+    """Frame-sample + resize plumbing over opaque binary payloads.
+
+    Input: ``(doc_id, modality, payload binary)``.  Each payload is
+    treated as ``n_frames`` equal byte slices (the ``decode_multimodal``
+    frame count: ``1 + n_bytes % 96`` for video, 1 otherwise); every
+    ``stride``-th frame is emitted with its byte extent, a checksum of
+    its bytes (the stand-in for "decode this frame"), and the
+    aspect-preserving resize of the fake decode dims into a
+    ``box``×``box`` budget.
+
+    STUB boundary, same as ``decode_multimodal``: the per-frame
+    checksum is where a real deployment calls ffmpeg/PIL per slice.
+    The Spark contract is the real part — one input row fans out to a
+    variable number of output rows through ``mapInPandas`` (an Arrow
+    batch iterator may yield MORE rows than it receives), payload
+    bytes never leave the executor, and the output is a flat typed
+    frame table ready for a downstream feature join.  At 100 TB this
+    is a map-only stage: no shuffle, scales with input splits.
+    """
+
+    def _sample(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "modality", "frame_idx", "frame_offset",
+                "frame_len", "frame_checksum", "resized_w", "resized_h",
+            )}
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                raw = np.frombuffer(payload, dtype=np.uint8)
+                n_bytes = len(raw)
+                n_frames = 1 + n_bytes % 96 if modality == "video" else 1
+                w = 64 + n_bytes % 577
+                h = 64 + (n_bytes * 31) % 353
+                scale_den = max(w, h)
+                rw = w * box // scale_den
+                rh = h * box // scale_den
+                for idx in range(0, n_frames, stride):
+                    lo = idx * n_bytes // n_frames
+                    hi = (idx + 1) * n_bytes // n_frames
+                    out["doc_id"].append(doc_id)
+                    out["modality"].append(modality)
+                    out["frame_idx"].append(idx)
+                    out["frame_offset"].append(lo)
+                    out["frame_len"].append(hi - lo)
+                    out["frame_checksum"].append(int(raw[lo:hi].sum()))
+                    out["resized_w"].append(rw)
+                    out["resized_h"].append(rh)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_sample, schema=FRAME_SCHEMA)

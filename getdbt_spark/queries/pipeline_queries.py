@@ -114,6 +114,38 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || '|' || w[i+1]
+                            for i in range(1, len(w))]) AS s
+      FROM toks WHERE len(w) >= 2
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             round(len(list_intersect(a.s, b.s))::DOUBLE
+                   / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, jaccard FROM pairs
+    WHERE jaccard >= {P.JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """EXACT word-bigram Jaccard near-dup pairs via PPJoin-style prefix
+    filtering — the deterministic complement to the MinHash plan.
+
+    The oracle is brute-force all-pairs; the Spark plan explodes only
+    each doc's sorted-gram prefix (|S| - ceil(0.6|S|) + 1 elements),
+    joins on the gram hash, and exact-verifies candidates — provably
+    complete, never all-pairs (see pipeline.ngram_jaccard_pairs).
+    """
+    return P.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+@query(
     "dedup_simhash",
     oracle="""
     WITH toks AS (
@@ -580,3 +612,62 @@ def multimodal_meta(spark, sf_dir):
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
     return P.decode_multimodal(payload)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             text, octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ), v AS (
+      SELECT doc_id, modality, text, n_bytes,
+             CASE WHEN modality = 'video' THEN 1 + n_bytes % 96 ELSE 1 END
+               AS n_frames,
+             64 + n_bytes % 577 AS w,
+             64 + (n_bytes * 31) % 353 AS h
+      FROM base
+    ), fr AS (
+      SELECT doc_id, modality, text, n_bytes, n_frames, w, h,
+             unnest(range(0, n_frames, 7)) AS frame_idx
+      FROM v
+    )
+    SELECT doc_id, modality, frame_idx,
+           (frame_idx * n_bytes) // n_frames AS frame_offset,
+           ((frame_idx + 1) * n_bytes) // n_frames
+             - (frame_idx * n_bytes) // n_frames AS frame_len,
+           coalesce(list_sum(
+             [ascii(text[i + 1])
+              for i in range((frame_idx * n_bytes) // n_frames,
+                             ((frame_idx + 1) * n_bytes) // n_frames)]
+           ), 0) AS frame_checksum,
+           w * 224 // greatest(w, h) AS resized_w,
+           h * 224 // greatest(w, h) AS resized_h
+    FROM fr
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sample + resize over binary payloads (every 7th frame of
+    the fake-decoded frame grid, aspect-preserving 224-box resize).
+
+    One input row fans out to N output rows through the Arrow batch
+    iterator — the mapInPandas contract a real video pipeline needs;
+    the byte checksum stands in for the per-frame codec call (the
+    corpus is ASCII, so the oracle's code-point sum equals the
+    kernel's byte sum).
+    """
+    d = _docs(spark, sf_dir)
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    payload = d.select(
+        "doc_id",
+        modality.alias("modality"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return P.sample_frames(payload)

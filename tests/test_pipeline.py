@@ -1,0 +1,121 @@
+"""LLM-pipeline operator properties that the driver's oracle gate
+cannot express: completeness guarantees, kernel determinism, and
+fan-out invariants (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from getdbt_spark import pipeline as P
+from getdbt_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def test_ngram_prefix_filter_is_complete(spark, docs):
+    """PPJoin guarantee: the prefix-filtered plan finds EXACTLY the
+    pairs brute-force all-pairs Jaccard finds (no probabilistic miss —
+    that is the whole point vs MinHash-LSH)."""
+    toks = P.ws_tokens(F.col("text"))
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 2),
+        lambda i: F.xxhash64(
+            F.concat_ws("|", F.element_at("w", i + 1), F.element_at("w", i + 2))
+        ),
+    )
+    sh = (
+        docs.select("doc_id", toks.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.array_sort(F.array_distinct(gram)).alias("s"))
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(
+        F.array_union("sa", "sb")
+    )
+    brute = {
+        (r.a_id, r.b_id)
+        for r in a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(jac >= P.JACCARD_THRESHOLD)
+        .collect()
+    }
+    fast = {
+        (r.a_id, r.b_id)
+        for r in P.ngram_jaccard_pairs(docs).collect()
+    }
+    assert fast == brute
+    assert brute  # the corpus seeds near-dup pairs: the test must bite
+
+
+def test_minhash_kernel_deterministic_across_invocations(spark, docs):
+    """The FNV byte-matrix hash has no per-process salt: two separate
+    kernel invocations (separate Python worker calls) must produce
+    identical shingle sets and signatures for every doc."""
+    udf = P._shingles_and_sig(3)
+    one = {
+        r.doc_id: (tuple(r.ss.shingles), tuple(r.ss.sig))
+        for r in docs.repartition(4)
+        .select("doc_id", udf("text").alias("ss"))
+        .filter(F.col("ss.shingles").isNotNull())
+        .collect()
+    }
+    two = {
+        r.doc_id: (tuple(r.ss.shingles), tuple(r.ss.sig))
+        for r in docs.coalesce(1)
+        .select("doc_id", udf("text").alias("ss"))
+        .filter(F.col("ss.shingles").isNotNull())
+        .collect()
+    }
+    assert one == two
+    assert all(len(v[1]) == P.MINHASH_N for v in one.values())
+
+
+def test_frame_sample_covers_payload(spark, docs):
+    """Frame extents partition the payload: offsets are in-bounds,
+    stride-sampled indices are exactly 0, 7, 14, …, and a
+    single-frame (image/audio) doc's checksum equals the whole-payload
+    byte sum."""
+    payload = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    frames = P.sample_frames(payload).collect()
+    n_bytes = {
+        r.doc_id: r.n for r in docs.select(
+            "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n")
+        ).collect()
+    }
+    byte_sum = {
+        r.doc_id: r.s for r in docs.select(
+            "doc_id",
+            F.aggregate(
+                F.transform(
+                    F.split(F.col("text"), ""), lambda c: F.ascii(c)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        ).collect()
+    }
+    assert frames
+    for r in frames:
+        assert r.frame_idx % 7 == 0
+        assert 0 <= r.frame_offset <= n_bytes[r.doc_id]
+        assert r.frame_offset + r.frame_len <= n_bytes[r.doc_id]
+        assert max(r.resized_w, r.resized_h) <= 224
+        if r.modality != "video":
+            assert r.frame_idx == 0
+            assert r.frame_len == n_bytes[r.doc_id]
+            assert r.frame_checksum == byte_sum[r.doc_id]
