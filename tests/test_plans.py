@@ -21,16 +21,21 @@ GUARDED = [
     "model_integral_reporting_vodstreaming",
     "join_asof_nearest",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "multimodal_frame_sample",
+    "sim_ann_ivf",
     "filter_partition_window",
 ]
 
 # crossJoin is the reference's own semantic (vertaaltabel × week spine,
 # `_dashboard_channel_weekly.sql:8-10`) — a broadcast of a 25-row dim
-# against a generated spine, not an accident; everything else must not
-# produce nested-loop fallbacks.
+# against a generated spine, not an accident; likewise IVF centroid
+# assignment is inherently all-vectors × a tiny broadcast centroid
+# table. Everything else must not produce nested-loop fallbacks.
 _SPINE_CROSS_OK = {
     "model_dashboard_channel_weekly",
     "model_integral_reporting_vodstreaming",
+    "sim_ann_ivf",
 }
 
 
