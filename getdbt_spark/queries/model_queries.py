@@ -242,6 +242,45 @@ def streaming_daily_event_stats(spark, sf_dir):
     return batch_equivalent(spark, sf_dir)
 
 
+@query(
+    "streaming_session_stats",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM l
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s
+    GROUP BY user_id, sess_id
+    """,
+)
+def streaming_session_stats(spark, sf_dir):
+    """Gap-based per-user sessionization via native ``session_window``
+    (30-min inactivity gap; getdbt_spark/streaming.py session_stats).
+
+    The oracle is the classic batch sessionize-with-windows rewrite
+    (lag → new-session flag → cumulative-sum session id) — proving the
+    streaming-native session_window agg and the SQL idiom agree row
+    for row.  The same function runs under readStream + watermark
+    (stream/batch parity in tests/test_streaming.py)."""
+    from ..streaming import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # §2.1/§2.7/§2.8 leftovers — dedicated driver entries
 # ---------------------------------------------------------------------------

@@ -83,6 +83,60 @@ def daily_event_stats(events: DataFrame) -> DataFrame:
     )
 
 
+SESSION_GAP = "30 minutes"
+
+
+def session_stats(events: DataFrame) -> DataFrame:
+    """Gap-based per-user sessionization via native ``session_window``.
+
+    A session extends while consecutive events arrive < 30 minutes
+    apart; a gap >= 30 minutes (Spark merges OVERLAPPING [t, t+gap)
+    windows, so an exact-gap event opens a new session) closes it.
+    Runs identically on static and streaming inputs — in streaming the
+    watermark both bounds session state AND finalizes a session once
+    no in-gap event can still arrive; in batch it is a no-op.
+
+    Same TZ discipline as ``daily_event_stats``: the watermark needs a
+    TIMESTAMP instant, so the NTZ event time is shifted to an instant
+    whose UTC face equals the wall clock (differences between shifted
+    instants == wall-clock differences, DST-safe), while the reported
+    session bounds aggregate the ORIGINAL wall-clock column so the
+    output stays engine-portable NTZ.
+
+    Scale: one shuffle on user_id + an in-partition merge of session
+    state — the streaming-native form of the sessionize-with-windows
+    SQL (lag + cumulative-sum) the oracle uses.
+    """
+    shifted = events.withColumn(
+        "ts_evt",
+        F.from_utc_timestamp(
+            F.col("ts").cast("timestamp"), F.expr("current_timezone()")
+        ),
+    )
+    return (
+        shifted.withWatermark("ts_evt", WATERMARK)
+        .groupBy(
+            F.session_window("ts_evt", SESSION_GAP).alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("double")), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stream_source(
     spark: SparkSession, path: str, schema_from: DataFrame
 ) -> DataFrame:
@@ -99,13 +153,17 @@ def batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_available_now(
-    spark: SparkSession, source_path: str, schema_from: DataFrame, name: str
+    spark: SparkSession,
+    source_path: str,
+    schema_from: DataFrame,
+    name: str,
+    transform=daily_event_stats,
 ) -> DataFrame:
-    """Run the streaming job over everything currently in
+    """Run a streaming job over everything currently in
     ``source_path`` (availableNow trigger), collect into an in-memory
     sink, and return the result table.  Used by tests to prove
-    stream/batch parity."""
-    stream = daily_event_stats(stream_source(spark, source_path, schema_from))
+    stream/batch parity for any unified transform."""
+    stream = transform(stream_source(spark, source_path, schema_from))
     q = (
         stream.writeStream.format("memory")
         .queryName(name)

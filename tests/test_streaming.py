@@ -13,6 +13,7 @@ from getdbt_spark.streaming import (
     batch_equivalent,
     daily_event_stats,
     run_available_now,
+    session_stats,
     stream_source,
 )
 
@@ -53,6 +54,22 @@ class TestStreamBatchParity:
         assert stream.isStreaming
         plan = stream._jdf.queryExecution().analyzed().toString()
         assert "EventTimeWatermark" in plan
+
+    def test_session_window_stream_matches_batch(self, spark, events_dir):
+        """The session_window agg produces identical sessions on the
+        streaming and static paths (availableNow over the same files)."""
+        path, src = events_dir
+        got = run_available_now(
+            spark, path, src, "t_sessions", transform=session_stats
+        )
+        want = session_stats(spark.read.parquet(path))
+        key = lambda rows: sorted(
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], r["total_value"])
+            for r in rows
+        )
+        assert key(got.collect()) == key(want.collect())
+        assert got.count() > 0
 
     def test_late_data_merged_across_microbatches(self, spark, tmp_path):
         """A second micro-batch carrying a late (but within-watermark)
