@@ -424,7 +424,15 @@ def fixture_sql(name: str, dialect: str) -> str:
 
 
 def fixture_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Build one fixture as a DataFrame (registers corpus views)."""
+    """Build one fixture as a DataFrame (registers corpus views).
+
+    Deliberately NOT cached/persisted: persisting the small source
+    fixtures was measured to more than double the dashboard DAG's
+    wall time at sf0.1 (InMemoryRelation blocks the optimizer's
+    pushdown/broadcast reasoning and serializes cache materialization
+    inside the first action) — recomputing the tiny aggregates is
+    cheaper than caching them.
+    """
     register_views(spark, sf_dir)
     return spark.sql(fixture_sql(name, "spark"))
 
