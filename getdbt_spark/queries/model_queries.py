@@ -281,6 +281,30 @@ def streaming_session_stats(spark, sf_dir):
     return session_stats(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "streaming_first_seen",
+    oracle="""
+    SELECT fp, event_id, ts, user_id, event_type, value FROM (
+      SELECT md5(lower(trim(props))) AS fp,
+             event_id, ts, user_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY md5(lower(trim(props)))
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def streaming_first_seen(spark, sf_dir):
+    """Batch twin of the stateful streaming dedup
+    (streaming.first_seen_stream / applyInPandasWithState with
+    event-time TTL state): first event per content fingerprint.
+    Cross-batch suppression — what the window form cannot express —
+    is proven in tests/test_streaming.py."""
+    from ..streaming import first_seen_batch
+
+    return first_seen_batch(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # §2.1/§2.7/§2.8 leftovers — dedicated driver entries
 # ---------------------------------------------------------------------------

@@ -137,6 +137,100 @@ def session_stats(events: DataFrame) -> DataFrame:
     )
 
 
+DEDUP_TTL_MS = 8 * 24 * 3600 * 1000  # state lifetime == the watermark
+
+
+def _fingerprint():
+    """Content fingerprint: md5 of the normalized payload — the same
+    canonicalization as the batch ``dedup_exact`` operator."""
+    return F.md5(F.lower(F.trim(F.col("props"))))
+
+
+FIRST_SEEN_SCHEMA = (
+    "fp string, event_id long, ts timestamp_ntz, user_id long, "
+    "event_type string, value double"
+)
+
+
+def first_seen_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST event per content
+    fingerprint — the custom stateful operator Spark has no built-in
+    for (``dropDuplicates`` keeps all key state forever and cannot
+    pick a deterministic representative row).
+
+    ``applyInPandasWithState`` keyed on the fingerprint: state is one
+    long (first-seen event-time ms); a micro-batch's rows for a key
+    are deduped in-batch to the (ts, event_id)-minimal row, emitted
+    IFF the key has no state yet.  State carries an EVENT-TIME timeout
+    of ``DEDUP_TTL_MS`` past first sight, so at 100 TB the state store
+    holds one 8-byte value per *distinct recent* fingerprint instead
+    of growing forever — duplicates arriving later than the TTL are
+    re-emitted, the exact analog of the reference's "older than the
+    9-day replay window is dropped" late-data policy
+    (``streams_daily_v4.sql:15-22``).
+
+    Batch twin (oracle-checked as ``streaming_first_seen``): the
+    ``row_number() OVER (PARTITION BY fp ORDER BY ts, event_id) = 1``
+    idiom — stateful streaming and window SQL must agree on every
+    single-batch input (tests/test_streaming.py also proves the
+    cross-batch suppression the SQL form cannot express).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = (
+        events.withColumn(
+            "ts_evt",
+            F.from_utc_timestamp(
+                F.col("ts").cast("timestamp"), F.expr("current_timezone()")
+            ),
+        )
+        .withColumn("fp", _fingerprint())
+        .withWatermark("ts_evt", WATERMARK)
+    )
+
+    def _dedup(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        first = pdf.sort_values(["ts", "event_id"]).iloc[:1]
+        first_ms = int(first["ts_evt"].iloc[0].value // 1_000_000)
+        if not state.exists:
+            state.update((first_ms,))
+            state.setTimeoutTimestamp(first_ms + DEDUP_TTL_MS)
+            yield first[
+                ["fp", "event_id", "ts", "user_id", "event_type", "value"]
+            ]
+        # seen before: suppress the whole batch for this key
+
+    return (
+        ev.groupBy("fp")
+        .applyInPandasWithState(
+            _dedup,
+            FIRST_SEEN_SCHEMA,
+            "first_ms long",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def first_seen_batch(events: DataFrame) -> DataFrame:
+    """Static twin of ``first_seen_stream``: window-SQL first
+    occurrence per fingerprint (identical output on a one-batch
+    input)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("ts", "event_id")
+    return (
+        events.withColumn("fp", _fingerprint())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("fp", "event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
 def stream_source(
     spark: SparkSession, path: str, schema_from: DataFrame
 ) -> DataFrame:
@@ -158,18 +252,42 @@ def run_available_now(
     schema_from: DataFrame,
     name: str,
     transform=daily_event_stats,
+    output_mode: str = "complete",
+    checkpoint: str | None = None,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Run a streaming job over everything currently in
     ``source_path`` (availableNow trigger), collect into an in-memory
     sink, and return the result table.  Used by tests to prove
-    stream/batch parity for any unified transform."""
+    stream/batch parity for any unified transform.
+
+    ``checkpoint`` + ``sink_dir``: a parquet sink with a stable
+    checkpoint carries source offsets AND operator state across
+    successive calls — how the tests drive the stateful dedup through
+    multiple micro-batch generations (the in-memory sink cannot
+    recover from a checkpoint, so multi-generation runs need the file
+    sink; the returned DataFrame then reads the CUMULATIVE output)."""
     stream = transform(stream_source(spark, source_path, schema_from))
-    q = (
+    if sink_dir:
+        w = (
+            stream.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+        )
+        if checkpoint:
+            w = w.option("checkpointLocation", checkpoint)
+        q = w.start()
+        q.awaitTermination()
+        return spark.read.parquet(sink_dir)
+    w = (
         stream.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
     q.awaitTermination()
     return spark.table(name)

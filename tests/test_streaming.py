@@ -12,6 +12,8 @@ from getdbt_spark.io import load_table
 from getdbt_spark.streaming import (
     batch_equivalent,
     daily_event_stats,
+    first_seen_batch,
+    first_seen_stream,
     run_available_now,
     session_stats,
     stream_source,
@@ -70,6 +72,67 @@ class TestStreamBatchParity:
         )
         assert key(got.collect()) == key(want.collect())
         assert got.count() > 0
+
+    def test_first_seen_stream_matches_batch_single_generation(
+        self, spark, events_dir, tmp_path
+    ):
+        """On a single batch of input, the stateful dedup and the
+        window-SQL first-occurrence form agree row for row."""
+        path, src = events_dir
+        got = run_available_now(
+            spark,
+            path,
+            src,
+            "t_fs_1",
+            transform=first_seen_stream,
+            output_mode="append",
+            checkpoint=str(tmp_path / "ck"),
+        )
+        want = first_seen_batch(spark.read.parquet(path))
+        key = lambda rows: sorted(
+            (r["fp"], r["event_id"]) for r in rows
+        )
+        assert key(got.collect()) == key(want.collect())
+        assert got.count() > 0
+
+    def test_first_seen_suppresses_across_generations(self, spark, tmp_path):
+        """State carried through the checkpoint suppresses a duplicate
+        fingerprint arriving in a LATER micro-batch generation — the
+        behavior the batch window idiom cannot express."""
+        import datetime as dt
+
+        path = str(tmp_path / "fs_events")
+        ck = str(tmp_path / "fs_ck")
+        out = str(tmp_path / "fs_out")
+        base = dt.datetime(2024, 1, 10, 12, 0, 0)
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        rows1 = [(1, base, 1, "click", 10.0, "payload-A")]
+        spark.createDataFrame(rows1, schema).write.mode("append").parquet(path)
+        src = spark.read.parquet(path)
+        r1 = run_available_now(
+            spark, path, src, "t_fs_g1",
+            transform=first_seen_stream, output_mode="append",
+            checkpoint=ck, sink_dir=out,
+        )
+        assert [r["event_id"] for r in r1.collect()] == [1]
+
+        # generation 2: a dup of payload-A (later ts) + a brand-new payload
+        rows2 = [
+            (2, base + dt.timedelta(minutes=5), 2, "click", 5.0, "payload-A"),
+            (3, base + dt.timedelta(minutes=6), 3, "view", 1.0, "payload-B"),
+        ]
+        spark.createDataFrame(rows2, schema).write.mode("append").parquet(path)
+        r2 = run_available_now(
+            spark, path, src, "t_fs_g2",
+            transform=first_seen_stream, output_mode="append",
+            checkpoint=ck, sink_dir=out,
+        )
+        # cumulative file-sink output: first-seen of A and of B — the
+        # generation-2 duplicate of A (event 2) was suppressed by state
+        assert sorted(r["event_id"] for r in r2.collect()) == [1, 3]
 
     def test_late_data_merged_across_microbatches(self, spark, tmp_path):
         """A second micro-batch carrying a late (but within-watermark)
