@@ -32,14 +32,20 @@ def _t(spark, sf_dir, name):
     return _lt(spark, sf_dir, name)
 
 
-def _run_model(spark, sf_dir: str, name: str):
+def _run_model(spark, sf_dir: str, name: str, reuse: str | None = "persist"):
     """Build one ported model over the fixture sources (pure build mode
     — no warehouse writes; the driver collects the returned DataFrame).
 
     run_date is anchored two-phase to max(event date) — a tiny scalar
     action whose result is injected as a LITERAL so the incremental
     window predicate reaches the parquet scan as a prunable filter
-    (same pattern as filter_partition_window; never current_date())."""
+    (same pattern as filter_partition_window; never current_date()).
+
+    ``reuse="persist"`` marks intermediate models cached (lazily — no
+    job runs until the driver's own action), so multi-consumer subtrees
+    like streams-inside-vod compute once per action instead of once per
+    reference (runner.Runner.run).  Plan-inspection callers pass
+    ``reuse=None`` to see the full un-truncated lineage."""
     from .. import models as M
     from ..fixtures import sources_map
     from ..io import load_table
@@ -53,7 +59,7 @@ def _run_model(spark, sf_dir: str, name: str):
     )
     run_date = anchor if anchor is not None else dt.date(2024, 1, 30)
     runner = Runner(spark, sources_map(spark, sf_dir), run_date)
-    return runner.run([name])[name]
+    return runner.run([name], reuse=reuse)[name]
 
 # ---------------------------------------------------------------------------
 # Fixture parity rows

@@ -42,9 +42,18 @@ _SPINE_CROSS_OK = {
 @pytest.fixture(scope="module")
 def plans(spark):
     load_all()
+    # Model queries are built with reuse=None: the production path
+    # persists intermediates (InMemoryTableScan truncates the visible
+    # plan), but the guards must audit the FULL lineage — a nested-loop
+    # join hidden behind a cache boundary is still a bug at scale.
+    from getdbt_spark.queries.model_queries import _MODEL_QUERIES, _run_model
+
     out = {}
     for q in GUARDED:
-        df = QUERIES[q](spark, SF)
+        if q in _MODEL_QUERIES:
+            df = _run_model(spark, SF, _MODEL_QUERIES[q][0], reuse=None)
+        else:
+            df = QUERIES[q](spark, SF)
         out[q] = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
