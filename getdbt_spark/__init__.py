@@ -18,6 +18,9 @@ Architecture (SURVEY.md §7):
   - ``queries``   operator inventory as oracle-checkable queries
   - ``pipeline``  dedup / similarity / text / multimodal operators
   - ``streaming`` Structured Streaming variant of the stream-stats model
+  - ``snapshots`` SCD2 snapshot hook (dbt ``snapshots/``)
+  - ``dq``        column-test runner (dbt ``tests/`` / schema.yml)
+  - ``seeds``     declared-schema CSV seeds (dbt ``data/``)
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,126 @@
+"""Data-quality test runner — the engine's ``dbt test`` surface.
+
+The reference declares the capability but ships no tests
+(``tests/.gitkeep``; SURVEY §3.2/§5.1).  Here the hook is functional:
+models declare column tests in ``@model(dq_tests=[...])`` (the analog
+of dbt's per-model ``schema.yml``), and ``run_dq`` evaluates every
+declared test in one DataFrame whose rows are
+``(model_name, test_kind, column_name, n_failures)``.
+
+Failure counting follows dbt's built-in generic tests exactly:
+
+- ``not_null``         — #rows where the column IS NULL.
+- ``unique``           — #distinct non-null values occurring more than
+                         once (dbt counts duplicated VALUES, not rows).
+- ``accepted_values``  — #distinct values outside the accepted list
+                         (NULLs never fail this test, matching SQL
+                         ``NOT IN`` semantics).
+- ``relationships``    — #child rows whose non-null foreign key has no
+                         match in the parent model (dbt's referential
+                         test; a left-anti join).
+
+Scale shape: each test is a single aggregation over one model — a
+map-side-combinable count, no windows, no cartesian anything.  The
+per-test one-row aggregates are unioned into one plan so a single
+action evaluates the whole suite; with ``Runner.run(reuse="persist")``
+a model shared by several tests (or by the relationships parent) is
+computed once.  At 100 TB each test is one scan+agg over the tested
+table — exactly what ``dbt test`` compiles to in a warehouse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .registry import MODELS, DQTest, Model
+from .runner import Runner
+
+
+def _failures(
+    df: DataFrame, t: DQTest, parents: dict[str, DataFrame]
+) -> DataFrame:
+    """One-row DataFrame: the failure count for a single test."""
+    c = F.col(t.column)
+    if t.kind == "not_null":
+        n = df.filter(c.isNull()).agg(F.count(F.lit(1)).alias("n"))
+    elif t.kind == "unique":
+        n = (
+            df.filter(c.isNotNull())
+            .groupBy(t.column)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > 1)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    elif t.kind == "accepted_values":
+        n = (
+            df.select(t.column)
+            .filter(c.isNotNull() & ~c.isin(*t.values))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    elif t.kind == "relationships":
+        parent = parents[t.to].select(
+            F.col(t.to_field).alias("__parent_key")
+        )
+        n = (
+            df.filter(c.isNotNull())
+            .select(c.alias("__child_key"))
+            .join(
+                F.broadcast(parent.distinct()),
+                F.col("__child_key") == F.col("__parent_key"),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    else:  # pragma: no cover - DQTest.__post_init__ rejects these
+        raise ValueError(t.kind)
+    return n
+
+
+def declared_tests(
+    registry: dict[str, Model] | None = None,
+) -> list[tuple[str, DQTest]]:
+    """Every declared (model name, test) pair, deterministic order."""
+    reg = MODELS if registry is None else registry
+    return [
+        (name, t) for name in sorted(reg) for t in reg[name].dq_tests
+    ]
+
+
+def run_dq(
+    runner: Runner,
+    select: list[str] | None = None,
+    reuse: str | None = "persist",
+) -> DataFrame:
+    """Evaluate all declared tests on (the closure of) ``select``.
+
+    Returns one row per test: (model_name, test_kind, column_name,
+    n_failures).  Models named by ``relationships`` parents are built
+    too (they are part of the test's semantics, exactly as dbt resolves
+    ``to: ref('parent')``).
+    """
+    pairs = [
+        (name, t)
+        for name, t in declared_tests(runner.registry)
+        if select is None or name in select
+    ]
+    if not pairs:
+        raise ValueError("no dq tests declared in scope")
+    needed = sorted(
+        {name for name, _ in pairs}
+        | {t.to for _, t in pairs if t.to is not None}
+    )
+    out = runner.run(needed, reuse=reuse)
+    rows = [
+        _failures(out[name], t, out).select(
+            F.lit(name).alias("model_name"),
+            F.lit(t.kind).alias("test_kind"),
+            F.lit(t.column).alias("column_name"),
+            F.col("n").cast("bigint").alias("n_failures"),
+        )
+        for name, t in pairs
+    ]
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionAll(r)
+    return res

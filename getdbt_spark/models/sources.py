@@ -12,7 +12,43 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..registry import model
+from ..registry import DQTest, model
+
+# Column tests on the source layer (→ dbt schema.yml; the reference
+# ships none — SURVEY §5.1 — so these assert OUR fixture invariants:
+# the episode dim's key really is a key, the enum columns really are
+# enums, every vertaaltabel series maps into the dim).  Two tests are
+# EXPECTED to fail with deterministic counts (nullable Naam, the
+# many-episodes-per-series Serie_mid) — n_failures is the output, and
+# the driver oracle pins it; dq.run_dq reports, it does not raise.
+_DQ: dict[str, list[DQTest]] = {
+    "dim_poms_episodes": [
+        DQTest("unique", "episode_id"),
+        DQTest("not_null", "episode_id"),
+        DQTest(
+            "accepted_values", "episode_type", values=("BROADCAST", "CLIP")
+        ),
+        DQTest("not_null", "start_linear_first_broadcast"),
+    ],
+    "360_graden_rapportage_vertaaltabel_upload_20_21": [
+        DQTest("not_null", "Naam"),
+        DQTest("unique", "Serie_mid"),
+        DQTest(
+            "relationships",
+            "Serie_mid",
+            to="dim_poms_episodes",
+            to_field="series_ref",
+        ),
+    ],
+    "advantedge_tv_viewer_density_per_show_daily_v1": [
+        DQTest("accepted_values", "RepeatType", values=("FIRST", "RERUN")),
+        DQTest("not_null", "kdh"),
+    ],
+    "media_events": [
+        DQTest("not_null", "d_uv_id"),
+        DQTest("not_null", "d_date_hour_event"),
+    ],
+}
 
 _PASSTHROUGH = (
     # (model name, fixture/source table) — reference file of each is the
@@ -31,7 +67,7 @@ _PASSTHROUGH = (
 
 
 def _register_passthrough(name: str) -> None:
-    @model(name, sources=[("npo", name)])
+    @model(name, sources=[("npo", name)], dq_tests=_DQ.get(name, ()))
     def _m(ctx, _name=name):
         return ctx.source("npo", _name)
 

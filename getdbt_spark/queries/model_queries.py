@@ -438,6 +438,180 @@ def agg_approx_count_distinct(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# dbt-seed surface (seeds.py): repo CSV -> ref()-able model
+# ---------------------------------------------------------------------------
+
+
+def _seed_values_sql() -> str:
+    """DuckDB VALUES literal built from the SAME CSV the engine reads."""
+    from ..seeds import seed_rows
+
+    rows = ", ".join(
+        f"('{net}', '{grp}', {tgt})" for net, grp, tgt in seed_rows("npo_net_groups")
+    )
+    return f"(VALUES {rows}) AS s(net, net_group, reach_target)"
+
+
+@query(
+    "scan_seed_csv",
+    oracle=f"""
+    WITH {{fixtures}} , counts AS (
+      SELECT Net, CAST(count(*) AS BIGINT) AS n,
+             round(sum(Target_YT_views), 2) AS yt_target
+      FROM "360_graden_rapportage_vertaaltabel_upload_20_21"
+      GROUP BY 1
+    )
+    SELECT s.net, s.net_group,
+           CAST(s.reach_target AS DOUBLE) AS reach_target,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_titles,
+           coalesce(c.yt_target, 0.0) AS yt_target
+    FROM {_seed_values_sql()} LEFT JOIN counts c ON c.Net = s.net
+    """.replace(
+        "{fixtures}",
+        FX.fixture_ctes(["360_graden_rapportage_vertaaltabel_upload_20_21"]),
+    ),
+)
+def scan_seed_csv(spark, sf_dir):
+    """The ``dbt seed`` capability surface (reference ``data/.gitkeep``,
+    SURVEY §1.1): a version-controlled CSV with a DECLARED schema
+    (never inferSchema) loaded by seeds.py, registered as a model, and
+    consumed like any dim — here joined against a vertaaltabel rollup.
+    The seed side is driver-small by definition, so the join
+    broadcasts; the oracle's VALUES literal is generated from the same
+    CSV file, pinning file content, schema, and types in one check."""
+    from ..seeds import load_seed
+
+    seed = load_seed(spark, "npo_net_groups")
+    vt = FX.fixture_df(
+        spark, sf_dir, "360_graden_rapportage_vertaaltabel_upload_20_21"
+    )
+    counts = vt.groupBy(
+        # Spark identifiers are case-insensitive: rename the rollup key
+        # so it cannot collide with the seed's `net`.
+        F.col("Net").alias("c_net")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("Target_YT_views"), 2).alias("yt_target"),
+    )
+    return (
+        # seed is the preserved (left) side; the rollup is the
+        # broadcastable build side (catalog-bounded).
+        seed.join(F.broadcast(counts), F.col("c_net") == seed["net"], "left")
+        .select(
+            "net",
+            "net_group",
+            "reach_target",
+            F.coalesce("n", F.lit(0)).alias("n_titles"),
+            F.coalesce("yt_target", F.lit(0.0)).alias("yt_target"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dbt-test surface (dq.py): declared column tests, driver-verified
+# ---------------------------------------------------------------------------
+
+_DQ_TABLES = [
+    "dim_poms_episodes",
+    "360_graden_rapportage_vertaaltabel_upload_20_21",
+    "advantedge_tv_viewer_density_per_show_daily_v1",
+    "media_events",
+]
+
+_DQ_ORACLE = f"""
+WITH {FX.fixture_ctes(_DQ_TABLES)}
+SELECT 'dim_poms_episodes' AS model_name, 'unique' AS test_kind,
+       'episode_id' AS column_name,
+       CAST((SELECT count(*) FROM (
+         SELECT episode_id FROM "dim_poms_episodes"
+         WHERE episode_id IS NOT NULL GROUP BY 1 HAVING count(*) > 1
+       )) AS BIGINT) AS n_failures
+UNION ALL
+SELECT 'dim_poms_episodes', 'not_null', 'episode_id',
+       CAST((SELECT count(*) FROM "dim_poms_episodes"
+             WHERE episode_id IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'dim_poms_episodes', 'accepted_values', 'episode_type',
+       CAST((SELECT count(*) FROM (
+         SELECT DISTINCT episode_type FROM "dim_poms_episodes"
+         WHERE episode_type IS NOT NULL
+           AND episode_type NOT IN ('BROADCAST', 'CLIP')
+       )) AS BIGINT)
+UNION ALL
+SELECT 'dim_poms_episodes', 'not_null', 'start_linear_first_broadcast',
+       CAST((SELECT count(*) FROM "dim_poms_episodes"
+             WHERE start_linear_first_broadcast IS NULL) AS BIGINT)
+UNION ALL
+SELECT '360_graden_rapportage_vertaaltabel_upload_20_21', 'not_null', 'Naam',
+       CAST((SELECT count(*)
+             FROM "360_graden_rapportage_vertaaltabel_upload_20_21"
+             WHERE Naam IS NULL) AS BIGINT)
+UNION ALL
+SELECT '360_graden_rapportage_vertaaltabel_upload_20_21', 'unique',
+       'Serie_mid',
+       CAST((SELECT count(*) FROM (
+         SELECT Serie_mid
+         FROM "360_graden_rapportage_vertaaltabel_upload_20_21"
+         WHERE Serie_mid IS NOT NULL GROUP BY 1 HAVING count(*) > 1
+       )) AS BIGINT)
+UNION ALL
+SELECT '360_graden_rapportage_vertaaltabel_upload_20_21', 'relationships',
+       'Serie_mid',
+       CAST((SELECT count(*)
+             FROM "360_graden_rapportage_vertaaltabel_upload_20_21" c
+             WHERE c.Serie_mid IS NOT NULL AND NOT EXISTS (
+               SELECT 1 FROM "dim_poms_episodes" p
+               WHERE p.series_ref = c.Serie_mid)) AS BIGINT)
+UNION ALL
+SELECT 'advantedge_tv_viewer_density_per_show_daily_v1', 'accepted_values',
+       'RepeatType',
+       CAST((SELECT count(*) FROM (
+         SELECT DISTINCT RepeatType
+         FROM "advantedge_tv_viewer_density_per_show_daily_v1"
+         WHERE RepeatType IS NOT NULL
+           AND RepeatType NOT IN ('FIRST', 'RERUN')
+       )) AS BIGINT)
+UNION ALL
+SELECT 'advantedge_tv_viewer_density_per_show_daily_v1', 'not_null', 'kdh',
+       CAST((SELECT count(*)
+             FROM "advantedge_tv_viewer_density_per_show_daily_v1"
+             WHERE kdh IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'media_events', 'not_null', 'd_uv_id',
+       CAST((SELECT count(*) FROM "media_events"
+             WHERE d_uv_id IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'media_events', 'not_null', 'd_date_hour_event',
+       CAST((SELECT count(*) FROM "media_events"
+             WHERE d_date_hour_event IS NULL) AS BIGINT)
+"""
+
+
+@query("dq_schema_tests", oracle=_DQ_ORACLE)
+def dq_schema_tests(spark, sf_dir):
+    """The ``dbt test`` capability surface, end to end: column tests
+    declared on source models via ``@model(dq_tests=[...])`` (the
+    schema.yml analog; reference ships the directory empty —
+    ``tests/.gitkeep``, SURVEY §3.2) evaluated by ``dq.run_dq`` into
+    one (model, test, column, n_failures) row per test.  Two tests
+    fail BY DESIGN with deterministic counts (nullable ``Naam``,
+    duplicated ``Serie_mid``), proving failure detection rather than
+    vacuous greenness; the oracle re-expresses dbt's exact failure
+    semantics in SQL."""
+    from ..dq import run_dq
+    from ..fixtures import sources_map
+    from ..models import load_all as _load_models
+    from ..runner import Runner
+
+    _load_models()
+    anchor = (
+        _lt(spark, sf_dir, "events").agg(F.max(F.to_date("ts"))).collect()[0][0]
+    )
+    runner = Runner(spark, sources_map(spark, sf_dir), anchor)
+    return run_dq(runner, select=_DQ_TABLES)
+
+
+# ---------------------------------------------------------------------------
 # SCD2 snapshot (dbt snapshots/ capability surface — snapshots.py)
 # ---------------------------------------------------------------------------
 

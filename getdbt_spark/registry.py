@@ -46,12 +46,41 @@ class ModelConfig:
 
 
 @dataclass(frozen=True)
+class DQTest:
+    """One declared data-quality test (→ dbt's schema.yml column tests,
+    the ``dbt test`` surface — reference ``tests/.gitkeep``, SURVEY
+    §2.10/§3.2: the capability is declared but unexercised there; here
+    the hook is real and driver-verified via ``dq_schema_tests``).
+
+    ``kind`` ∈ {not_null, unique, accepted_values, relationships} — the
+    four built-in dbt generic tests, with dbt's exact failure-counting
+    semantics (dq.py).
+    """
+
+    kind: str
+    column: str
+    values: tuple = ()  # accepted_values only
+    to: str | None = None  # relationships: parent model name
+    to_field: str | None = None  # relationships: parent column
+
+    def __post_init__(self):
+        kinds = ("not_null", "unique", "accepted_values", "relationships")
+        if self.kind not in kinds:
+            raise ValueError(f"unknown dq test kind {self.kind!r}")
+        if self.kind == "accepted_values" and not self.values:
+            raise ValueError("accepted_values needs values=(...)")
+        if self.kind == "relationships" and not (self.to and self.to_field):
+            raise ValueError("relationships needs to= and to_field=")
+
+
+@dataclass(frozen=True)
 class Model:
     name: str
     builder: Callable[["ModelContext"], DataFrame]
     refs: tuple[str, ...]
     sources: tuple[tuple[str, str], ...]
     config: ModelConfig
+    dq_tests: tuple[DQTest, ...] = ()
 
 
 MODELS: dict[str, Model] = {}
@@ -67,6 +96,7 @@ def model(
     incremental_strategy: str | None = None,
     partition_by: str | None = None,
     replay_days: int = 9,
+    dq_tests: Sequence[DQTest] = (),
 ):
     """Register a model builder with its declared DAG edges."""
     if materialized not in ("view", "incremental"):
@@ -93,6 +123,7 @@ def model(
                 partition_by=partition_by,
                 replay_days=replay_days,
             ),
+            dq_tests=tuple(dq_tests),
         )
         return fn
 

@@ -1,0 +1,119 @@
+"""dq.py — the ``dbt test`` surface: dbt's four generic column tests
+with dbt's exact failure-counting semantics (duplicated VALUES for
+unique, distinct offending values for accepted_values, NULL-exempt
+foreign keys for relationships)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from getdbt_spark.dq import declared_tests, run_dq
+from getdbt_spark.registry import DQTest, Model, ModelConfig
+from getdbt_spark.runner import Runner
+
+D = dt.date(2024, 3, 20)
+
+
+def _mk_model(name, builder, dq_tests=(), refs=(), sources=()):
+    return Model(
+        name=name,
+        builder=builder,
+        refs=tuple(refs),
+        sources=tuple(sources),
+        config=ModelConfig(),
+        dq_tests=tuple(dq_tests),
+    )
+
+
+@pytest.fixture(scope="module")
+def dq_result(spark):
+    child = spark.createDataFrame(
+        [
+            (1, "A", 10),
+            (2, "A", None),
+            (2, "B", 30),
+            (3, "WEIRD", 40),
+            (3, "ALSO_WEIRD", 50),
+            (None, "B", 60),
+            (9, None, 70),
+        ],
+        "k int, cat string, v int",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (5,)], "pk int")
+    reg = {
+        "child": _mk_model(
+            "child",
+            lambda ctx: ctx.source("raw", "child"),
+            sources=[("raw", "child")],
+            dq_tests=[
+                DQTest("not_null", "k"),
+                DQTest("unique", "k"),
+                DQTest("accepted_values", "cat", values=("A", "B")),
+                DQTest(
+                    "relationships", "k", to="parent", to_field="pk"
+                ),
+            ],
+        ),
+        "parent": _mk_model(
+            "parent",
+            lambda ctx: ctx.source("raw", "parent"),
+            sources=[("raw", "parent")],
+        ),
+    }
+    r = Runner(
+        spark,
+        {("raw", "child"): child, ("raw", "parent"): parent},
+        D,
+        registry=reg,
+    )
+    rows = run_dq(r).collect()
+    return {(x.test_kind, x.column_name): x.n_failures for x in rows}
+
+
+def test_not_null_counts_null_rows(dq_result):
+    assert dq_result[("not_null", "k")] == 1
+
+
+def test_unique_counts_duplicated_values_not_rows(dq_result):
+    # k=2 twice, k=3 twice -> 2 duplicated values (dbt), not 4 rows.
+    assert dq_result[("unique", "k")] == 2
+
+
+def test_accepted_values_counts_distinct_offenders_null_exempt(dq_result):
+    # WEIRD + ALSO_WEIRD; the NULL cat never fails accepted_values.
+    assert dq_result[("accepted_values", "cat")] == 2
+
+
+def test_relationships_counts_orphan_rows_null_exempt(dq_result):
+    # k in {3,3,9} have no parent; NULL k is exempt -> 3 orphan rows.
+    assert dq_result[("relationships", "k")] == 3
+
+
+def test_declared_tests_deterministic_order():
+    reg = {
+        "b": _mk_model("b", lambda c: None, dq_tests=[DQTest("not_null", "x")]),
+        "a": _mk_model("a", lambda c: None, dq_tests=[DQTest("unique", "y")]),
+    }
+    assert [(n, t.kind) for n, t in declared_tests(reg)] == [
+        ("a", "unique"),
+        ("b", "not_null"),
+    ]
+
+
+def test_bad_declarations_rejected():
+    with pytest.raises(ValueError):
+        DQTest("nope", "x")
+    with pytest.raises(ValueError):
+        DQTest("accepted_values", "x")
+    with pytest.raises(ValueError):
+        DQTest("relationships", "x", to="p")
+
+
+def test_empty_scope_raises(spark):
+    reg = {"m": _mk_model("m", lambda c: None)}
+    r = Runner(spark, {}, D, registry=reg)
+    with pytest.raises(ValueError, match="no dq tests"):
+        run_dq(r)
