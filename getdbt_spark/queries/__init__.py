@@ -46,3 +46,4 @@ def load_all() -> None:
     from . import relational  # noqa: F401
     from . import pipeline_queries  # noqa: F401
     from . import model_queries  # noqa: F401
+    from . import extensions  # noqa: F401

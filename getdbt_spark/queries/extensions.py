@@ -1,0 +1,397 @@
+"""Extension-surface operators: Spark-native ops beyond strict parity.
+
+SURVEY.md §2.3/§2.4/§2.5/§2.6/§2.7 note operator families the reference
+never uses but that a complete engine must expose — semi/anti joins
+("still worth exposing in the engine API", §2.3), ``groupBy().pivot()``
+and ``cube``/``rollup`` (§2.4), the ranking/analytic window families
+(§2.5), INTERSECT/EXCEPT (§2.6), and LIMIT/top-k ("expose ``df.limit``
+anyway", §2.7).  Each is registered here as a first-class
+oracle-checked query so the coverage is driver-verified, not claimed.
+
+Scale notes are per-query; the headline ones:
+
+- top-k compiles to ``TakeOrderedAndProject`` — per-partition heap +
+  driver merge of k rows, never a full sort (pinned in
+  tests/test_plans.py);
+- semi/anti joins shuffle only the distinct key set of the probe side
+  and AQE broadcasts it when small;
+- rollup/cube expand at the *partial*-aggregate stage (map-side), so
+  the shuffle carries pre-combined subtotal rows, not raw input.
+
+Money sums in grouped results use exact integer cents
+(``floor(x*100)`` as LONG on both engines) — double summation order
+differs between Spark and DuckDB and a grand-total double rounded to
+2 decimals can flip at the last digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _cents(col) -> F.Column:
+    """Exact integer-cents projection of a double money column."""
+    return F.floor(F.col(col) * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Joins: semi / anti (SURVEY §2.3 "worth exposing")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_semi(spark, sf_dir):
+    """Customers with at least one order via a semi join.
+
+    EXISTS semantics without fan-out: the build side contributes only
+    key presence, so the join output never exceeds the probe side and
+    the shuffle carries the orders key column alone (column pruning
+    reaches the scan).  At 100 TB this replaces the
+    join+dropDuplicates idiom that would shuffle the full fact table.
+    """
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_left_anti(spark, sf_dir):
+    """Customers with no urgent order via an anti join (NOT EXISTS).
+
+    NULL-safe by construction (unlike NOT IN): an anti join never
+    drops the whole probe side when the build side contains NULL keys.
+    The build-side filter is pushed to the orders scan before the
+    shuffle.
+    """
+    customer = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# Sorts: LIMIT / top-k (SURVEY §2.7 "expose df.limit anyway")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def sort_limit_topk(spark, sf_dir):
+    """Top 100 orders by price with a deterministic key tie-break.
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject: each
+    partition keeps a k-row heap and the driver merges heaps — O(k)
+    result movement regardless of input size, no global sort and no
+    single-partition shuffle.  The tie-break on o_orderkey makes the
+    cut at rank 100 reproducible across engines.
+    """
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations: rollup / cube / grouping sets / pivot (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical subtotals: (status, priority) → (status) → ().
+
+    Rollup expands inside the partial-aggregate stage, so the shuffle
+    carries map-side-combined subtotal rows — the grand-total row costs
+    one extra combiner slot per task, not a second pass over the data.
+    """
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("_cents", _cents("o_totalprice"))
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("_cents").alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents
+    FROM customer
+    GROUP BY CUBE (c_mktsegment, c_nationkey)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """All 2^2 grouping combinations over (segment, nation) in one pass."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("_cents", _cents("c_acctbal"))
+        .cube("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("_cents").alias("acctbal_cents"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets: two independent 1-D subtotals + total.
+
+    Cheaper than CUBE when only some combinations are wanted — the
+    expand factor is len(sets), not 2^n_keys.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    view = "_gs_orders"
+    orders.createOrReplaceTempView(view)
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders "
+        f"FROM {view} "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIVOT_ALIASES = ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"]
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Native ``groupBy().pivot()`` — the reference hand-rolls this with
+    MAX(CASE...) (poms_flattened.sql:12-20); the engine exposes the real
+    operator.
+
+    The pivot value list is passed explicitly: without it Spark runs an
+    extra distinct-collect job over the full input just to discover the
+    columns — at 100 TB that is a whole wasted scan.
+    """
+    pivoted = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    cols = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a)
+        for v, a in zip(_PRIORITIES, _PIVOT_ALIASES)
+    ]
+    return pivoted.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Windows: lead/lag, explicit frames, ntile (SURVEY §2.5 families)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_lead_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     CAST(lag(o_orderdate) OVER w AS DATE),
+                     CAST(o_orderdate AS DATE)) AS days_since_prev,
+           lead(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_lead_lag(spark, sf_dir):
+    """Per-customer inter-order gap (lag) and next-order pointer (lead).
+
+    One shuffle+sort on o_custkey serves both functions — lead and lag
+    share the window spec, so Catalyst evaluates them in a single
+    Window operator pass.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
+    "win_first_last_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_orderkey,
+           last_value(o_orderkey) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_first_last_frame(spark, sf_dir):
+    """first_value/last_value with an explicit whole-partition frame.
+
+    The frame spec is the correctness trap this query pins: the default
+    ordered-window frame ends at CURRENT ROW, so ``last_value`` under
+    it returns the *current* row — both engines agree only once the
+    frame is widened to UNBOUNDED FOLLOWING.
+    """
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    whole = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(base).alias("first_orderkey"),
+        F.last("o_orderkey").over(whole).alias("last_orderkey"),
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS balance_quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark, sf_dir):
+    """Per-segment account-balance quartiles with a deterministic
+    tie-break (ntile assigns by row position, so unordered ties would
+    be engine-dependent without the c_custkey key)."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops: INTERSECT / EXCEPT (SURVEY §2.6 "no ... INTERSECT, or EXCEPT")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def setop_intersect(spark, sf_dir):
+    """Customers that both placed orders and are overdrawn.
+
+    SQL INTERSECT is distinct-semantics; Spark's ``intersect`` matches.
+    Physically a partial-agg + shuffle per side then a join on all
+    columns — both sides shrink to their distinct key sets first.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    overdrawn = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return orders.intersect(overdrawn)
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def setop_except(spark, sf_dir):
+    """Overdrawn customers with no urgent order (EXCEPT DISTINCT)."""
+    overdrawn = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return overdrawn.subtract(urgent)

@@ -77,6 +77,54 @@ def test_no_nested_loop_join_except_spine_cross(plans, qid):
         assert n_bnlj == 0, f"unexpected nested-loop join in {qid}"
 
 
+def test_topk_is_take_ordered_not_full_sort(spark):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject —
+    per-partition heap + driver merge — never a global sort, which at
+    100 TB would shuffle the whole table to rank 100 rows."""
+    load_all()
+    df = QUERIES["sort_limit_topk"](spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_semi_anti_joins_are_hash_based(spark):
+    """Semi/anti joins must stay hash-joins (broadcast or shuffled),
+    not nested-loop fallbacks."""
+    load_all()
+    for qid in ("join_left_semi", "join_left_anti"):
+        df = QUERIES[qid](spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, qid
+        assert "CartesianProduct" not in plan, qid
+
+
+def test_pivot_has_no_values_discovery_job(spark):
+    """agg_pivot passes the pivot value list explicitly; the logical
+    plan must therefore contain no extra distinct aggregate over the
+    pivot column (value discovery = a wasted full scan at 100 TB)."""
+    load_all()
+    df = QUERIES["agg_pivot"](spark, SF)
+    # One Aggregate for the pivot itself; a discovery pass would add a
+    # second scan of the orders table.
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # formatted mode prints each node once in the tree and once in the
+    # detail section — count the detail headers "(n) Scan parquet".
+    assert plan.count(") Scan parquet") == 1
+
+
 def test_poms_fixture_scan_is_pruned(spark, plans):
     """The part-table scan behind the POMS fixture must push its
     p_partkey < 60 predicate into the parquet reader."""
