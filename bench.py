@@ -62,8 +62,14 @@ def _warmup(spark, sf_dir: str) -> None:
     def _noop_udf(s):
         return s
 
+    # One task per core: a single-partition warm-up would spin up ONE
+    # of local[32]'s Python workers and leave the other 31 cold starts
+    # inside whichever benchmarked query first fans out a pandas UDF.
+    n_cores = spark.sparkContext.defaultParallelism
     df = (
         load_table(spark, sf_dir, "region")
+        .crossJoin(spark.range(n_cores).withColumnRenamed("id", "wid"))
+        .repartition(n_cores, "wid")
         .withColumn("x", _noop_udf(F.col("r_regionkey")))
         .withColumn(
             "rn",
@@ -98,6 +104,13 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Queries that persist() multi-consumer intermediates (minhash
+        # shingles, model-DAG stages) would otherwise leak cache across
+        # timings: a later query whose plan contains an identical
+        # subtree silently reads the leftover cache (CacheManager
+        # matches by logical plan), and accumulated blocks add
+        # eviction/GC noise.  Every query is timed cold-cache.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
