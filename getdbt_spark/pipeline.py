@@ -556,3 +556,95 @@ def sample_frames(df: DataFrame, stride: int = 7, box: int = 224) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate cluster canonicalization (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Component labels over an undirected pair graph: ``(id, comp)``
+    where ``comp`` is the minimum node id reachable from ``id``.
+
+    Pair lists are only half the dedup story: a keep/drop decision
+    needs CLUSTERS (doc A~B, B~C ⇒ {A,B,C} is one group keeping one
+    canonical member), so this closes the pipeline from near-dup pairs
+    to a per-document verdict.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the minimum label among itself and its neighbors; fixpoint
+    after O(graph diameter) rounds.  Near-dup clusters are dense
+    (members pairwise-similar through shared content), so their
+    diameter is tiny and convergence takes 2-4 rounds in practice.
+    Each round is one equi-join + one groupBy on the EDGE set — never
+    all-pairs, never a driver-side graph.  ``localCheckpoint`` after
+    each round cuts lineage so round N's plan doesn't replay rounds
+    1..N-1 (and keeps plan analysis O(1) per round); the convergence
+    test piggybacks on the same action that materializes the
+    checkpoint.
+
+    At 100 TB the same loop holds — labels and edges are both
+    shuffle-partitioned on node id, each round is one co-partitioned
+    join — with two refinements worth adding when components can be
+    web-scale: alternating large-star/small-star rounds (Kiveris et
+    al., "Connected Components in MapReduce and Beyond" — halves edge
+    counts per round instead of just propagating) and hash-partitioned
+    label storage reused across rounds to avoid re-shuffling edges.
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "comp")
+            .unionAll(labels)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        new_labels = neighbor_min.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+
+
+def near_dup_canonical(
+    docs: DataFrame, k: int = 2, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Per-document dedup verdict: ``(doc_id, canonical_id, keep)``.
+
+    Builds the exact n-gram-Jaccard pair graph (``ngram_jaccard_pairs``
+    — prefix-filtered, complete), labels its connected components, and
+    elects the minimum doc_id of each cluster canonical.  Documents in
+    no near-dup pair are their own canonical.  ``keep`` is the final
+    training-set filter: exactly one document survives per cluster.
+    """
+    pairs = ngram_jaccard_pairs(docs, k=k, threshold=threshold)
+    comp = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", "doc_id").alias("canonical_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("canonical_id"))
+    )

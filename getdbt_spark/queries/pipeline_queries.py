@@ -146,6 +146,55 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || '|' || w[i+1]
+                            for i in range(1, len(w))]) AS s
+      FROM toks WHERE len(w) >= 2
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(list_concat(a.s, b.s))), 6)
+            >= {P.JACCARD_THRESHOLD}
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ), walk(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
+    ), comp AS (
+      SELECT id, min(comp) AS canonical FROM walk GROUP BY id
+    )
+    SELECT d.doc_id,
+           coalesce(c.canonical, d.doc_id) AS canonical_id,
+           d.doc_id = coalesce(c.canonical, d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    exact bigram-Jaccard pair graph, minimum doc_id elected canonical,
+    ``keep`` = the per-document training-set verdict (exactly one
+    survivor per cluster).
+
+    Spark: iterative min-label propagation — one co-partitioned
+    edge⋈label join + groupBy(min) per round, localCheckpoint between
+    rounds, converges in O(cluster diameter) rounds (pipeline.
+    connected_components).  The oracle is a recursive-CTE transitive
+    closure — exact, and exponential-ish in DuckDB, which is fine at
+    oracle scale and exactly the plan shape Spark must NOT use.
+    """
+    return P.near_dup_canonical(_docs(spark, sf_dir))
+
+
+@query(
     "dedup_simhash",
     oracle="""
     WITH toks AS (

@@ -119,3 +119,33 @@ def test_frame_sample_covers_payload(spark, docs):
             assert r.frame_idx == 0
             assert r.frame_len == n_bytes[r.doc_id]
             assert r.frame_checksum == byte_sum[r.doc_id]
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chain A-B-C-D (diameter 3: the slow-convergence shape) plus a
+    separate 2-clique and an isolated pair-free node must collapse to
+    min-id labels exactly."""
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("c", "d"), ("x", "y")],
+        ["a_id", "b_id"],
+    )
+    got = {
+        (r["id"], r["comp"])
+        for r in P.connected_components(pairs).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("x", "x"), ("y", "x"),
+    }
+
+
+def test_near_dup_canonical_keeps_one_per_cluster(spark, docs):
+    out = P.near_dup_canonical(docs).cache()
+    n_docs = docs.count()
+    assert out.count() == n_docs
+    # every cluster elects exactly one keeper: distinct canonical ids
+    # == number of kept docs, and keepers are their own canonical
+    kept = out.filter("keep")
+    assert kept.count() == out.select("canonical_id").distinct().count()
+    assert kept.filter(F.col("doc_id") != F.col("canonical_id")).count() == 0
+    out.unpersist()
