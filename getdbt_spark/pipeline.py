@@ -648,3 +648,89 @@ def near_dup_canonical(
         )
         .withColumn("keep", F.col("doc_id") == F.col("canonical_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding maintenance: normalization & quantization
+# ---------------------------------------------------------------------------
+
+
+def l2_normalize(embs: DataFrame) -> DataFrame:
+    """Unit-norm embeddings: ``(vec_id, unit, norm)``.
+
+    Cosine similarity over pre-normalized vectors degrades to a plain
+    dot product — at 100 TB that halves the FLOPs of every ANN scan
+    and lets the index store unit vectors once instead of
+    re-normalizing per query.  Pure JVM higher-order expressions
+    (left-fold sum of squares, element-wise divide) — codegen'd, no
+    Python, no shuffle; zero vectors yield NULL (guarded divide).
+    """
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    ss = F.aggregate(
+        x, F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    norm = F.sqrt(ss)
+    safe = F.when(norm > 0, norm)
+    return embs.select(
+        "vec_id",
+        F.transform(x, lambda v: F.round(v / safe, 6)).alias("unit"),
+        F.round(norm, 6).alias("norm"),
+    )
+
+
+def quantize_int8(embs: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``(vec_id, q, scale)``.
+
+    ``q_i = floor(x_i / max|x| * 127 + 0.5)``, ``scale = max|x| / 127``
+    (reconstruction ``x ≈ q * scale``).  4× memory/IO reduction on the
+    embedding column — the difference between an ANN index that fits
+    executor memory and one that spills.  No clamp is needed:
+    ``x/max|x| ∈ [-1, 1]`` exactly, and ``floor(±127 + 0.5)`` already
+    lands in [-127, 127].  ``floor(… + 0.5)`` (half-toward-+inf) is
+    used instead of engine ``round`` because both Spark and DuckDB
+    evaluate it bit-identically; engine round() tie conventions
+    differ.  Zero vectors yield NULL elements and NULL scale.
+    """
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    maxabs = F.array_max(F.transform(x, F.abs))
+    safe = F.when(maxabs > 0, maxabs)
+    q = F.transform(
+        x,
+        lambda v: F.floor(v / safe * 127 + F.lit(0.5)).cast("int"),
+    )
+    return embs.select(
+        "vec_id",
+        q.alias("q"),
+        F.round(safe / 127, 9).alias("scale"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, int]) -> DataFrame:
+    """Reproducible per-language mixture sampling: keep a document iff
+    ``md5(doc_id) mod 100 < rates[lang]`` (percent).
+
+    This is how a training mix is weighted across languages/sources:
+    the keep decision is a pure function of the row (no RNG state, no
+    ``rand()``), so it is stable across retries, executors, partition
+    layouts, and engines — resampling the same corpus twice yields the
+    same training set, and upstream/downstream joins on ``doc_id``
+    stay consistent.  ``sample()``/``rand()`` cannot promise any of
+    that.  Languages absent from ``rates`` are dropped (rate 0).
+    Fully pushdown-friendly: the predicate is a scan-level filter.
+    """
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    rate = None
+    for lang, pct in rates.items():
+        w = F.when(F.col("lang") == lang, F.lit(pct))
+        rate = w if rate is None else rate.when(
+            F.col("lang") == lang, F.lit(pct)
+        )
+    rate = (rate.otherwise(0) if rate is not None else F.lit(0))
+    return docs.withColumn("_bucket", bucket).filter(
+        F.col("_bucket") < rate
+    ).drop("_bucket")

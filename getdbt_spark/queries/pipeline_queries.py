@@ -720,3 +720,82 @@ def multimodal_frame_sample(spark, sf_dir):
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
     return P.sample_frames(payload)
+
+
+# ---------------------------------------------------------------------------
+# Embedding maintenance & mixture sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_l2_normalize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE)
+                            for x in embedding])) AS nrm
+      FROM embeddings
+    )
+    SELECT vec_id,
+           [round(x::DOUBLE / nullif(nrm, 0), 6) for x in embedding] AS unit,
+           round(nrm, 6) AS norm
+    FROM e
+    """,
+)
+def emb_l2_normalize(spark, sf_dir):
+    """Unit-norm embeddings (cosine → plain dot product downstream).
+
+    Left-fold sum of squares + element-wise divide as JVM higher-order
+    expressions; both engines fold the same float→double casts in the
+    same order, so values agree to the rounded 6 decimals exactly.
+    """
+    return P.l2_normalize(_embs(spark, sf_dir))
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             list_max([abs(x::DOUBLE) for x in embedding]) AS maxabs
+      FROM embeddings
+    )
+    SELECT vec_id,
+           [floor(x::DOUBLE / nullif(maxabs, 0) * 127 + 0.5)::INTEGER
+            for x in embedding] AS q,
+           round(nullif(maxabs, 0) / 127, 9) AS scale
+    FROM e
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization — 4× smaller ANN index.
+
+    floor(x/max|x|*127 + 0.5) lands in [-127, 127] without a clamp;
+    the floor form is bit-identical across engines where round() tie
+    rules differ (see pipeline.quantize_int8).
+    """
+    return P.quantize_int8(_embs(spark, sf_dir))
+
+
+_MIX_RATES = {"en": 30, "de": 70, "es": 70, "fr": 70, "zh": 90}
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+          < CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 70 WHEN 'es' THEN 70
+                      WHEN 'fr' THEN 70 WHEN 'zh' THEN 90 ELSE 0 END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic language-mixture sampling: downsample the dominant
+    language, upsample low-resource ones — the training-mix weighting
+    step.  Keep-decision is md5(doc_id) mod 100 < rate[lang]: a pure
+    row function (no rand()), identical across retries, executors,
+    partition layouts, and engines; the predicate is a scan-level
+    filter (pushdown-friendly), never a sample() pass.
+    """
+    return P.stratified_sample(_docs(spark, sf_dir), _MIX_RATES)

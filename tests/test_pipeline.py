@@ -149,3 +149,45 @@ def test_near_dup_canonical_keeps_one_per_cluster(spark, docs):
     assert kept.count() == out.select("canonical_id").distinct().count()
     assert kept.filter(F.col("doc_id") != F.col("canonical_id")).count() == 0
     out.unpersist()
+
+
+def test_quantize_reconstruction_error_bounded(spark):
+    """x ≈ q*scale within scale/2 per element (half-step rounding)."""
+    embs = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 2.0])],
+        ["vec_id", "embedding"],
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    rows = {r["vec_id"]: r for r in P.quantize_int8(embs).collect()}
+    for vid, orig in ((1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 2.0])):
+        q, scale = rows[vid]["q"], rows[vid]["scale"]
+        assert all(qv is None or -127 <= qv <= 127 for qv in q)
+        for x, qv in zip(orig, q):
+            # + 1e-7 covers the 9-decimal rounding of scale (up to
+            # 127 * 0.5e-9 reconstruction drift at the tie point)
+            assert abs(x - qv * scale) <= scale / 2 + 1e-7
+
+
+def test_l2_normalize_unit_norm(spark):
+    embs = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"]
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    rows = {r["vec_id"]: r for r in P.l2_normalize(embs).collect()}
+    assert rows[1]["unit"] == [0.6, 0.8] and rows[1]["norm"] == 5.0
+    # zero vector: NULL elements, norm 0 — never a divide-by-zero crash
+    assert rows[2]["unit"] == [None, None]
+
+
+def test_stratified_sample_deterministic_and_rate(spark, docs):
+    rates = {"en": 30, "de": 70, "es": 70, "fr": 70, "zh": 90}
+    a = P.stratified_sample(docs, rates)
+    b = P.stratified_sample(docs, rates)
+    ka = sorted(r["doc_id"] for r in a.collect())
+    assert ka == sorted(r["doc_id"] for r in b.collect())
+    # realized rate per language within a loose binomial envelope
+    got = {r["lang"]: r["n"] for r in
+           a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {r["lang"]: r["n"] for r in
+           docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, pct in rates.items():
+        realized = 100 * got.get(lang, 0) / tot[lang]
+        assert abs(realized - pct) < 25, (lang, realized)
