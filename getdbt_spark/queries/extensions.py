@@ -26,6 +26,8 @@ differs between Spark and DuckDB and a grand-total double rounded to
 
 from __future__ import annotations
 
+from uuid import uuid4
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -203,7 +205,9 @@ def agg_grouping_sets(spark, sf_dir):
     expand factor is len(sets), not 2^n_keys.
     """
     orders = _t(spark, sf_dir, "orders")
-    view = "_gs_orders"
+    # unique per-invocation name: shared-session invocations must not
+    # collide or read a stale registration (same rule as sink_view)
+    view = f"_gs_orders_{uuid4().hex[:8]}"
     orders.createOrReplaceTempView(view)
     return spark.sql(
         "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders "

@@ -120,9 +120,9 @@ def dedup_minhash_lsh(spark, sf_dir):
       SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
     ), sh AS (
       SELECT doc_id,
-             list_distinct([w[i] || '|' || w[i+1]
-                            for i in range(1, len(w))]) AS s
-      FROM toks WHERE len(w) >= 2
+             list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS s
+      FROM toks WHERE len(w) >= 3
     ), pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              round(len(list_intersect(a.s, b.s))::DOUBLE
@@ -134,7 +134,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """EXACT word-bigram Jaccard near-dup pairs via PPJoin-style prefix
+    """EXACT word-trigram Jaccard near-dup pairs via PPJoin-style prefix
     filtering — the deterministic complement to the MinHash plan.
 
     The oracle is brute-force all-pairs; the Spark plan explodes only
@@ -152,9 +152,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
       SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
     ), sh AS (
       SELECT doc_id,
-             list_distinct([w[i] || '|' || w[i+1]
-                            for i in range(1, len(w))]) AS s
-      FROM toks WHERE len(w) >= 2
+             list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS s
+      FROM toks WHERE len(w) >= 3
     ), pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -180,7 +180,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 )
 def dedup_cluster_canonical(spark, sf_dir):
     """Near-dup CLUSTERS, not just pairs: connected components over the
-    exact bigram-Jaccard pair graph, minimum doc_id elected canonical,
+    exact trigram-Jaccard pair graph, minimum doc_id elected canonical,
     ``keep`` = the per-document training-set verdict (exactly one
     survivor per cluster).
 

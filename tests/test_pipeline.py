@@ -47,9 +47,12 @@ def test_ngram_prefix_filter_is_complete(spark, docs):
         .filter(jac >= P.JACCARD_THRESHOLD)
         .collect()
     }
+    # k=2 on this corpus is the adversarial case for prefix filtering
+    # (tiny bigram vocabulary → weak gram selectivity): completeness
+    # must hold even when nearly every pair becomes a candidate.
     fast = {
         (r.a_id, r.b_id)
-        for r in P.ngram_jaccard_pairs(docs).collect()
+        for r in P.ngram_jaccard_pairs(docs, k=2).collect()
     }
     assert fast == brute
     assert brute  # the corpus seeds near-dup pairs: the test must bite
