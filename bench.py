@@ -99,6 +99,8 @@ def main() -> None:
 
     _warmup(spark, sf_dir)
 
+    from getdbt_spark.queries.model_queries import _MODEL_QUERIES, _run_model
+
     timings: dict[str, float] = {}
     for name in names:
         # Time build + execute: two-phase queries do real work at build
@@ -106,7 +108,17 @@ def main() -> None:
         # via eager localCheckpoint) — timing only the final action
         # would under-report them.
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
+        if name in MODEL_HEADLINE:
+            # Model-DAG entries run the PRODUCTION materialization mode
+            # (reuse="checkpoint": per-model lineage cut, dbt's
+            # table-per-model semantics).  The driver-correctness path
+            # keeps lazy persist; benching it would mostly measure
+            # Catalyst re-analyzing the 22-model inlined plan tree.
+            df = _run_model(
+                spark, sf_dir, _MODEL_QUERIES[name][0], reuse="checkpoint"
+            )
+        else:
+            df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         # Queries that persist() multi-consumer intermediates (minhash
