@@ -423,18 +423,32 @@ def fixture_sql(name: str, dialect: str) -> str:
     return sql
 
 
+# (applicationId, sf_dir, name) → analyzed fixture plan.  Each
+# ``spark.sql`` call pays parse+analysis eagerly; sources_map builds
+# all 11 fixtures and is invoked once per model query, so without
+# memoization the driver's sweep re-analyzes the same SQL hundreds of
+# times (~seconds per invocation at sf0.1).  This caches the immutable
+# PLAN object only — no data is persisted (see fixture_df docstring).
+_FIXTURE_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def fixture_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Build one fixture as a DataFrame (registers corpus views).
 
-    Deliberately NOT cached/persisted: persisting the small source
-    fixtures was measured to more than double the dashboard DAG's
-    wall time at sf0.1 (InMemoryRelation blocks the optimizer's
+    Deliberately NOT cached/persisted as DATA: persisting the small
+    source fixtures was measured to more than double the dashboard
+    DAG's wall time at sf0.1 (InMemoryRelation blocks the optimizer's
     pushdown/broadcast reasoning and serializes cache materialization
     inside the first action) — recomputing the tiny aggregates is
-    cheaper than caching them.
+    cheaper than caching them.  Only the analyzed plan is memoized.
     """
-    register_views(spark, sf_dir)
-    return spark.sql(fixture_sql(name, "spark"))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _FIXTURE_PLAN_CACHE.get(key)
+    if df is None:
+        register_views(spark, sf_dir)
+        df = spark.sql(fixture_sql(name, "spark"))
+        _FIXTURE_PLAN_CACHE[key] = df
+    return df
 
 
 def fixture_ctes(names: list[str]) -> str:

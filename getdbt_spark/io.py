@@ -46,18 +46,43 @@ def _nanos_to_ts_ntz(col: str) -> F.Column:
     )
 
 
+# (applicationId, sf_dir, name) → analyzed DataFrame.  ``spark.read.
+# parquet`` re-lists the directory and re-reads footers on every call;
+# the driver's correctness sweep builds >100 queries against the same
+# handful of tables, so those repeated listings add whole seconds of
+# driver time per invocation.  DataFrames are immutable plan objects —
+# reusing one across queries is free and safe.  Keyed by applicationId
+# so a restarted session (new JVM, new temp-view namespace) never sees
+# stale plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_VIEWS_REGISTERED: set[tuple[str, str]] = set()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table; normalize types to engine conventions."""
     configure(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANO_TS_COLUMNS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, _nanos_to_ts_ntz(c))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for c in _NANO_TS_COLUMNS.get(name, ()):
+            if c in df.columns and dict(df.dtypes)[c] == "bigint":
+                df = df.withColumn(c, _nanos_to_ts_ntz(c))
+        _TABLE_CACHE[key] = df
     return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every corpus table as a temp view (the ``sql()`` entry
-    point and oracle harness both address tables by bare name)."""
+    point and oracle harness both address tables by bare name).
+    Idempotent per (session, sf_dir); a second sf_dir re-registers so
+    the views always point at the most recent corpus requested."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _VIEWS_REGISTERED:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    # Views are namespace-global per session: registering sf A then
+    # sf B must not leave A marked current.
+    _VIEWS_REGISTERED.clear()
+    _VIEWS_REGISTERED.add(key)
