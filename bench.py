@@ -126,7 +126,11 @@ def main() -> None:
         # timings: a later query whose plan contains an identical
         # subtree silently reads the leftover cache (CacheManager
         # matches by logical plan), and accumulated blocks add
-        # eviction/GC noise.  Every query is timed cold-cache.
+        # eviction/GC noise.  Every query is timed cold-SQL-cache.
+        # (localCheckpoint blocks — checkpoint-mode models, CC rounds —
+        # are NOT freed here; they drain via ContextCleaner once the
+        # DataFrames are garbage-collected, so some residual block
+        # churn between timings is expected.)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

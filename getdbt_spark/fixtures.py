@@ -442,10 +442,13 @@ def fixture_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     inside the first action) — recomputing the tiny aggregates is
     cheaper than caching them.  Only the analyzed plan is memoized.
     """
+    # Always (re-)register: the docstring's side effect must hold on
+    # cache hits too (a caller may have re-pointed the views at another
+    # sf_dir in between), and registration itself is memoized.
+    register_views(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _FIXTURE_PLAN_CACHE.get(key)
     if df is None:
-        register_views(spark, sf_dir)
         df = spark.sql(fixture_sql(name, "spark"))
         _FIXTURE_PLAN_CACHE[key] = df
     return df

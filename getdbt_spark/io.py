@@ -50,12 +50,14 @@ def _nanos_to_ts_ntz(col: str) -> F.Column:
 # parquet`` re-lists the directory and re-reads footers on every call;
 # the driver's correctness sweep builds >100 queries against the same
 # handful of tables, so those repeated listings add whole seconds of
-# driver time per invocation.  DataFrames are immutable plan objects —
-# reusing one across queries is free and safe.  Keyed by applicationId
-# so a restarted session (new JVM, new temp-view namespace) never sees
-# stale plans.
+# driver time per invocation.  The corpus dirs are immutable for a
+# run, so the cached file listing can never go stale, and a DataFrame
+# is an immutable plan object carrying its own session — reusing one
+# across queries is free and safe.  applicationId in the key guards
+# the one true staleness source (a new JVM may mean a regenerated
+# corpus at the same path).
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-_VIEWS_REGISTERED: set[tuple[str, str]] = set()
+_VIEWS_MARKER = "spark.getdbt_spark.registered_sf_dir"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -75,14 +77,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every corpus table as a temp view (the ``sql()`` entry
     point and oracle harness both address tables by bare name).
-    Idempotent per (session, sf_dir); a second sf_dir re-registers so
-    the views always point at the most recent corpus requested."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _VIEWS_REGISTERED:
+
+    Idempotent per (session, sf_dir).  The marker is a session conf,
+    not a module global: temp views and SQLConf are both session-
+    scoped, so ``spark.newSession()`` (same applicationId, fresh view
+    namespace) naturally starts unmarked and re-registers, and
+    registering sf B after sf A re-points the views and the marker
+    together."""
+    if spark.conf.get(_VIEWS_MARKER, None) == sf_dir:
         return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    # Views are namespace-global per session: registering sf A then
-    # sf B must not leave A marked current.
-    _VIEWS_REGISTERED.clear()
-    _VIEWS_REGISTERED.add(key)
+    spark.conf.set(_VIEWS_MARKER, sf_dir)

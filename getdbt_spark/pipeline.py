@@ -706,10 +706,13 @@ def l2_normalize(embs: DataFrame) -> DataFrame:
     )
     norm = F.sqrt(ss)
     safe = F.when(norm > 0, norm)
+    # round_to, never F.round: the engine round() implementations
+    # diverge on binary-representation edge cases (functions.py:165 —
+    # the repo-wide rule for every double the oracle harness hashes).
     return embs.select(
         "vec_id",
-        F.transform(x, lambda v: F.round(v / safe, 6)).alias("unit"),
-        F.round(norm, 6).alias("norm"),
+        F.transform(x, lambda v: E.round_to(v / safe, 6)).alias("unit"),
+        E.round_to(norm, 6).alias("norm"),
     )
 
 
@@ -736,7 +739,7 @@ def quantize_int8(embs: DataFrame) -> DataFrame:
     return embs.select(
         "vec_id",
         q.alias("q"),
-        F.round(safe / 127, 9).alias("scale"),
+        E.round_to(safe / 127, 9).alias("scale"),
     )
 
 
@@ -761,11 +764,9 @@ def stratified_sample(docs: DataFrame, rates: dict[str, int]) -> DataFrame:
     bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100))
     rate = None
     for lang, pct in rates.items():
-        w = F.when(F.col("lang") == lang, F.lit(pct))
-        rate = w if rate is None else rate.when(
-            F.col("lang") == lang, F.lit(pct)
-        )
-    rate = (rate.otherwise(0) if rate is not None else F.lit(0))
+        cond = F.col("lang") == lang
+        rate = F.when(cond, pct) if rate is None else rate.when(cond, pct)
+    rate = rate.otherwise(0) if rate is not None else F.lit(0)
     return docs.withColumn("_bucket", bucket).filter(
         F.col("_bucket") < rate
     ).drop("_bucket")

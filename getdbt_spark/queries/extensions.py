@@ -206,14 +206,19 @@ def agg_grouping_sets(spark, sf_dir):
     """
     orders = _t(spark, sf_dir, "orders")
     # unique per-invocation name: shared-session invocations must not
-    # collide or read a stale registration (same rule as sink_view)
+    # collide or read a stale registration (same rule as sink_view);
+    # dropped right after the eager spark.sql analysis resolves it —
+    # the returned plan holds the resolved relation, not the view name.
     view = f"_gs_orders_{uuid4().hex[:8]}"
     orders.createOrReplaceTempView(view)
-    return spark.sql(
-        "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders "
-        f"FROM {view} "
-        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
-    )
+    try:
+        return spark.sql(
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders "
+            f"FROM {view} "
+            "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]

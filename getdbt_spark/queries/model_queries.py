@@ -60,14 +60,13 @@ def _run_model(spark, sf_dir: str, name: str, reuse: str | None = "persist"):
     # every model entry (keyed by applicationId: a new session means a
     # new JVM and possibly a regenerated corpus).
     akey = (spark.sparkContext.applicationId, sf_dir)
-    anchor = _ANCHOR_CACHE.get(akey)
-    if anchor is None:
-        anchor = (
+    if akey not in _ANCHOR_CACHE:  # a None anchor (empty events) caches too
+        _ANCHOR_CACHE[akey] = (
             load_table(spark, sf_dir, "events")
             .agg(F.max(F.to_date("ts")))
             .collect()[0][0]
         )
-        _ANCHOR_CACHE[akey] = anchor
+    anchor = _ANCHOR_CACHE[akey]
     run_date = anchor if anchor is not None else dt.date(2024, 1, 30)
     runner = Runner(spark, sources_map(spark, sf_dir), run_date)
     return runner.run([name], reuse=reuse)[name]

@@ -108,20 +108,26 @@ def test_semi_anti_joins_are_hash_based(spark):
 
 
 def test_pivot_has_no_values_discovery_job(spark):
-    """agg_pivot passes the pivot value list explicitly; the logical
-    plan must therefore contain no extra distinct aggregate over the
-    pivot column (value discovery = a wasted full scan at 100 TB)."""
+    """agg_pivot passes the pivot value list explicitly, so BUILDING
+    the query must launch zero Spark jobs — an omitted value list makes
+    pivot() run an eager distinct-collect discovery job over the full
+    input (a wasted scan at 100 TB).  The final plan looks identical
+    either way, so the job count is the only observable to pin."""
     load_all()
-    df = QUERIES["agg_pivot"](spark, SF)
-    # One Aggregate for the pivot itself; a discovery pass would add a
-    # second scan of the orders table.
+    group = "pivot-build-guard"
+    spark.sparkContext.setJobGroup(group, "pivot value-discovery guard")
+    try:
+        df = QUERIES["agg_pivot"](spark, SF)
+    finally:
+        spark.sparkContext.setJobGroup("", "")
+    tracker = spark.sparkContext.statusTracker()
+    assert list(tracker.getJobIdsForGroup(group)) == []
+    # and the plan itself stays a single scan
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )
     )
-    # formatted mode prints each node once in the tree and once in the
-    # detail section — count the detail headers "(n) Scan parquet".
     assert plan.count(") Scan parquet") == 1
 
 

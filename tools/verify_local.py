@@ -136,6 +136,13 @@ def main():
         except Exception as e:
             failures.append(qid)
             print(f"{qid:36s} ERROR      {type(e).__name__}: {str(e)[:200]}")
+        finally:
+            # Builders that persist() multi-consumer intermediates
+            # (minhash/ngram shingle sets) have no post-action hook to
+            # unpersist; without this, blocks accumulate across the
+            # 100+-query sweep and CacheManager subtree matching could
+            # serve a later query from leftover cache.
+            spark.catalog.clearCache()
     print()
     if failures:
         print(f"FAILURES ({len(failures)}): {failures}")
