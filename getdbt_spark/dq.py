@@ -111,6 +111,23 @@ def run_dq(
         | {t.to for _, t in pairs if t.to is not None}
     )
     out = runner.run(needed, reuse=reuse)
+    if reuse == "persist":
+        # Runner.run only persists closure models NOT selected; every
+        # ``needed`` model IS selected here, yet each is referenced
+        # once per test branch of the union below (plus once per
+        # relationships parent use).  Persist the multi-branch ones so
+        # the single action computes each once; tracked on the runner
+        # so release() frees them.
+        from collections import Counter
+
+        uses = Counter(name for name, _ in pairs)
+        for _, t in pairs:
+            if t.to is not None:
+                uses[t.to] += 1
+        for name, n_uses in uses.items():
+            if n_uses > 1:
+                out[name] = out[name].persist()
+                runner._persisted.append(out[name])
     rows = [
         _failures(out[name], t, out).select(
             F.lit(name).alias("model_name"),

@@ -234,12 +234,6 @@ def integral_reporting_sites_and_apps(ctx):
     )
 
 
-_TV_FILTER = (
-    "regexp_contains(Channel,'NPO') and RepeatType='FIRST' and "
-    "audience='6+' and universe='Nat[SKO]' and isoyear(date) >= 2019"
-)
-
-
 def _tv_filtered(adv: DataFrame) -> DataFrame:
     """The shared broadcast filter (`integral_reporting_tvbroadcasts
     .sql:15`, `_vodstreaming.sql:16`)."""

@@ -23,6 +23,7 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from .. import fixtures as FX
+from .. import functions as E
 from ..functions import safe_offset
 from ..io import load_table as _lt
 from . import query
@@ -35,7 +36,7 @@ def _t(spark, sf_dir, name):
 _ANCHOR_CACHE: dict[tuple[str, str], dt.date | None] = {}
 
 
-def _run_model(spark, sf_dir: str, name: str, reuse: str | None = "persist"):
+def _run_model(spark, sf_dir: str, name: str, reuse: str | None = None):
     """Build one ported model over the fixture sources (pure build mode
     — no warehouse writes; the driver collects the returned DataFrame).
 
@@ -44,11 +45,14 @@ def _run_model(spark, sf_dir: str, name: str, reuse: str | None = "persist"):
     window predicate reaches the parquet scan as a prunable filter
     (same pattern as filter_partition_window; never current_date()).
 
-    ``reuse="persist"`` marks intermediate models cached (lazily — no
-    job runs until the driver's own action), so multi-consumer subtrees
-    like streams-inside-vod compute once per action instead of once per
-    reference (runner.Runner.run).  Plan-inspection callers pass
-    ``reuse=None`` to see the full un-truncated lineage."""
+    Default ``reuse=None`` (raw lazy plans): driver-contract entries
+    run 100+ to a session with no post-action hook, so persisted
+    intermediates would leak for the session lifetime and CacheManager
+    subtree matching could serve later queries from leftover cache.
+    Recomputing shared subtrees within the one driver action is cheap
+    at oracle scale; production materialization goes through
+    ``api.run``/``Runner`` where ``persist``/``checkpoint`` have an
+    owner that can release them (bench uses ``checkpoint``)."""
     from .. import models as M
     from ..fixtures import sources_map
     from ..io import load_table
@@ -335,6 +339,8 @@ def sink_incremental_insert_overwrite(spark, sf_dir):
     was built (reference ``streams_daily_v4.sql:1-22``).  Partition
     mechanics (exactly the trailing window rewritten, older partitions
     byte-untouched) are asserted in tests/test_registry_runner.py."""
+    import os
+    import shutil
     import tempfile
 
     from .. import models as M
@@ -348,7 +354,12 @@ def sink_incremental_insert_overwrite(spark, sf_dir):
         .agg(F.max(F.to_date("ts")))
         .collect()[0][0]
     )
-    wh = tempfile.mkdtemp(prefix="getdbt_spark_wh_")
+    # Deterministic scratch path, wiped per invocation: mkdtemp would
+    # orphan a full materialized model per driver round.
+    wh = os.path.join(
+        tempfile.gettempdir(), f"getdbt_spark_wh_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(wh, ignore_errors=True)
     runner = Runner(spark, sources_map(spark, sf_dir), anchor, warehouse=wh)
     out = runner.run(["atinternet_smarttag_streams_daily_v4"])
     df = out["atinternet_smarttag_streams_daily_v4"]
@@ -384,7 +395,7 @@ def sort_in_cte(spark, sf_dir):
     )
     return ranked.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        E.round_to(F.sum("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -501,7 +512,7 @@ def scan_seed_csv(spark, sf_dir):
         F.col("Net").alias("c_net")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("Target_YT_views"), 2).alias("yt_target"),
+        E.round_to(F.sum("Target_YT_views"), 2).alias("yt_target"),
     )
     return (
         # seed is the preserved (left) side; the rollup is the
@@ -618,7 +629,9 @@ def dq_schema_tests(spark, sf_dir):
         _lt(spark, sf_dir, "events").agg(F.max(F.to_date("ts"))).collect()[0][0]
     )
     runner = Runner(spark, sources_map(spark, sf_dir), anchor)
-    return run_dq(runner, select=_DQ_TABLES)
+    # reuse=None: driver entries have no post-action release hook
+    # (same rule as _run_model) — persisted test inputs would leak.
+    return run_dq(runner, select=_DQ_TABLES, reuse=None)
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import functions as E
 from .io import load_table
 from .session import configure
 
@@ -76,7 +77,7 @@ def daily_event_stats(events: DataFrame) -> DataFrame:
             F.col("w.start").cast("date").alias("evt_date"),
             "event_type",
             "n_events",
-            F.round("total_value", 2).alias("total_value"),
+            E.round_to("total_value", 2).alias("total_value"),
             "min_value",
             "max_value",
         )
@@ -123,7 +124,7 @@ def session_stats(events: DataFrame) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("double")), 2).alias(
+            E.round_to(F.sum(F.col("value").cast("double")), 2).alias(
                 "total_value"
             ),
         )
@@ -269,6 +270,16 @@ def run_available_now(
     sink; the returned DataFrame then reads the CUMULATIVE output)."""
     stream = transform(stream_source(spark, source_path, schema_from))
     if sink_dir:
+        if output_mode == "complete":
+            # The parquet file sink only supports append; failing here
+            # with guidance beats Spark's late AnalysisException for
+            # callers who took the (in-memory-sink) default mode.
+            raise ValueError(
+                "sink_dir uses the parquet file sink, which supports "
+                "only output_mode='append' — pass it explicitly "
+                "(append transforms: watermarked/session-window aggs, "
+                "stateful dedup)"
+            )
         w = (
             stream.writeStream.format("parquet")
             .option("path", sink_dir)
