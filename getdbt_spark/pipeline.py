@@ -9,7 +9,8 @@ large-scale training-data pipeline needs, built Spark-first —
   (shingle → minhash signature → banded bucket join → exact-Jaccard
   verify), SimHash fingerprints, embedding-cosine near-dup.
 - **Similarity search**: brute-force cosine top-k (correctness
-  baseline) and an IVF-bucketed variant (the 100 TB scale path).
+  baseline) and two bucketed 100 TB scale paths — IVF (centroid
+  assignment) and random-hyperplane LSH (no centroid fit).
 - **Text analysis**: quality scoring, language-ID heuristic, token
   statistics, document fingerprinting.
 - **Multimodal columns**: binary payload + typed metadata, decoded
@@ -770,3 +771,52 @@ def stratified_sample(docs: DataFrame, rates: dict[str, int]) -> DataFrame:
     return docs.withColumn("_bucket", bucket).filter(
         F.col("_bucket") < rate
     ).drop("_bucket")
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH bucketing (sign-random-projection ANN)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_signs(nbits: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix derived from md5 so the
+    DuckDB oracle reproduces the identical planes (no RNG state)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{j}-{i}".encode()).hexdigest()[:15], 16
+            )
+            & 1
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(nbits)
+    ]
+
+
+def lsh_bucket(embs: DataFrame, nbits: int = 16, dim: int = 64) -> DataFrame:
+    """Sign-random-projection bucket per vector: bit j of the bucket is
+    ``dot(v, h_j) > 0`` for md5-derived ±1 hyperplanes ``h_j``.
+
+    The SimHash-for-vectors construction: cosine-similar vectors agree
+    on each bit with probability ``1 − θ/π``, so near neighbors
+    collide in a bucket with high probability and the ANN search
+    shuffles on a 64-bit key — same plan shape as IVF but without a
+    centroid fit, which makes it the drop-in when no training pass is
+    wanted.  Every dot is the same left-fold ``zip_with`` the cosine
+    oracle parity relies on, so buckets are engine-reproducible
+    bit-for-bit (a bit could only diverge if some dot were within one
+    double ulp of 0).
+    """
+    signs = _lsh_signs(nbits, dim)
+    bucket = F.lit(0).cast("long")
+    for j in range(nbits):
+        plane = F.array(*[F.lit(s) for s in signs[j]])
+        d = _dot_double(F.col("embedding"), plane)
+        bucket = bucket + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return embs.withColumn("bucket", bucket)

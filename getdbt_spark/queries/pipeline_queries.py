@@ -799,3 +799,76 @@ def sample_stratified(spark, sf_dir):
     filter (pushdown-friendly), never a sample() pass.
     """
     return P.stratified_sample(_docs(spark, sf_dir), _MIX_RATES)
+
+
+@query(
+    "sim_ann_lsh",
+    oracle=_COSINE_ORACLE_CORE
+    + """
+    , dots AS (
+      SELECT e.vec_id, j.j,
+             list_sum([e.embedding[i]::DOUBLE *
+                       (CASE WHEN ('0x' || substr(md5(j.j || '-' || (i-1)),
+                                                  1, 15))::BIGINT & 1 = 1
+                             THEN 1.0 ELSE -1.0 END)
+                       for i in range(1, len(e.embedding) + 1)]) AS d
+      FROM e CROSS JOIN range(16) j(j)
+    ), bucket AS (
+      SELECT vec_id,
+             sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+               AS b
+      FROM dots GROUP BY 1
+    ), bucketed AS (
+      SELECT p.vec_id, p.neighbor_id, p.c
+      FROM p
+      JOIN bucket qb ON qb.vec_id = p.vec_id
+      JOIN bucket nb ON nb.vec_id = p.neighbor_id
+      WHERE qb.b = nb.b
+    )
+    SELECT vec_id, rnk, neighbor_id, cos_sim FROM (
+      SELECT vec_id, neighbor_id, round(c, 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY c DESC, neighbor_id) AS rnk
+      FROM bucketed) WHERE rnk <= 5
+    """,
+)
+def sim_ann_lsh(spark, sf_dir):
+    """Random-hyperplane (sign-random-projection) bucketed ANN — the
+    LSH counterpart to ``sim_ann_ivf``: no centroid fit, buckets come
+    from 16 md5-derived hyperplane sign bits, search happens only
+    within a bucket.  One shuffle on the 16-bit bucket key + per-bucket
+    top-k window; multi-probe (flipping the lowest-margin bits) is the
+    recall knob at scale, same plan shape.
+    """
+    from pyspark.sql import Window
+
+    e = P.lsh_bucket(P.with_norm(_embs(spark, sf_dir)))
+    a = e.select(
+        "bucket", "vec_id",
+        F.col("embedding").alias("va"), F.col("norm").alias("na"),
+    )
+    b = e.select(
+        "bucket",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vb"), F.col("norm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id", "neighbor_id",
+            P.cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            .alias("c"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "vec_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "neighbor_id",
+            E.round_to("c", 6).alias("cos_sim"),
+        )
+    )
