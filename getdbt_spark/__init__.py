@@ -21,6 +21,9 @@ Architecture (SURVEY.md §7):
   - ``snapshots`` SCD2 snapshot hook (dbt ``snapshots/``)
   - ``dq``        column-test runner (dbt ``tests/`` / schema.yml)
   - ``seeds``     declared-schema CSV seeds (dbt ``data/``)
+  - ``scale``     skew-salting + bucketed co-location primitives
+  - ``fixtures``  NPO-shaped source fixtures (dialect-common SQL)
+  - ``api``       ``run`` / ``run_incremental`` / ``sql`` entry points
 """
 
 __version__ = "0.1.0"
