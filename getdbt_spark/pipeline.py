@@ -305,27 +305,24 @@ def ngram_jaccard_pairs(
     pairs → exact verify on the full sorted-gram arrays.  No stage is
     all-pairs; the O(n²) form exists only in the DuckDB oracle.
 
-    Gram arrays are tiny (≤ ~100 words/doc) so interpreted HOFs are
-    fine here — the dense-kernel Pandas-UDF treatment is for MinHash's
-    128-seed fold, not this.
+    Gram sets come from the same Arrow/numpy shingle kernel MinHash
+    uses (``_shingles_and_sig``): Jaccard is invariant under ANY
+    injective gram→int64 map, so the kernel's FNV-rotation shingles
+    give bit-identical jaccard values to the oracle's string grams
+    while replacing a ~4 s interpreted per-element HOF hash pass (5k
+    docs, sf0.1) with a sub-second vectorized batch.  (Same collision
+    caveat as MinHash: ~n²/2^64 spurious merges, plus the 24-byte
+    token-prefix bucket — corpus tokens are ≤ ~12 bytes.)
     """
     from pyspark import StorageLevel
 
-    toks = ws_tokens(F.col("text"))
-    gram_hash = F.transform(
-        F.sequence(F.lit(0), F.size("w") - k),
-        lambda i: F.xxhash64(
-            F.concat_ws(
-                "|", *[F.element_at("w", i + j + 1) for j in range(k)]
-            )
-        ),
-    )
+    n_cores = docs.sparkSession.sparkContext.defaultParallelism
     sh = (
-        docs.select("doc_id", toks.alias("w"))
-        .filter(F.size("w") >= k)
-        .select(
-            "doc_id", F.array_sort(F.array_distinct(gram_hash)).alias("s")
-        )
+        docs.select("doc_id", "text")
+        .repartition(n_cores)
+        .select("doc_id", _shingles_and_sig(k)("text").alias("ss"))
+        .filter(F.col("ss.shingles").isNotNull())
+        .select("doc_id", F.col("ss.shingles").alias("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     grams = sh.select("doc_id", F.explode("s").alias("g"))
