@@ -106,7 +106,7 @@ JACCARD_THRESHOLD = 0.6
 _U32 = (1 << 32) - 1
 
 
-def _shingles_and_sig(k: int = 3, max_token_bytes: int = 24):
+def _shingles_and_sig(k: int = 3, max_token_bytes: int = 24, with_sig: bool = True):
     """Arrow-batched kernel: raw text → (shingles, minhash sig) per doc.
 
     One vectorized pass does ALL the per-doc work — tokenize, hash
@@ -177,11 +177,17 @@ def _shingles_and_sig(k: int = 3, max_token_bytes: int = 24):
                 hj = hd[j : j + n]
                 g ^= (hj << np.uint64(r)) | (hj >> np.uint64(64 - r))
             sh = np.unique(g)
-            lo = sh & np.uint64(_U32)
-            hi = sh >> np.uint64(32)
-            sig = (lo[:, None] + hi[:, None] * seeds[None, :]).min(axis=0)
             sh_out.append(sh.view(np.int64))
-            sig_out.append(sig.view(np.int64))
+            if with_sig:
+                lo = sh & np.uint64(_U32)
+                hi = sh >> np.uint64(32)
+                sig = (lo[:, None] + hi[:, None] * seeds[None, :]).min(axis=0)
+                sig_out.append(sig.view(np.int64))
+            else:
+                # shingles-only callers (the exact-Jaccard path) skip
+                # the n_shingles×128 fold — the kernel's heaviest op —
+                # which Catalyst cannot prune through the UDF boundary.
+                sig_out.append(None)
         return pd.DataFrame({"shingles": sh_out, "sig": sig_out})
 
     return _kernel
@@ -320,7 +326,10 @@ def ngram_jaccard_pairs(
     sh = (
         docs.select("doc_id", "text")
         .repartition(n_cores)
-        .select("doc_id", _shingles_and_sig(k)("text").alias("ss"))
+        .select(
+            "doc_id",
+            _shingles_and_sig(k, with_sig=False)("text").alias("ss"),
+        )
         .filter(F.col("ss.shingles").isNotNull())
         .select("doc_id", F.col("ss.shingles").alias("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -816,4 +825,11 @@ def lsh_bucket(embs: DataFrame, nbits: int = 16, dim: int = 64) -> DataFrame:
         bucket = bucket + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
+    # Dim guard: a vector whose length differs from the plane width
+    # would zip_with NULL pads → NULL dots → every bit's otherwise(0)
+    # branch → ALL mismatched vectors silently colliding in bucket 0,
+    # turning the downstream bucket join into one hot all-pairs
+    # partition.  NULL bucket instead: mismatched vectors drop out of
+    # the equi join (NULL keys never match) rather than degrade it.
+    bucket = F.when(F.size("embedding") == dim, bucket)
     return embs.withColumn("bucket", bucket)

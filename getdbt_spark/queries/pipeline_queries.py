@@ -331,7 +331,10 @@ def sim_ann_ivf(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("vec_id", "cent_id")
     )
-    ea = e.join(assign, "vec_id")
+    # persisted: both sides of the bucketed self-join consume it — the
+    # repo convention for multi-consumer intermediates (cleared by the
+    # sweep/bench clearCache hygiene between queries)
+    ea = e.join(assign, "vec_id").persist()
     a = ea.select(
         "cent_id",
         F.col("vec_id"),
@@ -812,7 +815,7 @@ def sample_stratified(spark, sf_dir):
                                                   1, 15))::BIGINT & 1 = 1
                              THEN 1.0 ELSE -1.0 END)
                        for i in range(1, len(e.embedding) + 1)]) AS d
-      FROM e CROSS JOIN range(16) j(j)
+      FROM e CROSS JOIN range(8) j(j)
     ), bucket AS (
       SELECT vec_id,
              sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
@@ -835,14 +838,18 @@ def sample_stratified(spark, sf_dir):
 def sim_ann_lsh(spark, sf_dir):
     """Random-hyperplane (sign-random-projection) bucketed ANN — the
     LSH counterpart to ``sim_ann_ivf``: no centroid fit, buckets come
-    from 16 md5-derived hyperplane sign bits, search happens only
-    within a bucket.  One shuffle on the 16-bit bucket key + per-bucket
-    top-k window; multi-probe (flipping the lowest-margin bits) is the
-    recall knob at scale, same plan shape.
+    from md5-derived hyperplane sign bits, search happens only within
+    a bucket.  One shuffle on the bucket key + per-bucket top-k
+    window; multi-probe (flipping the lowest-margin bits) is the
+    recall knob at scale, same plan shape.  8 bits here so the
+    fixture's 500 vectors land ~2 per bucket and the oracle exercises
+    the sign-parity claim on a dense result (16 bits left all-singleton
+    buckets — a nearly vacuous 6-row check); production picks nbits by
+    target bucket size n/2^nbits.
     """
     from pyspark.sql import Window
 
-    e = P.lsh_bucket(P.with_norm(_embs(spark, sf_dir)))
+    e = P.lsh_bucket(P.with_norm(_embs(spark, sf_dir)), nbits=8).persist()
     a = e.select(
         "bucket", "vec_id",
         F.col("embedding").alias("va"), F.col("norm").alias("na"),

@@ -194,3 +194,32 @@ def test_stratified_sample_deterministic_and_rate(spark, docs):
     for lang, pct in rates.items():
         realized = 100 * got.get(lang, 0) / tot[lang]
         assert abs(realized - pct) < 25, (lang, realized)
+
+
+def test_lsh_bucket_signs_and_dim_guard(spark):
+    """Bucket bits follow the md5-derived sign matrix exactly, and a
+    vector of the wrong dimension gets a NULL bucket (never a silent
+    bucket-0 collision that degrades the join to all-pairs)."""
+    import hashlib
+
+    dim, nbits = 4, 3
+    signs = P._lsh_signs(nbits, dim)
+    # independent re-derivation straight from hashlib
+    for j in range(nbits):
+        for i in range(dim):
+            bit = int(hashlib.md5(f"{j}-{i}".encode()).hexdigest()[:15], 16) & 1
+            assert signs[j][i] == (1.0 if bit else -1.0)
+    embs = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [0.5] * 4), (3, [1.0, 2.0])],
+        ["vec_id", "embedding"],
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    rows = {r["vec_id"]: r["bucket"]
+            for r in P.lsh_bucket(embs, nbits=nbits, dim=dim).collect()}
+    for vid, vec in ((1, [1.0, 2.0, 3.0, 4.0]), (2, [0.5] * 4)):
+        expect = sum(
+            (1 << j)
+            for j in range(nbits)
+            if sum(x * s for x, s in zip(vec, signs[j])) > 0
+        )
+        assert rows[vid] == expect
+    assert rows[3] is None  # wrong dim -> NULL bucket, drops from join
