@@ -404,3 +404,73 @@ def setop_except(spark, sf_dir):
         .select(F.col("o_custkey").alias("custkey"))
     )
     return overdrawn.subtract(urgent)
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (SURVEY §2.4
+    lists percentile/statistical aggs as absent from the reference —
+    exposed here as extension surface).
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    same interpolation convention, so the values hash-match after
+    rounding.  Exact percentiles buffer the group's values; at 100 TB
+    the drop-in is ``percentile_approx`` (t-digest sketch, mergeable
+    map-side) with a documented error bound — same query shape.
+    """
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            *[
+                F.round(
+                    F.expr(f"percentile(o_totalprice, {q})"), 4
+                ).alias(name)
+                for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+            ]
+        )
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT)
+             RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS nearby_cents
+    FROM orders
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    """Explicit RANGE frame: per customer, the sum of order values
+    within 1000 currency units below the current order's value.
+
+    Value-based frames are deterministic under ties by construction
+    (the frame is defined by the ORDER BY value, not row position), so
+    no tie-break key is needed — the property that distinguishes RANGE
+    from ROWS.  Summands are exact integer cents: each frame's sum is
+    order-independent, keeping the cross-engine hash stable.
+    """
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(cents)
+        .rangeBetween(-100000, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(cents).over(w).alias("nearby_cents"),
+    )
