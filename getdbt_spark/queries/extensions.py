@@ -474,3 +474,63 @@ def win_range_frame(spark, sf_dir):
         "o_custkey",
         F.sum(cents).over(w).alias("nearby_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sources: JSON-lines ingestion (parquet + seed-CSV + JSONL = the
+# common source-format trio; the reference reads warehouse tables only)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_jsonl",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def scan_jsonl(spark, sf_dir):
+    """Round-trip a deterministic orders slice through JSON-lines and
+    read it back with an EXPLICIT schema.
+
+    The explicit schema is the scale-critical part: schema inference
+    on JSON is a whole extra pass over the data (at 100 TB, a wasted
+    full scan before the real one), and inferred types drift with
+    content.  Values survive the round-trip exactly — Spark writes
+    doubles at full precision — so the oracle over the original
+    parquet hash-matches the JSONL read-back.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"getdbt_spark_jsonl_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
