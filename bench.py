@@ -66,11 +66,14 @@ def _warmup(spark, sf_dir: str) -> None:
     # One task per core: a single-partition warm-up would spin up ONE
     # of local[32]'s Python workers and leave the other 31 cold starts
     # inside whichever benchmarked query first fans out a pandas UDF.
+    # Column-less repartition is round-robin (exactly even); hashing a
+    # "wid" column instead would leave ~1/e of the partitions empty
+    # (birthday collisions) and those workers cold.
     n_cores = spark.sparkContext.defaultParallelism
     df = (
         load_table(spark, sf_dir, "region")
         .crossJoin(spark.range(n_cores).withColumnRenamed("id", "wid"))
-        .repartition(n_cores, "wid")
+        .repartition(n_cores)
         .withColumn("x", _noop_udf(F.col("r_regionkey")))
         .withColumn(
             "rn",

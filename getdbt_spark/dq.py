@@ -126,8 +126,7 @@ def run_dq(
                 uses[t.to] += 1
         for name, n_uses in uses.items():
             if n_uses > 1:
-                out[name] = out[name].persist()
-                runner._persisted.append(out[name])
+                out[name] = runner.track_persisted(out[name].persist())
     rows = [
         _failures(out[name], t, out).select(
             F.lit(name).alias("model_name"),

@@ -423,13 +423,20 @@ def fixture_sql(name: str, dialect: str) -> str:
     return sql
 
 
-# (applicationId, sf_dir, name) → analyzed fixture plan.  Each
+# Per-SESSION (sf_dir, name) → analyzed fixture plan.  Each
 # ``spark.sql`` call pays parse+analysis eagerly; sources_map builds
 # all 11 fixtures and is invoked once per model query, so without
 # memoization the driver's sweep re-analyzes the same SQL hundreds of
 # times (~seconds per invocation at sf0.1).  This caches the immutable
 # PLAN object only — no data is persisted (see fixture_df docstring).
-_FIXTURE_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Weak-keyed on the SparkSession (like io._TABLE_CACHE): a plan built
+# by ``spark.sql`` resolves against that session's temp views, so a
+# ``newSession()`` must rebuild its own plans.
+import weakref
+
+_FIXTURE_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def fixture_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -446,11 +453,12 @@ def fixture_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # cache hits too (a caller may have re-pointed the views at another
     # sf_dir in between), and registration itself is memoized.
     register_views(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    df = _FIXTURE_PLAN_CACHE.get(key)
+    per_session = _FIXTURE_PLAN_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
     if df is None:
         df = spark.sql(fixture_sql(name, "spark"))
-        _FIXTURE_PLAN_CACHE[key] = df
+        per_session[key] = df
     return df
 
 

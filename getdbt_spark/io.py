@@ -46,31 +46,38 @@ def _nanos_to_ts_ntz(col: str) -> F.Column:
     )
 
 
-# (applicationId, sf_dir, name) → analyzed DataFrame.  ``spark.read.
+# Per-SESSION (sf_dir, name) → analyzed DataFrame.  ``spark.read.
 # parquet`` re-lists the directory and re-reads footers on every call;
 # the driver's correctness sweep builds >100 queries against the same
 # handful of tables, so those repeated listings add whole seconds of
 # driver time per invocation.  The corpus dirs are immutable for a
 # run, so the cached file listing can never go stale, and a DataFrame
-# is an immutable plan object carrying its own session — reusing one
-# across queries is free and safe.  applicationId in the key guards
-# the one true staleness source (a new JVM may mean a regenerated
-# corpus at the same path).
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# is an immutable plan object — reusing one across queries is free and
+# safe *within the session that created it*.  The outer map is weak-
+# keyed on the SparkSession itself: a DataFrame is bound to its
+# creating session, so ``spark.newSession()`` (fresh view namespace,
+# same JVM) must rebuild its own plans rather than inherit another
+# session's — and a stopped session's entries drop with the object.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 _VIEWS_MARKER = "spark.getdbt_spark.registered_sf_dir"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table; normalize types to engine conventions."""
     configure(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    df = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for c in _NANO_TS_COLUMNS.get(name, ()):
             if c in df.columns and dict(df.dtypes)[c] == "bigint":
                 df = df.withColumn(c, _nanos_to_ts_ntz(c))
-        _TABLE_CACHE[key] = df
+        per_session[key] = df
     return df
 
 

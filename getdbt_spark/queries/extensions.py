@@ -31,6 +31,7 @@ from uuid import uuid4
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import functions as E
 from ..io import load_table
 from . import query
 
@@ -424,16 +425,19 @@ def agg_percentile(spark, sf_dir):
 
     Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
     same interpolation convention, so the values hash-match after
-    rounding.  Exact percentiles buffer the group's values; at 100 TB
-    the drop-in is ``percentile_approx`` (t-digest sketch, mergeable
-    map-side) with a documented error bound — same query shape.
+    rounding — through ``round_to``, never ``F.round``: engine round()
+    implementations diverge on binary .xxxx5 edge cases (the repo-wide
+    rule for every double the oracle harness hashes, functions.py).
+    Exact percentiles buffer the group's values; at 100 TB the drop-in
+    is ``percentile_approx`` (t-digest sketch, mergeable map-side)
+    with a documented error bound — same query shape.
     """
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
             *[
-                F.round(
+                E.round_to(
                     F.expr(f"percentile(o_totalprice, {q})"), 4
                 ).alias(name)
                 for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
@@ -513,9 +517,13 @@ def scan_jsonl(spark, sf_dir):
         StructType,
     )
 
+    # Per-process path: two concurrent drivers over the same corpus
+    # (pytest sweep + verify_local, say) must not rmtree/overwrite a
+    # directory the other's lazy plan is still reading.
     path = os.path.join(
         tempfile.gettempdir(),
-        f"getdbt_spark_jsonl_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"getdbt_spark_jsonl_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
     )
     shutil.rmtree(path, ignore_errors=True)
     (

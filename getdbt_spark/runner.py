@@ -131,8 +131,20 @@ class Runner:
             out[m.name] = df
         return out
 
+    def track_persisted(self, df: DataFrame) -> DataFrame:
+        """Register an externally persisted DataFrame for ``release()``.
+
+        Public hook for collaborators (dq, ad-hoc callers) that persist
+        extra intermediates around a ``run()`` and want the runner's
+        leak guarantee to cover them — without reaching into
+        ``_persisted`` directly.
+        """
+        self._persisted.append(df)
+        return df
+
     def release(self) -> None:
-        """Unpersist every intermediate cached by ``run(reuse='persist')``."""
+        """Unpersist every intermediate cached by ``run(reuse='persist')``
+        or registered via ``track_persisted``."""
         for df in self._persisted:
             df.unpersist()
         self._persisted.clear()
