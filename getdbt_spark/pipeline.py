@@ -443,57 +443,102 @@ def cosine(a_vec: Column, b_vec: Column, a_norm: Column, b_norm: Column) -> Colu
     return _dot_double(a_vec, b_vec) / (a_norm * b_norm)
 
 
-def topk_cosine_broadcast(embs: DataFrame, k: int = 10) -> DataFrame:
-    """Brute-force cosine top-k: broadcast index + Arrow-batched matmul.
+def topk_cosine_blocked(
+    embs: DataFrame,
+    k: int = 10,
+    index_shards: int = 4,
+    query_chunks: int = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k as a distributed block matrix product.
 
-    The classic distributed kNN shape: the INDEX side (all vectors) is
-    broadcast to every task as a dense float64 matrix; the QUERY side
-    streams through mapInPandas and each Arrow batch does one
-    ``Q @ M.T`` — dense linear algebra where a vectorized numpy kernel
-    beats per-pair Column folds by ~2 orders of magnitude. Scale
-    limits: the index must fit in executor memory (~30 GB ≈ 60M
-    768-dim float64 vectors); beyond that, shard the index into
-    chunks and union the per-chunk top-k, or switch to sim_ann_ivf.
+    The exact-kNN baseline with NO driver materialization anywhere:
+    the index side is hash-sharded on ``vec_id % index_shards``, the
+    query side on ``vec_id % query_chunks``, each side replicated
+    across the other's blocks (query rows ×S, index rows ×Q — the
+    standard block nested-loop layout), and every (chunk, shard) block
+    meets in one ``cogroup().applyInPandas`` task that runs a dense
+    numpy ``Q @ M.T``.  Per-block per-query top-k candidates then fold
+    into the global top-k through one window — correct because a
+    global top-k is always a subset of the union of per-shard top-ks.
 
-    Scoring formula mirrors the DuckDB oracle exactly —
-    ``dot / (norm_a * norm_b)`` with float→double promotion before the
-    multiply, then round_to(…, 6) — so value hashes match (matmul's
-    blocked summation differs from a sequential fold only at ~1e-16,
-    far inside the 1e-6 rounding grid).
+    At 100 TB this replaces the old broadcast-index design (driver
+    ``collect()`` + ~30 GB executor ceiling): pick ``index_shards`` so
+    one shard's dense matrix fits a task (shard size ≈ N·d·8/S bytes)
+    and ``query_chunks`` for parallelism; data movement is
+    Q·S + I·Qc rows — the provably minimal replication for an exact
+    all-pairs scan without a shared index.  Both replication factors
+    are plan constants, so Catalyst sizes the shuffle correctly.
+
+    Scoring mirrors the DuckDB oracle — ``dot / (norm_a · norm_b)``
+    with float→double promotion before the multiply, then
+    round_to(…, 6) AFTER the global rank — so value hashes match
+    (matmul's blocked summation differs from a sequential fold only at
+    ~1e-16, far inside the 1e-6 rounding grid; rank ties break on
+    neighbor_id exactly like the oracle's ``ORDER BY c DESC,
+    neighbor_id``).
     """
-    import numpy as np
+    base = embs.select("vec_id", "embedding")
+    qs = base.select(
+        F.pmod("vec_id", F.lit(query_chunks)).alias("qc"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(index_shards - 1))
+        ).alias("shard"),
+        "vec_id",
+        "embedding",
+    )
+    ix = base.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(query_chunks - 1))
+        ).alias("qc"),
+        F.pmod("vec_id", F.lit(index_shards)).alias("shard"),
+        "vec_id",
+        "embedding",
+    )
 
-    rows = embs.select("vec_id", "embedding").collect()  # index build only
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    sc = embs.sparkSession.sparkContext
-    b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
+    def _block_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "c": pd.Series(dtype="float64")}
+        )
+        if left.empty or right.empty:
+            return empty
+        q = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        m = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        q_norm = np.sqrt((q * q).sum(axis=1))
+        m_norm = np.sqrt((m * m).sum(axis=1))
+        scores = (q @ m.T) / (q_norm[:, None] * m_norm[None, :])
+        q_ids = left["vec_id"].to_numpy()
+        i_ids = right["vec_id"].to_numpy()
+        out: dict[str, list] = {"vec_id": [], "neighbor_id": [], "c": []}
+        for qi, row in zip(q_ids, scores):
+            mask = i_ids != qi  # exclude self
+            cand_ids, cand = i_ids[mask], row[mask]
+            top = np.lexsort((cand_ids, -cand))[:k]  # desc score, id asc
+            out["vec_id"].extend([qi] * len(top))
+            out["neighbor_id"].extend(cand_ids[top])
+            out["c"].extend(cand[top])
+        return pd.DataFrame(out)
 
-    def _topk(batches):
-        import pandas as pd
+    partial = (
+        qs.groupBy("qc", "shard")
+        .cogroup(ix.groupBy("qc", "shard"))
+        .applyInPandas(_block_topk, schema="vec_id long, neighbor_id long, c double")
+    )
+    from pyspark.sql import Window
 
-        i_ids, i_mat, i_norms = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q_norm = np.sqrt((q * q).sum(axis=1))
-            scores = (q @ i_mat.T) / (q_norm[:, None] * i_norms[None, :])
-            q_ids = pdf["vec_id"].to_numpy()
-            out: dict[str, list] = {"vec_id": [], "rnk": [], "neighbor_id": [], "cos_sim": []}
-            for qi, row in zip(q_ids, scores):
-                mask = i_ids != qi  # exclude self
-                cand_ids, cand = i_ids[mask], row[mask]
-                top = np.lexsort((cand_ids, -cand))[:k]  # desc score, id asc
-                out["vec_id"].extend([qi] * len(top))
-                out["rnk"].extend(range(1, len(top) + 1))
-                out["neighbor_id"].extend(cand_ids[top])
-                # round_to semantics: half away from zero on the 1e-6 grid
-                c = cand[top]
-                out["cos_sim"].extend(np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6)
-            yield pd.DataFrame(out)
-
-    return embs.select("vec_id", "embedding").mapInPandas(
-        _topk, schema="vec_id long, rnk int, neighbor_id long, cos_sim double"
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "vec_id",
+            "rnk",
+            "neighbor_id",
+            E.round_to(F.col("c"), 6).alias("cos_sim"),
+        )
     )
 
 

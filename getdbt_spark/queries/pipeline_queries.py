@@ -261,12 +261,14 @@ _COSINE_ORACLE_CORE = """
 def sim_topk_cosine(spark, sf_dir):
     """Brute-force cosine top-10 — the ANN correctness baseline.
 
-    Runs as broadcast-index + Arrow-batched numpy matmul (see
-    pipeline.topk_cosine_broadcast for the scale envelope and why this
-    beats per-pair Column folds ~100×). Exact by construction; at
-    100 TB with an index too big to broadcast, run sim_ann_ivf.
+    Runs as a distributed block matrix product (see
+    pipeline.topk_cosine_blocked): index hash-sharded, query side
+    chunked, one numpy ``Q @ M.T`` per block, global top-k via one
+    window — exact by construction, no driver collect, no broadcast
+    ceiling.  At 100 TB, size index_shards to the task memory budget
+    or switch to sim_ann_ivf / sim_ann_lsh.
     """
-    return P.topk_cosine_broadcast(_embs(spark, sf_dir), k=10)
+    return P.topk_cosine_blocked(_embs(spark, sf_dir), k=10)
 
 
 @query(

@@ -223,3 +223,32 @@ def test_lsh_bucket_signs_and_dim_guard(spark):
         )
         assert rows[vid] == expect
     assert rows[3] is None  # wrong dim -> NULL bucket, drops from join
+
+
+def test_topk_cosine_blocked_shard_invariant_and_distributed(spark):
+    """The block-matrix kNN must (a) give identical results for any
+    (index_shards, query_chunks) split — the partial-top-k union is a
+    superset of the global top-k — and (b) never materialize the index
+    on the driver: no collect()/broadcast in the function source (the
+    old broadcast design had a ~30 GB executor ceiling)."""
+    import inspect
+
+    src = inspect.getsource(P.topk_cosine_blocked)
+    assert ".collect(" not in src and "broadcast(" not in src
+
+    embs = load_table(spark, SF, "embeddings")
+    key = ["vec_id", "rnk"]
+    a = (
+        P.topk_cosine_blocked(embs, k=3, index_shards=1, query_chunks=1)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    b = (
+        P.topk_cosine_blocked(embs, k=3, index_shards=5, query_chunks=2)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert a.astype(str).equals(b.astype(str))
+    assert (a.groupby("vec_id")["rnk"].max() == 3).all()
