@@ -321,6 +321,7 @@ def ngram_jaccard_pairs(
     token-prefix bucket — corpus tokens are ≤ ~12 bytes.)
     """
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     n_cores = docs.sparkSession.sparkContext.defaultParallelism
     sh = (
@@ -334,30 +335,42 @@ def ngram_jaccard_pairs(
         .select("doc_id", F.col("ss.shingles").alias("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    grams = sh.select("doc_id", F.explode("s").alias("g"))
+    # Gram set size rides along from the array (free — no count
+    # aggregation or window needed for |A|).
+    grams = sh.select(
+        "doc_id", F.size("s").alias("n"), F.explode("s").alias("g")
+    )
     dfreq = grams.groupBy("g").agg(F.count("*").alias("df"))
-    ordered = (
+    # Rank each doc's grams under the PPJoin order with ONE window pass
+    # (row_number over (df, g) per doc) instead of re-collecting and
+    # array-sorting per-doc gram arrays — same shuffle key, no array
+    # churn, and the rank doubles as the gram POSITION the positional
+    # filter below needs.
+    wd = Window.partitionBy("doc_id").orderBy("df", "g")
+    pre = (
         grams.join(dfreq, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n"),
-            F.array_sort(F.collect_list(F.struct("df", "g"))).alias("og"),
+        .withColumn("pos", F.row_number().over(wd))
+        .filter(
+            F.col("pos")
+            <= F.col("n")
+            - F.ceil(F.lit(threshold) * F.col("n")).cast("int")
+            + 1
         )
+        .select("doc_id", "n", "pos", "g")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # both sides of the self-join
     )
-    plen = (
-        F.col("n")
-        - F.ceil(F.lit(threshold) * F.col("n")).cast("int")
-        + 1
+    # Required overlap for J >= t: O(A,B) >= ceil(t/(1+t) * (|A|+|B|)).
+    # Positional filter (PPJoin): at a shared prefix gram sitting at
+    # sorted positions (pa, pb), the remaining overlap is bounded by
+    # 1 + min(|A|-pa, |B|-pb); the FIRST common gram of a true pair
+    # lies in both prefixes, and every common gram sits at or after
+    # it, so a qualifying pair always survives through that row —
+    # while position-skewed collisions (common gram late in one doc,
+    # early in the other) are pruned before the distinct/verify.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n") + F.col("b.n"))
     )
-    pre = ordered.select(
-        "doc_id",
-        "n",
-        F.explode(
-            F.slice(
-                F.transform("og", lambda x: x["g"]), F.lit(1), plen
-            )
-        ).alias("g"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # both sides of the self-join
     candidates = (
         pre.alias("a")
         .join(pre.alias("b"), "g")
@@ -365,6 +378,14 @@ def ngram_jaccard_pairs(
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.n") * threshold <= F.col("a.n"))
             & (F.col("a.n") * threshold <= F.col("b.n"))
+            & (
+                1
+                + F.least(
+                    F.col("a.n") - F.col("a.pos"),
+                    F.col("b.n") - F.col("b.pos"),
+                )
+                >= alpha
+            )
         )
         .select(
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
@@ -389,28 +410,50 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(tokens: Column) -> Column:
-    """60-bit SimHash over distinct tokens (md5-based, oracle-portable).
+def simhash60_kernel():
+    """Arrow-batched kernel: raw text → 60-bit SimHash (md5-based).
 
-    Bit j of the fingerprint is 1 iff the majority of token hashes set
-    bit j; computed as sum over tokens of ±1 per bit. One shiftright
-    chain per bit over the distinct-token hash array, still fully
-    JVM-side. 60 bits because md5_long yields 15 hex digits.
+    Bit j of the fingerprint is 1 iff the majority of the document's
+    DISTINCT token md5-hashes set bit j (votes of ±1 per token per
+    bit).  md5 keeps the hash engine-portable — DuckDB's
+    ``('0x' || substr(md5(t),1,15))::BIGINT`` reproduces every token
+    hash bit-for-bit, so the oracle hash-matches; 60 bits because 15
+    hex digits fit a signed long.
+
+    Why a Pandas UDF: the per-bit Column/HOF formulation evaluates 60
+    interpreted ``aggregate()`` chains per row (never codegen'd) and
+    measured ~11 s for 5 000 docs at sf0.1; this kernel runs the same
+    math as one numpy bit-matrix per doc plus a per-batch memoized
+    md5 pass over unique tokens (~27 k distinct corpus-wide), well
+    under a second.  Tokenization is ``lower().split(" ")`` on UTF-8
+    bytes — byte-for-byte the ``ws_tokens`` convention, same as the
+    MinHash kernel.  Map-only: no shuffle, scales with input splits.
     """
-    hashes = F.transform(F.array_distinct(tokens), md5_long)
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for j in range(60)
-    ]
-    out = F.lit(0).cast("long")
-    for j, vote in enumerate(bit_votes):
-        out = out + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(0)
-    return out
+    import hashlib
+
+    from pyspark.sql.types import LongType
+
+    shifts = np.arange(60, dtype=np.uint64)
+
+    @F.pandas_udf(LongType())
+    def _kernel(texts: pd.Series) -> pd.Series:
+        cache: dict[bytes, int] = {}
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = set(t.lower().encode("utf-8").split(b" "))
+            hs = np.empty(len(toks), dtype=np.uint64)
+            for j, tok in enumerate(toks):
+                v = cache.get(tok)
+                if v is None:
+                    v = int(hashlib.md5(tok).hexdigest()[:15], 16)
+                    cache[tok] = v
+                hs[j] = v
+            bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            out[i] = int(((votes > 0).astype(np.uint64) << shifts).sum())
+        return pd.Series(out)
+
+    return _kernel
 
 
 # ---------------------------------------------------------------------------
@@ -659,58 +702,102 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     canonical member), so this closes the pipeline from near-dup pairs
     to a per-document verdict.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the minimum label among itself and its neighbors; fixpoint
-    after O(graph diameter) rounds.  Near-dup clusters are dense
-    (members pairwise-similar through shared content), so their
-    diameter is tiny and convergence takes 2-4 rounds in practice.
-    Each round is one equi-join + one groupBy on the EDGE set — never
-    all-pairs, never a driver-side graph.  ``localCheckpoint`` after
-    each round cuts lineage so round N's plan doesn't replay rounds
-    1..N-1 (and keeps plan analysis O(1) per round); the convergence
-    test piggybacks on the same action that materializes the
-    checkpoint.
+    Algorithm: alternating large-star/small-star rounds (Kiveris et
+    al., "Connected Components in MapReduce and Beyond").  Each
+    iteration rewrites the edge set toward a star per component —
+    large-star hangs every node's strictly-larger neighbors off the
+    neighborhood minimum (collapsing long paths), small-star re-hangs
+    the smaller neighbors — converging in O(log n) iterations on ANY
+    graph shape (min-label propagation needs O(diameter), which a
+    pathological chain makes linear).  Near-dup clusters are dense, so
+     1-2 iterations suffice in practice; the worst case is still
+    logarithmic.  Each half-round is one groupBy + one equi-join on
+    the EDGE set — never all-pairs, never a driver-side graph.
 
-    At 100 TB the same loop holds — labels and edges are both
-    shuffle-partitioned on node id, each round is one co-partitioned
-    join — with two refinements worth adding when components can be
-    web-scale: alternating large-star/small-star rounds (Kiveris et
-    al., "Connected Components in MapReduce and Beyond" — halves edge
-    counts per round instead of just propagating) and hash-partitioned
-    label storage reused across rounds to avoid re-shuffling edges.
+    Fault tolerance at cluster scale: each iteration's edge set is cut
+    from its lineage with a RELIABLE ``checkpoint()`` (written to the
+    configured checkpoint dir — durable storage on a cluster), so an
+    executor loss recovers from the last round's files instead of
+    recomputing the whole iteration history; ``localCheckpoint`` would
+    store blocks on the very executors whose loss it must survive.
+    The convergence probe is one symmetric-difference aggregation per
+    iteration over the (small) checkpointed edge sets.
     """
-    edges = (
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionAll(
-            pairs.select(
-                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
-            )
+    from .session import ensure_checkpoint_dir  # lazy: avoids import cycle
+
+    ensure_checkpoint_dir(pairs.sparkSession)
+
+    def _reliable_ckpt(df: DataFrame) -> DataFrame:
+        """persist → checkpoint(eager) → unpersist.
+
+        RDD checkpointing runs a SECOND job over the lineage to write
+        the checkpoint files; caching first turns that second pass
+        into a block read instead of a full recompute (for the initial
+        edge set that recompute would be the entire pair-generation
+        plan — measured 2× the whole query).  The cache is dropped
+        immediately: every later read comes from the checkpoint files.
+        """
+        from pyspark import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = cached.checkpoint(eager=True)
+        cached.unpersist()
+        return out
+
+    u, v, m = F.col("u"), F.col("v"), F.col("m")
+    # Orient every pair large→small; the loop invariant is u > v.
+    edges = _reliable_ckpt(
+        pairs.filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.greatest("a_id", "b_id").alias("u"),
+            F.least("a_id", "b_id").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("comp")
-    )
+    from pyspark.sql import Window
+
     while True:
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), "comp")
-            .unionAll(labels)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+        # Large-star: over the symmetric neighborhood N(x), hang every
+        # neighbor y > x off m(x) = min(N(x) ∪ {x}).  One window over
+        # the center key instead of a groupBy+self-join — half the
+        # shuffles per half-round; m(x) = least(min over N(x), x).
+        sym = edges.select("u", "v").unionAll(
+            edges.select(v.alias("u"), u.alias("v"))
         )
-        new_labels = neighbor_min.localCheckpoint(eager=True)
+        wu = Window.partitionBy("u")
+        large = (
+            sym.withColumn("m", F.least(F.min("v").over(wu), u))
+            .filter(v > u)
+            .select(v.alias("u"), m.alias("v"))
+        )
+        # Small-star: over the smaller-neighbor set Γ⁻(x) (edges are
+        # oriented, so that is just x's out-edges), re-hang x and every
+        # smaller neighbor off m(x) = min(Γ⁻(x)); duplicates from the
+        # unioned emit collapse in the final distinct.
+        sm = large.withColumn("m", F.min("v").over(wu))
+        small = _reliable_ckpt(
+            sm.select(v.alias("u"), m.alias("v"))
+            .filter(u != v)
+            .unionAll(sm.select("u", "m"))
+            .distinct()
+        )
+        # Converged when the iteration was a no-op: the symmetric
+        # difference of two distinct sets is empty iff they are equal.
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
+            small.unionAll(edges)
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") == 1)
             .limit(1)
             .count()
         )
-        labels = new_labels
+        edges = small
         if changed == 0:
-            return labels
+            break
+    # At the fixpoint the edge set is a star per component (u → root).
+    return edges.select(u.alias("id"), v.alias("comp")).unionAll(
+        edges.select(v.alias("id"), v.alias("comp")).distinct()
+    )
 
 
 def near_dup_canonical(

@@ -47,6 +47,29 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def ensure_checkpoint_dir(spark: SparkSession) -> None:
+    """Set a reliable-checkpoint dir if the deployment didn't.
+
+    Iterative operators (connected components) cut lineage with
+    ``df.checkpoint()`` — RELIABLE checkpoints, because
+    ``localCheckpoint`` stores blocks on executors and an executor
+    loss mid-iteration would force recomputing from nothing (round N
+    has no lineage back to the source).  On a cluster the conf should
+    point at durable storage (HDFS/object store); locally a per-
+    application temp dir is equivalent.  Idempotent.
+    """
+    import tempfile
+
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(
+            os.path.join(
+                tempfile.gettempdir(),
+                f"getdbt_spark_ckpt_{sc.applicationId}",
+            )
+        )
+
+
 def get_spark(
     app_name: str = "getdbt_spark",
     master: str | None = None,
