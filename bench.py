@@ -35,8 +35,12 @@ HEADLINE = [
 PIPELINE_HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",      # exact PPJoin (prefix+positional filter)
     "dedup_cluster_canonical",  # iterative connected components
-    "sim_topk_cosine",
+    "dedup_simhash",            # Arrow simhash kernel
+    "sim_topk_cosine",          # block-matrix exact kNN
+    "sim_ann_ivf",
+    "sim_ann_lsh",
     "text_quality_score",
 ]
 # End-to-end model-DAG shapes (round 2+): the incremental stream model
