@@ -76,5 +76,19 @@ def run_incremental(
 
 
 def sql(spark: SparkSession, query: str) -> DataFrame:
-    """Ad-hoc Spark SQL over whatever ``run()`` registered."""
+    """Ad-hoc Spark SQL over whatever ``run()`` registered.
+
+    Guarded: if no model view exists in this session's catalog the
+    query would fail with a bare TABLE_OR_VIEW_NOT_FOUND deep inside
+    analysis — raise the actionable error instead.
+    """
+    M.load_all()
+    from .registry import MODELS
+
+    if not any(spark.catalog.tableExists(name) for name in MODELS):
+        raise RuntimeError(
+            "no model views are registered in this session — call "
+            "api.run(spark, sf_dir, ...) first (it registers every "
+            "materialized model as a temp view for sql())"
+        )
     return spark.sql(query)

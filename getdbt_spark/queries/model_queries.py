@@ -701,3 +701,94 @@ def sink_snapshot_scd2(spark, sf_dir):
         dt.datetime(2024, 2, 1),
     )
     return snap
+
+
+@query(
+    "sink_incremental_replay",
+    # The replay window below spans TWO runs: run 1 (as of anchor-2)
+    # leaves partitions [d-10, d-9] behind; run 2 (as of the anchor)
+    # overwrites [d-8, d].  Final table therefore equals the model
+    # computed over an 11-day window — expressed by widening the
+    # oracle chain's window literal from d-8 to d-10 (it appears
+    # exactly twice, both in the events-window predicate).
+    oracle=oracle_for("atinternet_smarttag_streams_daily_v4").replace(
+        "(SELECT d - 8 FROM anchor)", "(SELECT d - 10 FROM anchor)"
+    ),
+)
+def sink_incremental_replay(spark, sf_dir):
+    """The reference's core incremental CONTRACT exercised end-to-end:
+    two daily runs against one warehouse (reference
+    ``streams_daily_v4.sql:1-22`` insert_overwrite + SURVEY §5.2.5
+    replay semantics).
+
+    Run 1 materializes as of anchor-2 (the "yesterday" batch); run 2
+    re-runs as of the anchor — dynamic partition overwrite REPLACES
+    exactly the trailing replay window and leaves run 1's older
+    partitions byte-untouched on disk.  The returned read-back is the
+    union of both runs' surviving partitions, which the oracle
+    verifies against the model over the combined 11-day window.
+    """
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from ..api import run_incremental
+    from ..io import load_table
+
+    anchor = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.to_date("ts")))
+        .collect()[0][0]
+    )
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        f"getdbt_spark_whr_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    run_incremental(
+        spark,
+        sf_dir,
+        "atinternet_smarttag_streams_daily_v4",
+        anchor - _dt.timedelta(days=2),
+        wh,
+    )
+    df = run_incremental(
+        spark, sf_dir, "atinternet_smarttag_streams_daily_v4", anchor, wh
+    )
+    cols = [c for c in df.columns if c != "evt_date"]
+    return df.select(F.col("evt_date").cast("date"), *cols)
+
+
+@query(
+    "sql_adhoc_model_views",
+    oracle="WITH base AS ("
+    + oracle_for("poms_flattened")
+    + """)
+    SELECT type, CAST(count(*) AS BIGINT) AS n_titles,
+           CAST(count(DISTINCT series_id) AS BIGINT) AS n_series,
+           CAST(sum(CASE WHEN is_nos_content THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nos
+    FROM base GROUP BY type
+    """,
+)
+def sql_adhoc_model_views(spark, sf_dir):
+    """The reference's ``analysis/`` hook exercised end-to-end:
+    ``api.run`` materializes a model and registers it as a view, then
+    ``api.sql`` answers an ad-hoc ANSI-SQL question over it — the
+    "query the dbt output warehouse" workflow.  Also the driver proof
+    of the sql() registered-view guard path (unguarded sessions raise
+    instead of failing analysis; tests/test_api.py pins the raise).
+    """
+    from ..api import run, sql
+
+    run(spark, sf_dir, select=["poms_flattened"])
+    return sql(
+        spark,
+        """
+        SELECT type, count(*) AS n_titles,
+               count(DISTINCT series_id) AS n_series,
+               sum(CASE WHEN is_nos_content THEN 1 ELSE 0 END) AS n_nos
+        FROM poms_flattened GROUP BY type
+        """,
+    )
