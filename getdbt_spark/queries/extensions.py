@@ -542,3 +542,269 @@ def scan_jsonl(spark, sf_dir):
         ]
     )
     return spark.read.schema(schema).json(path)
+
+
+@query(
+    "scan_orc",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    """,
+)
+def scan_orc(spark, sf_dir):
+    """Round-trip a deterministic orders slice through ORC and read it
+    back with an explicit schema — completing the source-format trio's
+    fourth leg (parquet, seed-CSV, JSONL, ORC).
+
+    Same scale rule as scan_jsonl: the explicit schema avoids an
+    inference pass, and ORC (like parquet) carries column statistics
+    so predicate pushdown and column pruning survive the format hop.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"getdbt_spark_orc_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).orc(path)
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderstatus,
+             CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS min_cents,
+             CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderstatus, 'min_cents' AS metric, min_cents AS cents FROM a
+    UNION ALL
+    SELECT o_orderstatus, 'max_cents', max_cents FROM a
+    UNION ALL
+    SELECT o_orderstatus, 'sum_cents', sum_cents FROM a
+    """,
+)
+def agg_unpivot(spark, sf_dir):
+    """Wide→long unpivot via ``stack`` — the inverse of agg_pivot,
+    rounding out the reshape surface.  Metric values are exact integer
+    cents so the cross-engine hash is order-free.  ``stack`` is a
+    generator expression (no shuffle, no join): the only exchange in
+    the plan is the aggregation's own.
+    """
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    a = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+            F.sum(cents).alias("sum_cents"),
+        )
+    )
+    return a.select(
+        "o_orderstatus",
+        F.expr(
+            "stack(3, 'min_cents', min_cents, 'max_cents', max_cents,"
+            " 'sum_cents', sum_cents) AS (metric, cents)"
+        ),
+    )
+
+
+@query(
+    "win_session_longest",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS sess_seq
+      FROM e
+    ), g AS (
+      SELECT user_id, sess_seq,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT)
+               AS duration_us
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, session_start, session_end, n_events, duration_us
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY duration_us DESC, session_start) AS rnk
+      FROM g
+    ) WHERE rnk = 1
+    """,
+)
+def win_session_longest(spark, sf_dir):
+    """Batch sessionization as pure SQL windows (gap > 30 min starts a
+    new session: lag → flag → running sum), then each user's LONGEST
+    session — the classic engagement query, and the batch twin of the
+    ``session_window``-based streaming_session_stats.
+
+    Determinism under ties is explicit everywhere: the event order key
+    is (ts, event_id) so equal timestamps can't flip the gap flags
+    between engines; the gap test and duration run in exact integer
+    MICROseconds (the storage resolution) because second-granularity
+    datediffs count boundary crossings differently per engine; and
+    the top-1 window breaks duration ties on session_start.  Plan:
+    both windows and the session aggregation share the user_id
+    shuffle key — one exchange end to end.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wo)
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(prev.isNull() | (gap_us > 1800 * 1000 * 1000), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    s = flagged.withColumn("sess_seq", F.sum("new_sess").over(wo))
+    g = s.groupBy("user_id", "sess_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))")
+        .cast("long")
+        .alias("duration_us"),
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.col("duration_us").desc(), "session_start"
+        )
+    )
+    return (
+        g.withColumn("rnk", rnk)
+        .filter(F.col("rnk") == 1)
+        .select(
+            "user_id", "session_start", "session_end", "n_events",
+            "duration_us",
+        )
+    )
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS p25,
+             quantile_cont(value, 0.50) AS p50,
+             quantile_cont(value, 0.75) AS p75
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT event_type, 0 AS band_id, NULL::DOUBLE AS lo, p25 AS hi FROM p
+      UNION ALL SELECT event_type, 1, p25, p50 FROM p
+      UNION ALL SELECT event_type, 2, p50, p75 FROM p
+      UNION ALL SELECT event_type, 3, p75, NULL FROM p
+    )
+    SELECT e.event_type, b.band_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_total
+    FROM events e
+    JOIN b ON e.event_type = b.event_type
+          AND (b.lo IS NULL OR e.value >= b.lo)
+          AND (b.hi IS NULL OR e.value < b.hi)
+    GROUP BY 1, 2
+    """,
+)
+def join_range_interval(spark, sf_dir):
+    """Range (interval-containment) join: every event lands in its
+    event-type's quartile band — equi key + non-equi band predicate.
+
+    The scale-correct plan for a point-in-interval join with a SMALL
+    interval side: broadcast the band table so the range predicate is
+    evaluated map-side as a residual on a broadcast hash join over
+    the equi key — no shuffle of the fact side and never a nested-
+    loop cross product.  (A large interval side would instead be
+    bucketized on a common grid first.)  Band boundaries come from
+    the same exact-percentile computation both engines interpolate
+    identically; half-open bands [lo, hi) make boundary values
+    unambiguous.
+    """
+    e = _t(spark, sf_dir, "events")
+    p = e.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(name)
+            for q, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
+        ]
+    )
+    null_d = F.lit(None).cast("double")
+    bands = p.select(
+        F.col("event_type").alias("band_type"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"), null_d.alias("lo"), F.col("p25").alias("hi")),
+                F.struct(F.lit(1).alias("band_id"), F.col("p25").alias("lo"), F.col("p50").alias("hi")),
+                F.struct(F.lit(2).alias("band_id"), F.col("p50").alias("lo"), F.col("p75").alias("hi")),
+                F.struct(F.lit(3).alias("band_id"), F.col("p75").alias("lo"), null_d.alias("hi")),
+            )
+        ).alias("b"),
+    ).select("band_type", "b.*")
+    joined = e.join(
+        F.broadcast(bands),
+        on=[
+            F.col("event_type") == F.col("band_type"),
+            F.col("lo").isNull() | (F.col("value") >= F.col("lo")),
+            F.col("hi").isNull() | (F.col("value") < F.col("hi")),
+        ],
+    )
+    return (
+        joined.groupBy("event_type", "band_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "cents_total"
+            ),
+        )
+    )

@@ -888,3 +888,214 @@ def sim_ann_lsh(spark, sf_dir):
             E.round_to("c", 6).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-set assembly: packing, profiling, per-group sampling, centroids
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pack_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def pack_token_budget(spark, sf_dir):
+    """Sequence packing for training shards: assign each document a
+    deterministic (bin, offset) inside per-language streams of
+    2048-token context windows — the contiguous-fill packing every
+    large pretraining pipeline runs before writing tokenized shards.
+
+    The assignment is a pure window computation (cumulative token
+    count per language in doc_id order; bin = start_offset div
+    budget): no RNG, no driver state, stable under retries and
+    re-partitioning.  At 100 TB this is one shuffle on the language
+    key; within-partition order is the explicit doc_id sort, so two
+    runs (or two engines) produce byte-identical shard layouts.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    c = d.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    start = (F.col("cum") - F.col("n_tokens")).cast("long")
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / F.lit(2048.0)).cast("long").alias("bin_id"),
+    )
+
+
+@query(
+    "text_ngram_profile",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(
+               [w[i] || '|' || w[i+1] || '|' || w[i+2]
+                for i in range(1, len(w) - 1)])) AS gram
+      FROM toks WHERE len(w) >= 3
+    ), f AS (
+      SELECT lang, gram, CAST(count(*) AS BIGINT) AS doc_freq
+      FROM g GROUP BY 1, 2
+    )
+    SELECT lang, gram, doc_freq, rnk FROM (
+      SELECT lang, gram, doc_freq,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY doc_freq DESC, gram) AS INT) AS rnk
+      FROM f
+    ) WHERE rnk <= 5
+    """,
+)
+def text_ngram_profile(spark, sf_dir):
+    """Corpus n-gram profile: the top-5 word trigrams per language by
+    DOCUMENT frequency — the corpus-analytics pass behind boilerplate
+    detection (headers/footers shared across many documents rank
+    top) and contamination checks.
+
+    Per-doc distinct grams (document frequency, not term frequency)
+    keep one spammy document from dominating the profile.  Plan:
+    map-side explode → one (lang, gram) aggregation → per-language
+    top-k window; at 100 TB the agg is map-combinable and the window
+    input is one row per distinct gram, not per occurrence.  Ties
+    break on the gram string so top-5 is deterministic across engines.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = P.ws_tokens(F.col("text"))
+    f = (
+        d.filter(F.size(w) >= 3)
+        .select("lang", F.explode(P.word_shingles(w, 3)).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("doc_freq").desc(), "gram")
+    )
+    return (
+        f.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "gram", "doc_freq", "rnk")
+    )
+
+
+@query(
+    "sample_reservoir_per_source",
+    oracle="""
+    SELECT doc_id, source, rnk FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rnk
+      FROM documents
+    ) WHERE rnk <= 20
+    """,
+)
+def sample_reservoir_per_source(spark, sf_dir):
+    """Deterministic fixed-size per-group sample: 20 documents per
+    source, ordered by md5(doc_id) — a reproducible stand-in for
+    per-group reservoir sampling (manual-inspection panels, eval
+    slices) with none of ``rand()``'s retry instability.
+
+    Scale shape: one window per group keyed on the partition column —
+    no global sort, no collect; the md5 order is uniform so the panel
+    is unbiased, and the same (engine-portable) hash makes the sample
+    identical on Spark and the oracle.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    rnk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+@query(
+    "emb_centroid_per_label",
+    oracle="""
+    WITH x AS (
+      SELECT label, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ), q AS (
+      SELECT label, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000.0)
+                  AS BIGINT) AS qv
+      FROM x
+    ), g AS (
+      SELECT label, pos, sum(qv) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY 1, 2
+    )
+    SELECT label, max(n) AS n_vectors,
+           list(round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 10000000.0),
+                      6) ORDER BY pos) AS centroid
+    FROM g GROUP BY label
+    """,
+)
+def emb_centroid_per_label(spark, sf_dir):
+    """Per-class mean embedding (the k-means / prototype primitive of
+    embedding analytics).
+
+    Element sums run in EXACT integer space — each float is promoted
+    to double (exact) and quantized ``floor(x·1e7)`` to a long before
+    the group sum — because a floating-point mean is summation-order-
+    dependent and Spark's partial aggregation order differs from any
+    single-threaded oracle; integer sums are order-free, so the
+    result is bit-identical across engines AND across cluster
+    re-partitionings.  Plan: posexplode → (label, pos) map-combinable
+    agg → per-label ordered array rebuild; dims × labels rows after
+    the first agg, trivial at any scale.
+    """
+    e = _embs(spark, sf_dir)
+    q = F.transform(
+        "embedding", lambda v: F.floor(v.cast("double") * F.lit(1e7)).cast("long")
+    )
+    g = (
+        e.select("label", F.posexplode(q).alias("pos", "qv"))
+        .groupBy("label", "pos")
+        .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+    )
+    cval = E.round_to(
+        F.col("s").cast("double") / (F.col("n").cast("double") * F.lit(1e7)), 6
+    )
+    return (
+        g.select("label", "pos", F.col("n"), cval.alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda x: x["cval"],
+            ).alias("centroid"),
+        )
+    )
