@@ -808,3 +808,286 @@ def join_range_interval(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT CAST(props->>'k' AS INTEGER) % 10 AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_total
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def fn_json_extract(spark, sf_dir):
+    """Semi-structured extraction: pull a typed field out of a JSON
+    string column and aggregate on it (``get_json_object`` — the
+    schema-on-read escape hatch every event pipeline needs).
+
+    Scale note: JSON parsing is per-row CPU; when a field is on every
+    hot path, promote it to a real column at ingest (``from_json``
+    with an explicit schema in one pass) rather than re-parsing per
+    query.  The extraction itself is a scan-level projection — no
+    shuffle beyond the aggregation's own.
+    """
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.filter(F.col("props").isNotNull())
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "cents_total"
+            ),
+        )
+    )
+
+
+@query(
+    "win_percent_rank_cume",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT),
+                          o_orderkey)
+    """,
+)
+def win_percent_rank_cume(spark, sf_dir):
+    """Relative-position analytics: percent_rank and cume_dist per
+    status, ordered by exact cents with a key tie-break.
+
+    Both are pure rational functions of (rank, n) — (r-1)/(n-1) and
+    r_peer/n — so the double results are bit-identical across engines
+    (one exact integer division each); round_to(6) guards the hash by
+    convention anyway.
+    """
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_orderstatus").orderBy(cents, "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        E.round_to(F.percent_rank().over(w), 6).alias("pct_rank"),
+        E.round_to(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents_total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """The skew-safe join primitive driver-proven: scale.salted_join
+    scatters the (potentially hot-keyed) fact side over 16 salt
+    sub-keys and replicates the dimension side per salt, so one viral
+    key occupies 16 reducers instead of one.
+
+    Correctness is salt-invariant by construction — the oracle is the
+    PLAIN join — which is exactly the property that makes salting safe
+    to apply mechanically under skew (tests/test_scale.py pins the
+    equivalence; this id makes it a driver-verified result).
+    """
+    from ..scale import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(li, orders, on=["l_orderkey"], n_salts=16)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents_total"
+        ),
+    )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_total,
+           CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_min,
+           CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_max
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Two-stage skew-safe aggregation driver-proven (scale.salted_agg):
+    stage 1 aggregates on (key, salt) so a group too hot for one
+    reducer spreads over 16, stage 2 recombines the algebraic partials
+    (sum-of-sums, sum-of-counts, min-of-mins, max-of-maxs).  The
+    oracle is the plain GROUP BY — salting must be result-invariant.
+    """
+    from ..scale import salted_agg
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "_cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    return salted_agg(
+        e,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "_cents"),
+            "cents_total": ("sum", "_cents"),
+            "cents_min": ("min", "_cents"),
+            "cents_max": ("max", "_cents"),
+        },
+        n_salts=16,
+    )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """The zero-exchange co-located join driver-proven: both sides are
+    written as catalog tables bucketed by the join key into the same
+    bucket count (scale.write_bucketed — the one-time shuffle paid at
+    write), then joined exchange-free (tests/test_scale.py pins the
+    no-ShuffleExchange plan; this id verifies the RESULT against the
+    plain join oracle).
+
+    At 100 TB this is the nightly fact-to-fact pattern: bucket both
+    fact tables on the shared key once, and every downstream join or
+    aggregation on that key skips its shuffle.
+    """
+    import os
+
+    from ..scale import bucketed_join, write_bucketed
+
+    pid = os.getpid()
+    lt, rt = f"_bkt_orders_{pid}", f"_bkt_customer_{pid}"
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        lt,
+        keys=["o_custkey"],
+        n_buckets=8,
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        rt,
+        keys=["o_custkey"],
+        n_buckets=8,
+    )
+    joined = bucketed_join(spark, lt, rt, on=["o_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents_total"
+        ),
+    )
+
+
+@query(
+    "agg_stats_exact",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(CAST(floor(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))
+               AS x,
+             CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                  AS DECIMAL(38,0)) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DECIMAL(38,0)) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM q GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)) / 100.0, 6) AS qty_stddev_pop,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS qty_price_corr
+    FROM s
+    """,
+)
+def agg_stats_exact(spark, sf_dir):
+    """Statistical aggregates (population stddev, Pearson correlation)
+    computed from EXACT integer moment sums.
+
+    Built-in ``stddev``/``corr`` stream doubles through Welford-style
+    accumulators whose result depends on partition order — fine for
+    analytics, wrong for a cross-engine hash and nondeterministic
+    across cluster re-partitionings.  Here every moment (Σx, Σy, Σx²,
+    Σy², Σxy) is an exact DECIMAL(38,0) sum of integer cents (order-
+    free), and only the final closed-form expressions run in floating
+    point — identical IEEE operations on identical operands on both
+    engines.  The sums are map-combinable, so the plan is one ordinary
+    aggregation: determinism costs nothing at 100 TB.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") * 100).cast("long").cast("decimal(38,0)")
+    y = (
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    s = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        E.round_to(F.sqrt((sxx - sx * sx / nd) / nd) / 100.0, 6).alias(
+            "qty_stddev_pop"
+        ),
+        E.round_to(
+            (nd * sxy - sx * sy)
+            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            6,
+        ).alias("qty_price_corr"),
+    )
