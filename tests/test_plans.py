@@ -190,3 +190,44 @@ class TestApi:
             for i in range(9)
         }
         assert parts and set(parts) <= window
+
+
+def _formatted(spark, df):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_range_join_is_broadcast_hash_not_nested_loop(spark):
+    """Point-in-interval join: equi key + residual range predicate must
+    compile to a BroadcastHashJoin — a BroadcastNestedLoopJoin here
+    would evaluate every event against every band at 100 TB."""
+    load_all()
+    plan = _formatted(spark, QUERIES["join_range_interval"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "qid,key",
+    [
+        ("win_session_longest", "user_id"),
+        ("pack_token_budget", "lang"),
+    ],
+)
+def test_window_pipelines_reuse_one_exchange(spark, qid, key):
+    """Sessionize→aggregate→rank (and cumulative packing) must share a
+    single hash exchange on the partition key: every window and the
+    session aggregation cluster on the same key, so Spark plans one
+    shuffle for the whole pipeline.  A second exchange would mean a
+    window spec drifted off the shared key."""
+    import re
+
+    load_all()
+    plan = _formatted(spark, QUERIES[qid](spark, SF))
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, f"{qid}: expected 1 exchange, plan has {len(exchanges)}"
+    assert f"hashpartitioning({key}" in plan
