@@ -792,3 +792,33 @@ def sql_adhoc_model_views(spark, sf_dir):
         FROM poms_flattened GROUP BY type
         """,
     )
+
+
+@query(
+    "streaming_dedup_replays",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+    FROM events
+    """,
+)
+def streaming_dedup_replays(spark, sf_dir):
+    """Exactly-once delivery semantics (SURVEY §2.9): the event feed is
+    replayed with simulated duplicate deliveries (every 10th event
+    delivered twice), then deduplicated on event_id — streaming runs
+    ``dropDuplicatesWithinWatermark`` (id state bounded by the 8-day
+    watermark horizon), batch the identical-result ``dropDuplicates``.
+    The oracle is the original feed: dedup must reconstruct it
+    exactly.  Stream/batch parity is pinned in tests/test_streaming.py.
+    """
+    from ..streaming import dedup_replays
+
+    e = _t(spark, sf_dir, "events")
+    replayed = e.unionAll(e.filter(F.col("event_id") % 10 == 0))
+    return dedup_replays(replayed).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )

@@ -302,3 +302,33 @@ def run_available_now(
     q = w.start()
     q.awaitTermination()
     return spark.table(name)
+
+
+def dedup_replays(events: DataFrame) -> DataFrame:
+    """Exactly-once analytics over an at-least-once transport:
+    duplicate deliveries of the same ``event_id`` are dropped, keeping
+    one row per event.
+
+    Streaming path: ``dropDuplicatesWithinWatermark`` — the id state
+    expires once the watermark passes an id's event time, so state is
+    bounded by the late-data horizon (8 days of ids), not the stream's
+    history; a replay arriving later than the watermark would also be
+    dropped as late data, which is exactly the delivery contract.
+    Batch path: plain ``dropDuplicates`` (duplicate rows are identical
+    by construction, so which one survives is immaterial).  Same
+    TZ discipline as the other operators: the watermark needs a
+    TIMESTAMP instant, output keeps the original NTZ wall clock.
+    """
+    shifted = events.withColumn(
+        "ts_evt",
+        F.from_utc_timestamp(
+            F.col("ts").cast("timestamp"), F.expr("current_timezone()")
+        ),
+    )
+    wm = shifted.withWatermark("ts_evt", WATERMARK)
+    deduped = (
+        wm.dropDuplicatesWithinWatermark(["event_id"])
+        if events.isStreaming
+        else wm.dropDuplicates(["event_id"])
+    )
+    return deduped.select("event_id", "user_id", "event_type", "ts", "value")

@@ -154,3 +154,32 @@ class TestStreamBatchParity:
         spark.createDataFrame(rows2, schema).write.mode("append").parquet(path)
         r2 = run_available_now(spark, path, src, "t_late_2")
         assert _key(r2.collect())[("2024-01-10", "click")] == (2, 15.0)
+
+
+def test_dedup_replays_stream_matches_batch(spark, events_dir, tmp_path):
+    """Replayed (duplicated) deliveries: the streaming
+    dropDuplicatesWithinWatermark path and the batch dropDuplicates
+    path reconstruct the same exactly-once feed."""
+    from getdbt_spark.streaming import dedup_replays
+
+    path, src = events_dir
+    dup_path = str(tmp_path / "events_replayed")
+    batch = spark.read.parquet(path)
+    batch.unionAll(batch.filter(F.col("event_id") % 10 == 0)).write.parquet(
+        dup_path
+    )
+    got = run_available_now(
+        spark,
+        dup_path,
+        src,
+        "t_dedup_replays",
+        transform=dedup_replays,
+        output_mode="append",
+    )
+    want = dedup_replays(spark.read.parquet(dup_path))
+    key = lambda rows: sorted(
+        (r["event_id"], r["user_id"], r["event_type"], str(r["ts"]))
+        for r in rows
+    )
+    assert key(got.collect()) == key(want.collect())
+    assert got.count() == batch.count()
