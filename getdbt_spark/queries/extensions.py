@@ -1091,3 +1091,191 @@ def agg_stats_exact(spark, sf_dir):
             6,
         ).alias("qty_price_corr"),
     )
+
+
+@query(
+    "fn_array_pipeline",
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey,
+             list(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                  ORDER BY CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS a
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_orderkey,
+           CAST(len(a) AS BIGINT) AS n_items,
+           CAST(coalesce(list_sum(list_filter(a, x -> x > 5000000)), 0)
+                AS BIGINT) AS big_cents_total,
+           len(list_filter(a, x -> x > 5000000)) > 0 AS has_big,
+           a[1:3] AS cheapest3
+    FROM g
+    """,
+)
+def fn_array_pipeline(spark, sf_dir):
+    """Array higher-order functions end to end: per-order sorted cents
+    array → filter → fold (sum) → exists → slice.
+
+    All five HOFs are JVM Column expressions inside whole-stage
+    codegen — no UDF, no extra shuffle beyond the grouping's own; the
+    per-group array is bounded by order size (TPC-H ≤ 7 items), the
+    same boundedness argument as the reference's STRING_AGG groups.
+    """
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    g = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list(cents)).alias("a"))
+    )
+    big = F.filter("a", lambda x: x > 5000000)
+    return g.select(
+        "l_orderkey",
+        F.size("a").cast("long").alias("n_items"),
+        F.aggregate(big, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "big_cents_total"
+        ),
+        F.exists("a", lambda x: x > 5000000).alias("has_big"),
+        F.slice("a", 1, 3).alias("cheapest3"),
+    )
+
+
+@query(
+    "fn_string_advanced",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_name, 'Customer#000000001') AS name_dist,
+           translate(c_name, '#', '-') AS name_dashed,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+           regexp_extract(c_name, 'Customer#(\\d+)', 1) AS name_digits
+    FROM customer
+    """,
+)
+def fn_string_advanced(spark, sf_dir):
+    """Advanced string surface: edit distance (the fuzzy-matching
+    primitive), translate, lpad, and regex group extraction — all
+    engine-portable codegen'd expressions (levenshtein at 100 TB is
+    per-row CPU, typically gated behind a cheap blocking key exactly
+    like the PPJoin prefix gate)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000001")).alias(
+            "name_dist"
+        ),
+        F.translate("c_name", "#", "-").alias("name_dashed"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias(
+            "padded_key"
+        ),
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).alias(
+            "name_digits"
+        ),
+    )
+
+
+@query(
+    "join_nullsafe_eq",
+    oracle="""
+    WITH c AS (
+      SELECT nullif(c_nationkey % 5, 0) AS grp, c_custkey FROM customer
+    ), s AS (
+      SELECT nullif(s_nationkey % 5, 0) AS grp, s_suppkey FROM supplier
+    )
+    SELECT c.grp, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM c JOIN s ON c.grp IS NOT DISTINCT FROM s.grp
+    GROUP BY 1
+    """,
+)
+def join_nullsafe_eq(spark, sf_dir):
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the semantics
+    needed when a nullable surrogate key is a legitimate join value.
+    Still a hash join: the null-safe operator is a valid equi-key, so
+    no nested-loop fallback (NULLs hash to one bucket — at 100 TB a
+    large NULL population is a skew key like any other; salt it)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.expr("nullif(c_nationkey % 5, 0)").alias("grp_c"), "c_custkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.expr("nullif(s_nationkey % 5, 0)").alias("grp_s"), "s_suppkey"
+    )
+    return (
+        c.join(s, c.grp_c.eqNullSafe(s.grp_s))
+        .groupBy(F.col("grp_c").alias("grp"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "sink_partitioned_read_pruned",
+    oracle="""
+    WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS d FROM events)
+    SELECT CAST(ts AS DATE) AS evt_date, event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE CAST(ts AS DATE) >= (SELECT d - 1 FROM anchor)
+    GROUP BY 1, 2
+    """,
+)
+def sink_partitioned_read_pruned(spark, sf_dir):
+    """Date-partitioned parquet sink + partition-pruned read-back: the
+    events feed is written ``partitionBy(evt_date)`` (the layout every
+    incremental warehouse table uses), re-read, and filtered to the
+    trailing two days — a filter on the partition COLUMN, so the scan
+    lists only two date directories instead of the whole table.  At
+    100 TB partition pruning is the difference between touching two
+    days and thirty; the literal anchor (two-phase pattern) is what
+    makes the predicate prunable at plan time.
+    """
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"getdbt_spark_part_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        e.withColumn("evt_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("evt_date")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("evt_date") >= F.lit(anchor - _dt.timedelta(days=1)))
+        .groupBy("evt_date", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "text_pii_flags",
+    oracle="""
+    SELECT doc_id,
+           regexp_matches(text, 'https?://') AS has_url,
+           regexp_matches(text, '[a-z0-9.]+@[a-z]+') AS has_email,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+             AS n_digits
+    FROM documents
+    """,
+)
+def text_pii_flags(spark, sf_dir):
+    """Content-policy scan flags: URL / email-shaped substrings and
+    digit density per document — the regex pre-filter stage of a PII
+    scrubbing pipeline (flag cheaply at full scale, route the tiny
+    flagged subset to the expensive redaction pass).  Pure codegen'd
+    regex expressions; map-only."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("text").rlike("https?://").alias("has_url"),
+        F.col("text").rlike("[a-z0-9.]+@[a-z]+").alias("has_email"),
+        F.length(F.regexp_replace("text", "[^0-9]", ""))
+        .cast("long")
+        .alias("n_digits"),
+    )
