@@ -1099,3 +1099,60 @@ def emb_centroid_per_label(spark, sf_dir):
             ).alias("centroid"),
         )
     )
+
+
+@query(
+    "emb_knn_classify",
+    oracle=_COSINE_ORACLE_CORE
+    + """
+    , r AS (
+      SELECT vec_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY c DESC, neighbor_id) AS rnk
+      FROM p
+    ), k AS (
+      SELECT r.vec_id, e2.label
+      FROM r JOIN embeddings e2 ON e2.vec_id = r.neighbor_id
+      WHERE rnk <= 10
+    ), v AS (
+      SELECT vec_id, label, CAST(count(*) AS BIGINT) AS votes
+      FROM k GROUP BY 1, 2
+    )
+    SELECT vec_id, CAST(label AS INT) AS pred_label, votes FROM (
+      SELECT vec_id, label, votes,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY votes DESC, label) AS vr
+      FROM v
+    ) WHERE vr = 1
+    """,
+)
+def emb_knn_classify(spark, sf_dir):
+    """kNN majority-vote label prediction — the compositional payoff of
+    the similarity stack: exact top-10 neighbors from the blocked
+    matrix kNN (no driver state, no broadcast ceiling), neighbor
+    labels joined in (tiny side — AQE broadcasts it), one vote
+    aggregation, deterministic winner (votes desc, label asc).
+
+    At 100 TB swap the exact kNN for sim_ann_ivf/sim_ann_lsh
+    candidates; the vote/argmax stages are unchanged — which is the
+    point of keeping neighbor generation and classification as
+    separate composable operators.
+    """
+    from pyspark.sql import Window
+
+    embs = _embs(spark, sf_dir)
+    topk = P.topk_cosine_blocked(embs, k=10)
+    labels = embs.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("vec_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    vr = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.col("votes").desc(), "label")
+    )
+    return (
+        votes.withColumn("vr", vr)
+        .filter(F.col("vr") == 1)
+        .select("vec_id", F.col("label").alias("pred_label"), "votes")
+    )
