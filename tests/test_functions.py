@@ -259,3 +259,43 @@ def test_approx_count_distinct_relative_error(spark):
     for r in rows:
         exact = r["exact_customers"]
         assert abs(r["approx_customers"] - exact) <= max(1, 0.06 * exact)
+
+
+def test_round_to_matches_duckdb_round_on_random_doubles(spark):
+    """The load-bearing cross-engine convention, proven in bulk: for
+    100k seeded-random doubles (including adversarial .xxx5 decimal
+    edge values), Spark round_to == DuckDB round() bit-for-bit at the
+    digit counts the oracles hash (2, 4, 6).  F.round would fail this
+    — it rounds the shortest decimal repr, DuckDB the binary value."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.uniform(-1e6, 1e6, 60_000),
+            rng.uniform(-1, 1, 30_000),
+            # decimal-boundary adversaries: k + 5e-(d+1) shapes
+            (rng.integers(-999, 999, 10_000) / 100.0 + 0.005),
+        ]
+    )
+    pdf = pd.DataFrame({"x": vals})
+    sdf = spark.createDataFrame(pdf)
+    for nd in (2, 4, 6):
+        got = (
+            sdf.select(E.round_to(F.col("x"), nd).alias("r"))
+            .toPandas()["r"]
+            .to_numpy()
+        )
+        want = (
+            duckdb.connect()
+            .execute(f"SELECT round(x, {nd}) AS r FROM pdf")
+            .df()["r"]
+            .to_numpy()
+        )
+        same = (got == want) | (np.isnan(got) & np.isnan(want))
+        assert same.all(), (
+            f"ndigits={nd}: {np.count_nonzero(~same)} mismatches, e.g. "
+            f"{vals[~same][:3]} -> {got[~same][:3]} vs {want[~same][:3]}"
+        )
