@@ -41,6 +41,8 @@ PIPELINE_HEADLINE = [
     "sim_topk_cosine",          # block-matrix exact kNN
     "sim_ann_ivf",
     "sim_ann_lsh",
+    "emb_knn_classify",         # kNN vote classification (composed)
+    "pack_token_budget",        # sequence packing (single-exchange window)
     "text_quality_score",
 ]
 # End-to-end model-DAG shapes (round 2+): the incremental stream model

@@ -941,16 +941,19 @@ def agg_string_agg(spark, sf_dir):
     WITH per_order AS (
       SELECT l_orderkey,
              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS order_qty,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS order_rev
+             CAST(floor((sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                           AS BIGINT))) + 50) / 100.0)
+                  AS BIGINT) AS order_rev_cents
       FROM lineitem GROUP BY 1),
     with_cust AS (
-      SELECT o.o_custkey, p.order_qty, p.order_rev
+      SELECT o.o_custkey, p.order_qty, p.order_rev_cents
       FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey)
     SELECT o_custkey,
            count(*) AS n_orders,
            CAST(sum(CASE WHEN order_qty >= 100 THEN 1 ELSE 0 END) AS BIGINT)
              AS big_orders,
-           round(sum(order_rev), 2) AS total_rev
+           round(sum(order_rev_cents) / 100.0, 2) AS total_rev
     FROM with_cust GROUP BY o_custkey
     """,
 )
@@ -961,14 +964,27 @@ def agg_two_stage(spark, sf_dir):
     Reference: the per-stream → per-date two-stage agg with the >=30 s
     qualified-play threshold, streams_daily_v4.sql:105-161.  The stage
     order is semantic — fusing them would change the threshold meaning.
+
+    Revenue runs in EXACT integer space end to end: stage 1 sums
+    ``cents × (100 − discount_basis_points)`` (a 10⁻⁴-unit integer —
+    both factors are exact), rounds to per-order cents with integer
+    arithmetic, and stage 2 sums those cents.  The previous double-sum
+    form passed sf0.01 but flipped one customer's last cent at sf0.1 —
+    double summation order differs between engines and across cluster
+    partitionings, so only the sum with no float accumulation at all
+    is stable at every scale (the repo's money-sum rule, applied to
+    both stages).
     """
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
+    rev_u = F.floor(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    )
     per_order = li.groupBy("l_orderkey").agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("order_qty"),
-        E.round_to(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("order_rev"),
+        F.floor((F.sum(rev_u) + 50) / 100.0)
+        .cast("long")
+        .alias("order_rev_cents"),
     )
     with_cust = per_order.join(
         o.select("o_orderkey", "o_custkey"),
@@ -979,7 +995,7 @@ def agg_two_stage(spark, sf_dir):
         F.sum(F.when(F.col("order_qty") >= 100, 1).otherwise(0))
         .cast("bigint")
         .alias("big_orders"),
-        E.round_to(F.sum("order_rev"), 2).alias("total_rev"),
+        E.round_to(F.sum("order_rev_cents") / 100.0, 2).alias("total_rev"),
     )
 
 

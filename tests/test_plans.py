@@ -231,3 +231,19 @@ def test_window_pipelines_reuse_one_exchange(spark, qid, key):
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, f"{qid}: expected 1 exchange, plan has {len(exchanges)}"
     assert f"hashpartitioning({key}" in plan
+
+
+def test_partitioned_sink_readback_prunes_partitions(spark):
+    """The partitioned-sink read-back must hit PartitionFilters, not a
+    post-scan filter: the literal anchor predicate on the partition
+    column prunes date directories at plan time — at 100 TB the
+    difference between listing two days and the whole table."""
+    import re
+
+    load_all()
+    plan = _formatted(
+        spark, QUERIES["sink_partitioned_read_pruned"](spark, SF)
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "no PartitionFilters section in the scan"
+    assert "evt_date" in m.group(1), f"partition filter missing: {m.group(1)}"
