@@ -246,7 +246,8 @@ for _qid, (_model, _cte) in _MODEL_QUERIES.items():
       CAST(date_trunc('day', ts) AS DATE) AS evt_date,
       event_type,
       count(*) AS n_events,
-      round(sum(value), 2) AS total_value,
+      round(sum(CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
+        AS total_value,
       min(value) AS min_value,
       max(value) AS max_value
     FROM events
@@ -282,7 +283,8 @@ def streaming_daily_event_stats(spark, sf_dir):
            min(ts) AS session_start,
            max(ts) AS session_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(sum(CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
+             AS total_value
     FROM s
     GROUP BY user_id, sess_id
     """,
@@ -378,7 +380,8 @@ def sink_incremental_insert_overwrite(spark, sf_dir):
       ORDER BY o_totalprice DESC
     )
     SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
-           round(sum(o_totalprice), 2) AS total
+           round(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total
     FROM ranked
     GROUP BY 1
     """,
@@ -395,7 +398,11 @@ def sort_in_cte(spark, sf_dir):
     )
     return ranked.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n"),
-        E.round_to(F.sum("o_totalprice"), 2).alias("total"),
+        # exact cents sum (money-sum rule; see agg_two_stage)
+        E.round_to(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")) / 100.0,
+            2,
+        ).alias("total"),
     )
 
 

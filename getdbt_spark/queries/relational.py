@@ -222,7 +222,9 @@ def filter_in_list(spark, sf_dir):
     "filter_partition_window",
     oracle="""
     SELECT CAST(ts AS DATE) AS evt_date, event_type,
-           count(*) AS n_events, round(sum(value), 2) AS sum_value
+           count(*) AS n_events,
+           round(sum(CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_value
     FROM events
     WHERE CAST(ts AS DATE) >= (
         SELECT CAST(max(ts) AS DATE) - 8 FROM events)
@@ -251,7 +253,11 @@ def filter_partition_window(spark, sf_dir):
         .groupBy(F.to_date("ts").alias("evt_date"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            E.round_to(F.sum("value"), 2).alias("sum_value"),
+            # exact cents sum, one division at the end: double summation
+            # order differs per engine/partitioning (money-sum rule)
+            E.round_to(
+                F.sum(F.floor(F.col("value") * 100).cast("long")) / 100.0, 2
+            ).alias("sum_value"),
         )
     )
 
@@ -402,7 +408,9 @@ def join_left_equi(spark, sf_dir):
     WITH weekly_rev AS (
       SELECT extract(isoyear FROM l_shipdate) AS iso_y,
              weekofyear(l_shipdate) AS iso_w,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             round(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                     AS BIGINT))) / 10000.0, 2) AS revenue
       FROM lineitem GROUP BY 1, 2),
     weekly_orders AS (
       SELECT extract(isoyear FROM o_orderdate) AS iso_y,
@@ -423,13 +431,15 @@ def join_left_expr_key(spark, sf_dir):
     """
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
+    rev_u = F.floor(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    )
     weekly_rev = li.groupBy(
         E.iso_year("l_shipdate").cast("bigint").alias("iso_y"),
         E.iso_week("l_shipdate").cast("bigint").alias("iso_w"),
     ).agg(
-        E.round_to(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        # exact 1e-4-unit integer sum (money-sum rule; see agg_two_stage)
+        E.round_to(F.sum(rev_u) / 10000.0, 2).alias("revenue")
     )
     weekly_orders = o.groupBy(
         E.iso_year("o_orderdate").cast("bigint").alias("iso_y"),
@@ -566,7 +576,8 @@ def join_unnest_with_offset(spark, sf_dir):
       SELECT extract(isoyear FROM o_orderdate) AS iso_y,
              weekofyear(o_orderdate) AS iso_w,
              count(*) AS n_orders,
-             round(sum(o_totalprice), 2) AS total
+             round(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS total
       FROM orders GROUP BY 1, 2)
     SELECT s.weekdate,
            coalesce(f.n_orders, 0) AS n_orders,
@@ -593,7 +604,10 @@ def join_date_spine(spark, sf_dir):
         E.iso_week("o_orderdate").cast("bigint").alias("iso_w"),
     ).agg(
         F.count("*").alias("n_orders"),
-        E.round_to(F.sum("o_totalprice"), 2).alias("total"),
+        E.round_to(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")) / 100.0,
+            2,
+        ).alias("total"),
     )
     spine_k = spine.select(
         "weekdate",
@@ -783,7 +797,8 @@ def agg_group_by_ordinal(spark, sf_dir):
     oracle="""
     SELECT coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment,
            count(*) AS n_cust,
-           round(sum(c_acctbal), 2) AS total_bal
+           round(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+             AS total_bal
     FROM customer GROUP BY 1
     """,
 )
@@ -796,7 +811,12 @@ def agg_group_by_expr(spark, sf_dir):
     seg = F.coalesce(E.nullif_("c_mktsegment", "BUILDING"), F.lit("OTHER"))
     return c.groupBy(seg.alias("segment")).agg(
         F.count("*").alias("n_cust"),
-        E.round_to(F.sum("c_acctbal"), 2).alias("total_bal"),
+        # c_acctbal can be negative; floor(x*100) is still the rule —
+        # what matters is that both engines floor the SAME double, so
+        # the quantization (and therefore the sum) is identical.
+        E.round_to(
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")) / 100.0, 2
+        ).alias("total_bal"),
     )
 
 

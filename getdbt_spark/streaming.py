@@ -69,7 +69,12 @@ def daily_event_stats(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("double")).alias("total_value"),
+            # exact cents sum: double summation order differs across
+            # engines AND across micro-batch boundaries — integer sums
+            # make the streaming and batch totals bit-identical.
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "total_cents"
+            ),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
@@ -77,7 +82,7 @@ def daily_event_stats(events: DataFrame) -> DataFrame:
             F.col("w.start").cast("date").alias("evt_date"),
             "event_type",
             "n_events",
-            E.round_to("total_value", 2).alias("total_value"),
+            E.round_to(F.col("total_cents") / 100.0, 2).alias("total_value"),
             "min_value",
             "max_value",
         )
@@ -124,9 +129,10 @@ def session_stats(events: DataFrame) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            E.round_to(F.sum(F.col("value").cast("double")), 2).alias(
-                "total_value"
-            ),
+            # exact cents sum (see daily_event_stats)
+            E.round_to(
+                F.sum(F.floor(F.col("value") * 100).cast("long")) / 100.0, 2
+            ).alias("total_value"),
         )
         .select(
             "user_id",
