@@ -247,3 +247,38 @@ def test_partitioned_sink_readback_prunes_partitions(spark):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, "no PartitionFilters section in the scan"
     assert "evt_date" in m.group(1), f"partition filter missing: {m.group(1)}"
+
+
+def test_results_invariant_to_shuffle_partition_count(spark):
+    """The determinism discipline, tested head-on: results must be
+    BIT-identical when the cluster shape changes (32 → 7 shuffle
+    partitions changes partial-aggregation order, which is exactly
+    what flips a last cent in any float-accumulating plan).  Guards
+    the exact-integer-sum rule for money aggregates and quantized
+    centroids."""
+    load_all()
+    sensitive = [
+        "agg_two_stage",
+        "join_date_spine",
+        "emb_centroid_per_label",
+        "agg_stats_exact",
+    ]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("32", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for qid in sensitive:
+                pdf = QUERIES[qid](spark, SF).toPandas()
+                cols = sorted(pdf.columns)
+                key = pdf[cols].astype(str).sort_values(cols).reset_index(
+                    drop=True
+                )
+                if n == "32":
+                    results[qid] = key
+                else:
+                    assert key.equals(results[qid]), (
+                        f"{qid}: result depends on shuffle partition count"
+                    )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
