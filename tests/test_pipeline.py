@@ -252,3 +252,49 @@ def test_topk_cosine_blocked_shard_invariant_and_distributed(spark):
     )
     assert a.astype(str).equals(b.astype(str))
     assert (a.groupby("vec_id")["rnk"].max() == 3).all()
+
+
+def test_connected_components_random_graph_vs_union_find(spark):
+    """The star-round algorithm against a reference union-find on a
+    seeded random graph (bridges two cliques + isolated pairs + a long
+    chain — shapes beyond the fixed chain/clique test)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    edges = set()
+    # random sparse graph
+    for _ in range(60):
+        a, b = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    # a long chain appended on distinct node ids (worst case for
+    # min-label propagation, the shape star rounds must crush)
+    for i in range(100, 130):
+        edges.add((i, i + 1))
+    edges = sorted(edges)
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "a_id long, b_id long"
+    )
+    got = {
+        r["id"]: r["comp"] for r in P.connected_components(pairs).collect()
+    }
+    assert got == want
