@@ -1156,3 +1156,93 @@ def emb_knn_classify(spark, sf_dir):
         .filter(F.col("vr") == 1)
         .select("vec_id", F.col("label").alias("pred_label"), "votes")
     )
+
+
+@query(
+    "sim_ann_lsh_multiprobe",
+    oracle=_COSINE_ORACLE_CORE
+    + """
+    , dots AS (
+      SELECT e.vec_id, j.j,
+             list_sum([e.embedding[i]::DOUBLE *
+                       (CASE WHEN ('0x' || substr(md5(j.j || '-' || (i-1)),
+                                                  1, 15))::BIGINT & 1 = 1
+                             THEN 1.0 ELSE -1.0 END)
+                       for i in range(1, len(e.embedding) + 1)]) AS d
+      FROM e CROSS JOIN range(8) j(j)
+    ), bucket AS (
+      SELECT vec_id,
+             sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+               AS b
+      FROM dots GROUP BY 1
+    ), bucketed AS (
+      SELECT p.vec_id, p.neighbor_id, p.c
+      FROM p
+      JOIN bucket qb ON qb.vec_id = p.vec_id
+      JOIN bucket nb ON nb.vec_id = p.neighbor_id
+      WHERE bit_count(xor(qb.b, nb.b)) <= 1
+    )
+    SELECT vec_id, rnk, neighbor_id, cos_sim FROM (
+      SELECT vec_id, neighbor_id, round(c, 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY c DESC, neighbor_id) AS rnk
+      FROM bucketed) WHERE rnk <= 5
+    """,
+)
+def sim_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN — the recall knob the single-bucket variant
+    documents, implemented: each query probes its own bucket PLUS the
+    8 one-bit-flip neighbor buckets (the buckets a borderline
+    hyperplane margin could have landed it in), lifting recall at
+    ~(nbits+1)× candidate cost with NO re-hashing and the same plan
+    shape — the query side explodes its probe list and the join stays
+    an equi shuffle on the bucket key.  At 100 TB the probe count
+    (and flipping lowest-|margin| bits first) tunes the recall/cost
+    trade per query.
+    """
+    from pyspark.sql import Window
+
+    e = P.lsh_bucket(P.with_norm(_embs(spark, sf_dir)), nbits=8).persist()
+    # query side: own bucket + the 8 one-bit flips
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(8)],
+    )
+    q = e.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.explode(probes).alias("bucket"),
+    )
+    ix = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("nv"),
+        F.col("norm").alias("nn"),
+        "bucket",
+    )
+    pairs = (
+        q.join(ix, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            P.cosine(
+                F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")
+            ).alias("c"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.col("c").desc(), "n_id")
+    )
+    # e stays persisted (two consumers); the sweep/bench harnesses
+    # clearCache between queries — same ownership rule as sim_ann_lsh.
+    return (
+        pairs.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("q_id").alias("vec_id"),
+            "rnk",
+            F.col("n_id").alias("neighbor_id"),
+            E.round_to(F.col("c"), 6).alias("cos_sim"),
+        )
+    )
