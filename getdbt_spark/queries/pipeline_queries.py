@@ -184,9 +184,9 @@ def dedup_cluster_canonical(spark, sf_dir):
     ``keep`` = the per-document training-set verdict (exactly one
     survivor per cluster).
 
-    Spark: iterative min-label propagation — one co-partitioned
-    edge⋈label join + groupBy(min) per round, localCheckpoint between
-    rounds, converges in O(cluster diameter) rounds (pipeline.
+    Spark: alternating large-star/small-star rounds — one window pass
+    per half-round over the edge set, reliable checkpoint() between
+    iterations, O(log n) convergence on any graph shape (pipeline.
     connected_components).  The oracle is a recursive-CTE transitive
     closure — exact, and exponential-ish in DuckDB, which is fine at
     oracle scale and exactly the plan shape Spark must NOT use.
@@ -1245,4 +1245,98 @@ def sim_ann_lsh_multiprobe(spark, sf_dir):
             F.col("n_id").alias("neighbor_id"),
             E.round_to(F.col("c"), 6).alias("cos_sim"),
         )
+    )
+
+
+@query(
+    "pack_shard_manifest",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+      FROM t
+    ), b AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+      FROM c
+    )
+    SELECT lang, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           list(doc_id ORDER BY doc_id) AS doc_ids
+    FROM b GROUP BY 1, 2
+    """,
+)
+def pack_shard_manifest(spark, sf_dir):
+    """The shard manifest downstream of ``pack_token_budget``: one row
+    per (language, bin) with its document list in write order — what a
+    tokenizer-writer job consumes to emit training shards, and what a
+    data-lineage audit reads back ("which documents are in shard 17?").
+
+    Same single-exchange window as the packer, then one map-combinable
+    aggregation; the per-shard doc list is bounded by the token budget
+    (2048 tokens / min doc length), so collect_list stays small by
+    construction at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    c = d.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    b = c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(2048.0))
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return b.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+    )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+             AS norm_len
+    FROM documents
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Canonical text normalization: lowercase → strip non-alphanumeric
+    to spaces → collapse runs → trim.  The pre-pass that makes exact
+    dedup robust to punctuation/casing noise; emitted as an md5 so
+    the row stays fixed-width (the normalized text itself would be
+    re-derived in the consuming stage).  Pure codegen'd regex chain,
+    map-only; both engines apply the identical replacement pipeline
+    so the fingerprints hash-match.
+    """
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_len"),
     )
