@@ -1279,3 +1279,92 @@ def text_pii_flags(spark, sf_dir):
         .cast("long")
         .alias("n_digits"),
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS d FROM events
+    ), grp AS (
+      SELECT event_type, d,
+             d - CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY d) AS INTEGER) AS g
+      FROM days
+    )
+    SELECT event_type,
+           min(d) AS run_start,
+           max(d) AS run_end,
+           CAST(count(*) AS BIGINT) AS run_days
+    FROM grp GROUP BY event_type, g
+    """,
+)
+def win_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of consecutive active DAYS per
+    event type (the uptime/coverage-reporting idiom, and the discrete
+    twin of time-gap sessionization).
+
+    The classic one-window trick: ``date − row_number`` is constant
+    within a consecutive run, so islands fall out of a single ordered
+    window plus one aggregation — no self-join, no recursion.  Both
+    stages cluster on event_type: one exchange end to end.
+    """
+    from pyspark.sql import Window
+
+    days = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    g = F.date_sub(
+        F.col("d"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("d")
+        ),
+    )
+    return (
+        days.withColumn("g", g)
+        .groupBy("event_type", "g")
+        .agg(
+            F.min("d").alias("run_start"),
+            F.max("d").alias("run_end"),
+            F.count("*").alias("run_days"),
+        )
+        .drop("g")
+    )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / 100.0, 4) AS qty_weighted_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_weighted_avg(spark, sf_dir):
+    """Quantity-weighted average price per return flag — the weighted
+    mean as two exact integer sums (Σ cents·qty and Σ qty, both
+    map-combinable and order-free) and ONE float division at the end,
+    so the statistic is bit-stable across engines and partitionings
+    (the same discipline as agg_stats_exact, for the most common
+    weighted aggregate).
+    """
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            E.round_to(
+                F.sum(cents * qty).cast("double")
+                / F.sum(qty).cast("double")
+                / 100.0,
+                4,
+            ).alias("qty_weighted_price")
+        )
+    )
