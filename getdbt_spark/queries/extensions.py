@@ -1368,3 +1368,190 @@ def agg_weighted_avg(spark, sf_dir):
             ).alias("qty_weighted_price")
         )
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'purchase' THEN ts END AS b_ts,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100) AS BIGINT) END AS b_cents
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), filled AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(b_ts IGNORE NULLS) OVER w AS prev_purchase_ts,
+             last_value(b_cents IGNORE NULLS) OVER w AS prev_purchase_cents
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, event_id, ts,
+           CASE WHEN prev_purchase_ts IS NOT NULL
+                 AND date_diff('microsecond', prev_purchase_ts, ts)
+                     <= 3600000000
+                THEN prev_purchase_cents END AS purchase_cents_within_1h
+    FROM filled WHERE event_type = 'click'
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join WITH a tolerance bound (pandas ``merge_asof``
+    semantics): each click picks up the user's most recent purchase,
+    but only if it happened within the last hour — older matches
+    become NULL instead of staling forever.
+
+    The scalable as-of shape: union-tag both streams, ONE ignore-nulls
+    ``last_value`` window over the merged time order (no join at all —
+    the match is carried forward in-partition), then the tolerance is
+    a plain post-filter on the carried timestamp.  Microsecond-exact
+    gap arithmetic, (ts, event_id) tie-break — the determinism rules
+    from win_session_longest.  One exchange on user_id, total.
+    """
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    b_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    b_cents = F.when(
+        F.col("event_type") == "purchase",
+        F.floor(F.col("value") * 100).cast("long"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(b_ts, ignorenulls=True).over(w).alias("prev_purchase_ts"),
+        F.last(b_cents, ignorenulls=True).over(w).alias("prev_purchase_cents"),
+    )
+    in_tol = F.expr(
+        "timestampdiff(MICROSECOND, prev_purchase_ts, ts)"
+    ) <= 3600 * 1000 * 1000
+    return filled.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("prev_purchase_ts").isNotNull() & in_tol,
+            F.col("prev_purchase_cents"),
+        ).alias("purchase_cents_within_1h"),
+    )
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def setop_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — multiset intersection keeping duplicate
+    cardinality min(l, r) per key (the plain INTERSECT id covers the
+    distinct form).  Spark plans a hash join on the counted keys, not
+    a distinct-then-join, so duplicate multiplicity survives."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return left.intersectAll(right)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def setop_except_all(spark, sf_dir):
+    """EXCEPT ALL — multiset difference keeping max(l − r, 0) copies
+    per key; the bag-semantics twin of setop_except."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return left.exceptAll(right)
+
+
+@query(
+    "agg_bool_and_or",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_bool_and_or(spark, sf_dir):
+    """Boolean aggregates (every / any) — the declarative form of
+    "all rows satisfy" / "some row satisfies" per group, both
+    map-combinable single-bit partials at scale."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias(
+            "any_urgent"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN o_orderkey % 100 = 1 THEN o_orderstatus END
+             AS o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 100 IN (0, 1)
+    """,
+)
+def scan_schema_evolution(spark, sf_dir):
+    """Schema evolution across parquet file generations: an old slice
+    written WITHOUT a column and a new slice WITH it are read as one
+    table via mergeSchema — the missing column NULL-pads, the shared
+    columns align by name.  This is how a long-lived warehouse table
+    absorbs added columns without rewriting history.
+
+    Scale note: mergeSchema reads every file's footer at planning
+    time; production tables record the evolved schema in a catalog
+    (or read with an explicit superset schema) so planning stays O(1)
+    — the read below works identically with an explicit schema.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"getdbt_spark_evo_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.parquet(f"{path}/gen=0")
+    )
+    (
+        o.filter(F.col("o_orderkey") % 100 == 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.parquet(f"{path}/gen=1")
+    )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{path}/gen=0", f"{path}/gen=1")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )
