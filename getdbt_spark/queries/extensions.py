@@ -1555,3 +1555,109 @@ def scan_schema_evolution(spark, sf_dir):
         .parquet(f"{path}/gen=0", f"{path}/gen=1")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     )
+
+
+@query(
+    "agg_ohlc_bars",
+    oracle="""
+    WITH k AS (
+      SELECT event_type,
+             CAST(floor(date_diff('microsecond',
+                    TIMESTAMP '1970-01-01', ts) / 900000000.0) AS BIGINT)
+               AS bar_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             lpad(CAST(date_diff('microsecond',
+                    TIMESTAMP '1970-01-01', ts) AS VARCHAR), 20, '0')
+             || lpad(CAST(event_id AS VARCHAR), 12, '0') AS skey
+      FROM events
+    )
+    SELECT event_type,
+           TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * (bar_id * 900)
+             AS bar_start,
+           arg_min(cents, skey) AS open_cents,
+           max(cents) AS high_cents,
+           min(cents) AS low_cents,
+           arg_max(cents, skey) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM k GROUP BY 1, 2
+    """,
+)
+def agg_ohlc_bars(spark, sf_dir):
+    """Time-series resampling to 15-minute OHLC bars per event type —
+    the downsampling primitive of every metrics/market pipeline, via
+    ``min_by``/``max_by`` (no self-join back to first/last rows).
+
+    Determinism: open/close pick by an exact epoch-microseconds +
+    event_id composite key (fixed-width strings compare like the
+    tuple), so timestamp ties cannot flip the pick between engines;
+    prices are exact integer cents.  One map-combinable aggregation —
+    min_by/max_by partials carry (value, key) pairs, so the shuffle
+    is one row per (type, bar) per task at any scale.
+    """
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01', ts)")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    skey = F.concat(
+        F.lpad(us.cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    bar_id = F.floor(us / F.lit(900000000.0)).cast("long")
+    bar_start = F.expr(
+        "timestampadd(SECOND, _bar_id * 900, TIMESTAMP_NTZ'1970-01-01')"
+    )
+    k = _t(spark, sf_dir, "events").select(
+        "event_type",
+        bar_id.alias("_bar_id"),
+        cents.alias("cents"),
+        skey.alias("skey"),
+    )
+    return (
+        k.groupBy("event_type", "_bar_id")
+        .agg(
+            F.min_by("cents", "skey").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", "skey").alias("close_cents"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            bar_start.alias("bar_start"),
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "fn_month_boundaries",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           last_day(o_orderdate) AS month_end,
+           CAST(o_orderdate + INTERVAL 1 MONTH AS DATE)
+             AS next_month_same_day,
+           CAST(o_orderdate = last_day(o_orderdate) AS BOOLEAN)
+             AS is_month_end
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+)
+def fn_month_boundaries(spark, sf_dir):
+    """Calendar-month arithmetic: month start/end, +1 month with
+    end-of-month clamping (Jan 31 → Feb 29), and a month-end flag —
+    the billing/reporting-period function family.  Both engines share
+    the clamping convention, so the values hash-match exactly."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.trunc("o_orderdate", "month").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months("o_orderdate", 1).alias("next_month_same_day"),
+        (F.col("o_orderdate") == F.last_day("o_orderdate")).alias(
+            "is_month_end"
+        ),
+    )
