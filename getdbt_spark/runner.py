@@ -109,26 +109,63 @@ class Runner:
           LINEAGE, so Catalyst stops re-analyzing the huge inlined
           upstream plans (analysis time dominates small-data DAG runs).
           Triggers a job per model — only for interactive/production
-          runs, never pure build mode.
+          runs, never pure build mode.  Independent models of the same
+          dependency level materialize CONCURRENTLY (driver-side thread
+          pool submitting jobs; Spark schedules them onto idle cores) —
+          the DAG is wide (10+ models per level around the marts), so
+          sequential materialization leaves most of the cluster idle
+          per small job.
         - ``None`` — raw unexecuted DataFrames (plan-inspection mode).
         """
         if reuse not in (None, "persist", "checkpoint"):
             raise ValueError(f"unknown reuse mode {reuse!r}")
         sel = None if select is None else set(select)
         out: dict[str, DataFrame] = {}
-        for m in topo_sort(select, self.registry):
-            df = self.build(m.name, out)
-            if m.config.materialized == "incremental" and self.warehouse:
-                df = self._insert_overwrite(m, df)
-            elif sel is not None and m.name not in sel:
-                if reuse == "persist":
-                    df = df.persist()
-                    self._persisted.append(df)
-                elif reuse == "checkpoint":
-                    df = df.localCheckpoint(eager=True)
-            if self.register_views:
-                df.createOrReplaceTempView(m.name)
-            out[m.name] = df
+        models = topo_sort(select, self.registry)
+        # Dependency level per model (refs resolve within the closure).
+        level_of: dict[str, int] = {}
+        for m in models:
+            level_of[m.name] = 1 + max(
+                (level_of[r] for r in m.refs if r in level_of), default=-1
+            )
+        n_levels = 1 + max(level_of.values(), default=0)
+        for lv in range(n_levels):
+            to_ckpt: list[Model] = []
+            for m in (mm for mm in models if level_of[mm.name] == lv):
+                df = self.build(m.name, out)
+                if m.config.materialized == "incremental" and self.warehouse:
+                    df = self._insert_overwrite(m, df)  # sequential write
+                elif sel is not None and m.name not in sel:
+                    if reuse == "persist":
+                        df = df.persist()
+                        self._persisted.append(df)
+                    elif reuse == "checkpoint":
+                        to_ckpt.append(m)
+                if self.register_views:
+                    df.createOrReplaceTempView(m.name)
+                out[m.name] = df
+            if len(to_ckpt) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(min(8, len(to_ckpt))) as ex:
+                    done = list(
+                        ex.map(
+                            lambda name: out[name].localCheckpoint(
+                                eager=True
+                            ),
+                            [m.name for m in to_ckpt],
+                        )
+                    )
+                for m, df in zip(to_ckpt, done):
+                    if self.register_views:
+                        df.createOrReplaceTempView(m.name)
+                    out[m.name] = df
+            elif to_ckpt:
+                m = to_ckpt[0]
+                df = out[m.name].localCheckpoint(eager=True)
+                if self.register_views:
+                    df.createOrReplaceTempView(m.name)
+                out[m.name] = df
         return out
 
     def track_persisted(self, df: DataFrame) -> DataFrame:
