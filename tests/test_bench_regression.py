@@ -2,9 +2,20 @@
 
 The driver's bench records one number per round but has no memory of
 per-query history; this test is the local regression gate the verdict
-asked for — every headline query must stay within 2× of its recorded
-sf0.01 baseline (plus a 1 s absolute floor so sub-second queries
-don't flake on scheduler noise).
+asked for. Absolute wall-times are not comparable across boots (the
+same commit measured 26 s one boot and 43 s the next with zero code
+change — host contention), so the gate is two-part:
+
+1. **Share gate (strict, machine-independent):** each query's share
+   of the total suite time must stay within 2× of its baseline share
+   (plus a 2-percentage-point floor so tiny queries don't flake).
+   A genuine per-query regression grows that query's share no matter
+   how fast the machine is; a uniform machine slowdown leaves every
+   share unchanged.
+2. **Absolute backstop (loose):** each query must also stay within
+   ``max(4× baseline, baseline + 2 s)`` — catches a uniform
+   catastrophic regression (e.g. codegen disabled globally) that the
+   share gate would normalize away, while tolerating ~2× host noise.
 
 Refreshing the baseline after an intentional change:
 ``SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py`` and
@@ -39,7 +50,7 @@ def test_no_per_query_regression_at_sf001(spark):
     bench._warmup(spark, SF_DIR)
     from getdbt_spark.queries.model_queries import _MODEL_QUERIES, _run_model
 
-    slow: list[str] = []
+    took: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         if name in bench.MODEL_HEADLINE:
@@ -49,9 +60,28 @@ def test_no_per_query_regression_at_sf001(spark):
         else:
             df = QUERIES[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        took = time.perf_counter() - t0
+        took[name] = time.perf_counter() - t0
         spark.catalog.clearCache()
-        budget = max(2.0 * base[name], base[name] + 1.0) if name in base else None
-        if budget is not None and took > budget:
-            slow.append(f"{name}: {took:.2f}s > budget {budget:.2f}s (baseline {base[name]:.2f}s)")
+
+    gated = [n for n in names if n in base]
+    base_total = sum(base[n] for n in gated)
+    now_total = sum(took[n] for n in gated)
+
+    slow: list[str] = []
+    for name in gated:
+        base_share = base[name] / base_total
+        now_share = took[name] / now_total
+        share_budget = max(2.0 * base_share, base_share + 0.02)
+        abs_budget = max(4.0 * base[name], base[name] + 2.0)
+        if now_share > share_budget and took[name] > base[name] + 0.5:
+            slow.append(
+                f"{name}: share {now_share:.1%} > budget {share_budget:.1%} "
+                f"(baseline share {base_share:.1%}; "
+                f"{took[name]:.2f}s vs baseline {base[name]:.2f}s)"
+            )
+        elif took[name] > abs_budget:
+            slow.append(
+                f"{name}: {took[name]:.2f}s > absolute budget {abs_budget:.2f}s "
+                f"(baseline {base[name]:.2f}s)"
+            )
     assert not slow, "per-query bench regression:\n" + "\n".join(slow)
