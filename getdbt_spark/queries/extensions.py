@@ -1661,3 +1661,248 @@ def fn_month_boundaries(spark, sf_dir):
             "is_month_end"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution profiling: histogram, median/mode
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket_id,
+           CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000
+             AS bucket_lo,
+           count(*) AS n_orders,
+           CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Equi-width histogram of order value (50k buckets) — the
+    profiling primitive behind data-quality dashboards and skew
+    diagnosis.  Fixed bucket bounds keep it a single map-combinable
+    aggregation (no min/max pre-pass, no second scan); at 100 TB the
+    shuffle carries one row per bucket per partition.
+    """
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        o.select(
+            bucket.alias("bucket_id"),
+            (bucket * 50000).alias("bucket_lo"),
+            _cents("o_totalprice").alias("cents"),
+        )
+        .groupBy("bucket_id", "bucket_lo")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+@query(
+    "agg_median_mode",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, round(median(l_extendedprice), 4) AS median_price
+      FROM lineitem GROUP BY l_returnflag
+    ), qc AS (
+      SELECT l_returnflag, l_quantity, count(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), md AS (
+      SELECT l_returnflag, l_quantity AS mode_qty
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY l_returnflag ORDER BY c DESC, l_quantity ASC
+            ) AS rn FROM qc)
+      WHERE rn = 1
+    )
+    SELECT med.l_returnflag, med.median_price, md.mode_qty
+    FROM med JOIN md USING (l_returnflag)
+    """,
+)
+def agg_median_mode(spark, sf_dir):
+    """Median and mode per group.  Median is the interpolated 0.5
+    percentile (same convention both engines, rounded through the
+    repo-wide round_to).  Mode is computed explicitly as
+    count-per-value → top-1 with a deterministic tie-break (highest
+    count, then smallest value) — never an engine built-in ``mode()``,
+    whose tie behavior is unspecified and engine-dependent.  Both
+    branches are map-combinable aggregations; the mode's window runs
+    over per-group value counts (|distinct values| rows), not raw
+    data.
+    """
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        E.round_to(F.median("l_extendedprice"), 4).alias("median_price")
+    )
+    qc = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), F.col("l_quantity").asc()
+    )
+    md = (
+        qc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    return med.join(md, "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality anomaly detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT avg(n_events) AS mu, stddev_pop(n_events) AS sigma FROM daily
+    )
+    SELECT d, n_events, round((n_events - mu) / sigma, 6) AS z
+    FROM daily, stats
+    WHERE abs((n_events - mu) / sigma) > 1.5
+    """,
+)
+def dq_anomaly_zscore(spark, sf_dir):
+    """Volume-anomaly detection: flag days whose event count deviates
+    more than 1.5σ from the corpus mean — the freshness/volume test a
+    dq suite runs after every load (complements the schema tests in
+    ``dq.py``).
+
+    The z-score needs global μ/σ, but only over the *daily-aggregate*
+    table (one row per day — thousands of rows at any corpus size), so
+    the global statistics join is a broadcast of a 1-row frame; the
+    raw events contribute one map-combinable count and are never
+    re-shuffled.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("n_events")
+    )
+    stats = daily.agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_pop("n_events").alias("sigma"),
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats))
+        .filter(F.abs(z) > 1.5)
+        .select("d", "n_events", E.round_to(z, 6).alias("z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows: dense_rank with ties
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_dense_rank_ties",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             dense_rank() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY CAST(floor(c_acctbal * 100) AS BIGINT) DESC
+             ) AS rnk
+      FROM customer
+    )
+    SELECT c_mktsegment, c_custkey, bal_cents, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def win_dense_rank_ties(spark, sf_dir):
+    """Top-3 account balances per market segment by dense_rank — ties
+    share a rank and successive ranks stay gapless, so equal-balance
+    customers all surface (row_number would drop all but one
+    arbitrarily).  Ranking runs on exact integer cents: ranking
+    doubles risks engine-dependent tie sets at the ULP level.  Single
+    hash-partition exchange on the segment key; the rank filter is
+    evaluated before any further join fan-out.
+    """
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("bal_cents").desc()
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            _cents("c_acctbal").alias("bal_cents"),
+        )
+        .withColumn("rnk", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sink: merge/upsert incremental strategy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sink_incremental_merge",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(floor(value * 100)) AS BIGINT) AS sum_cents,
+           max(CAST(ts AS DATE)) AS last_seen
+    FROM events GROUP BY user_id
+    """,
+)
+def sink_incremental_merge(spark, sf_dir):
+    """dbt's ``merge`` (upsert-by-key) incremental strategy exercised
+    end-to-end across two runs against one warehouse — the sibling of
+    ``sink_incremental_replay``'s insert_overwrite contract.
+
+    Run 1 loads per-user lifetime aggregates as of anchor−2; run 2
+    recomputes ONLY users active in the trailing 8-day batch window
+    and merges them by ``user_id`` — matched rows replaced, new users
+    inserted, dormant users' rows byte-untouched.  Because every user
+    with post-run-1 activity is in the batch window, the merged table
+    must equal the full-history aggregate, which is exactly what the
+    oracle computes — the equality PROVES the upsert semantics (a
+    dropped update, duplicated key, or lost dormant row each break the
+    hash).
+    """
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from ..io import load_table
+    from ..runner import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        _cents("value").alias("cents"),
+    )
+    anchor = ev.agg(F.max("d")).collect()[0][0]
+
+    def _agg(frame):
+        return frame.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("d").alias("last_seen"),
+        )
+
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        f"getdbt_spark_merge_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    merge_upsert(spark, wh, _agg(ev.filter(F.col("d") <= anchor - _dt.timedelta(days=2))), ["user_id"])
+    active = ev.filter(F.col("d") > anchor - _dt.timedelta(days=8)).select("user_id").distinct()
+    batch = _agg(ev.join(F.broadcast(active), "user_id"))
+    return merge_upsert(spark, wh, batch, ["user_id"])

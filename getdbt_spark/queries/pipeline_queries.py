@@ -1340,3 +1340,202 @@ def text_normalize(spark, sf_dir):
         F.md5(norm).alias("norm_md5"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination / repetition filtering / dataset splitting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS w
+      FROM documents WHERE len(string_split(lower(text), ' ')) >= 3
+    ), grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(
+               [w[i] || '|' || w[i+1] || '|' || w[i+2]
+                for i in range(1, len(w) - 1)])) AS g
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT doc_id AS bench_id, g FROM grams WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT DISTINCT c.doc_id, c.source, b.bench_id
+      FROM grams c JOIN bench b USING (g)
+      WHERE c.doc_id % 97 != 0
+    )
+    SELECT doc_id, source, count(*) AS n_bench_hits
+    FROM hits GROUP BY doc_id, source
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing any
+    word 3-gram with a held-out benchmark set (docs with
+    ``doc_id % 97 == 0`` stand in for an eval suite), reporting how
+    many distinct benchmark documents each one collides with.
+
+    The n-gram-overlap filter every LLM training pipeline runs before
+    training (the reference corpus here has a tiny vocabulary, so
+    3-grams give the realistic ~1/3 contamination rate that 13-grams
+    give on natural text).  Scale shape: the benchmark side is small
+    by construction (eval suites are thousands of docs, not billions),
+    so its exploded gram set is **broadcast** — the corpus side stays
+    map-only through shingling and the hash join, and the only shuffle
+    is the final groupBy over candidate hits, which is bounded by the
+    contaminated subset, not the corpus.
+    """
+    d = _docs(spark, sf_dir)
+    w = P.ws_tokens(F.col("text"))
+    base = d.filter(F.size(w) >= 3).select(
+        "doc_id", "source", F.explode(P.word_shingles(w, 3)).alias("g")
+    )
+    bench = (
+        base.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "g")
+        .distinct()
+    )
+    hits = (
+        base.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id", "source", "bench_id")
+        .distinct()
+    )
+    return hits.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_bench_hits")
+    )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents WHERE len(string_split(lower(text), ' ')) >= 2
+    ), words AS (
+      SELECT doc_id, unnest(w) AS word FROM toks
+    ), wc AS (
+      SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2
+    ), wstat AS (
+      SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_word_frac
+      FROM wc GROUP BY doc_id
+    ), grams AS (
+      SELECT doc_id,
+             [w[i] || '|' || w[i+1] for i in range(1, len(w))] AS g
+      FROM toks
+    ), gstat AS (
+      SELECT doc_id,
+             round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 6)
+               AS dup_bigram_frac
+      FROM grams
+    )
+    SELECT w.doc_id, w.top_word_frac, g.dup_bigram_frac,
+           (w.top_word_frac > 0.12 OR g.dup_bigram_frac > 0.06)
+             AS is_repetitive
+    FROM wstat w JOIN gstat g USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Repetition-based quality filtering (the Gopher/MassiveText rule
+    family): fraction of tokens taken by the single most frequent
+    word, and the duplicate word-bigram fraction, with a combined
+    repetitiveness flag.
+
+    Two scale-safe branches joined on doc_id: the top-word branch is
+    explode → two map-combinable aggregations (never a per-doc
+    O(vocab²) HOF — linear at any doc length); the bigram branch
+    stays un-exploded, computing distinct/total ratios with array
+    HOFs inside codegen on the document row.  Thresholds (0.12 /
+    0.06) are calibrated to the synthetic corpus the same way
+    Gopher's 0.2 / 0.2 are calibrated to web text.
+    """
+    d = _docs(spark, sf_dir)
+    w = P.ws_tokens(F.col("text"))
+    toks = d.filter(F.size(w) >= 2).select("doc_id", w.alias("w"))
+    wstat = (
+        toks.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            E.round_to(
+                F.max("c").cast("double") / F.sum("c"), 6
+            ).alias("top_word_frac")
+        )
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("w")) - 1),
+        lambda i: F.concat_ws(
+            "|", F.element_at("w", i), F.element_at("w", i + 1)
+        ),
+    )
+    gstat = toks.select(
+        "doc_id",
+        E.round_to(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double")
+            / F.size(grams),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+    return wstat.join(gstat, "doc_id").select(
+        "doc_id",
+        "top_word_frac",
+        "dup_bigram_frac",
+        (
+            (F.col("top_word_frac") > 0.12)
+            | (F.col("dup_bigram_frac") > 0.06)
+        ).alias("is_repetitive"),
+    )
+
+
+@query(
+    "sample_train_test_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT source, n_chars,
+             CASE
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT % 10 < 8 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT % 10 = 8 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT split, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM tagged GROUP BY split, source
+    """,
+)
+def sample_train_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by hashed doc id,
+    summarized per split × source.
+
+    The split decision is a pure function of the stable id (portable
+    60-bit md5 prefix, no RNG state), so membership is reproducible
+    run-to-run, engine-to-engine, and under repartitioning — the
+    property that matters when the split must stay frozen across
+    months of pipeline reruns.  Map-only tag + one map-combinable
+    aggregation; the filter form (``split = 'train'``) is sargable
+    enough to push into a scan when the tag is materialized as a
+    partition column.
+    """
+    d = _docs(spark, sf_dir)
+    bucket = P.md5_long(F.col("doc_id").cast("string")) % 10
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            E.round_to(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )

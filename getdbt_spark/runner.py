@@ -204,3 +204,47 @@ class Runner:
             .parquet(path)
         )
         return self.spark.read.parquet(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """dbt's ``merge`` incremental strategy on a plain-parquet
+    warehouse: rows in ``new_df`` replace same-key rows in the
+    existing table, new keys append (the reference's dbt config
+    surface supports this strategy even though its own models use
+    ``insert_overwrite``; see ``streams_daily_v4.sql:1-22`` for the
+    strategy declaration site).
+
+    Plain parquet has no ACID MERGE, so this is merge-by-rewrite:
+    ``existing LEFT ANTI JOIN new-keys`` ∪ ``new_df`` → staging dir →
+    atomic directory swap.  The anti join broadcasts the *distinct
+    updated-key set* — a daily batch's keys, small relative to the
+    table by construction (AQE demotes to shuffle if not) — so the
+    existing side is map-only.  On a real lakehouse this function is
+    the seam where Delta/Iceberg ``MERGE INTO`` plugs in, which also
+    makes the rewrite partition-scoped instead of full-table.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(path):
+        new_df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    existing = spark.read.parquet(path)
+    new_keys = new_df.select(*keys).distinct()
+    merged = existing.join(F.broadcast(new_keys), keys, "left_anti").unionByName(
+        new_df
+    )
+    staging = path.rstrip("/") + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    retired = path.rstrip("/") + ".retired"
+    shutil.rmtree(retired, ignore_errors=True)
+    os.rename(path, retired)
+    os.rename(staging, path)
+    shutil.rmtree(retired, ignore_errors=True)
+    return spark.read.parquet(path)

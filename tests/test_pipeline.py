@@ -298,3 +298,113 @@ def test_connected_components_random_graph_vs_union_find(spark):
         r["id"]: r["comp"] for r in P.connected_components(pairs).collect()
     }
     assert got == want
+
+
+def test_decontaminate_flags_only_true_overlaps(spark, docs):
+    """Every flagged doc genuinely shares a word 3-gram with the
+    benchmark set, no benchmark doc is flagged, and the hit counts
+    never exceed the benchmark size."""
+    from getdbt_spark.queries.pipeline_queries import text_decontaminate
+
+    out = text_decontaminate(spark, SF).collect()
+    bench = {
+        r.doc_id: set(r.g)
+        for r in docs.select(
+            "doc_id",
+            P.word_shingles(P.ws_tokens(F.col("text")), 3).alias("g"),
+        ).collect()
+        if r.doc_id % 97 == 0
+    }
+    corpus = {
+        r.doc_id: set(r.g)
+        for r in docs.select(
+            "doc_id",
+            P.word_shingles(P.ws_tokens(F.col("text")), 3).alias("g"),
+        ).collect()
+    }
+    for row in out:
+        assert row.doc_id % 97 != 0
+        true_hits = sum(
+            1 for g in bench.values() if corpus[row.doc_id] & g
+        )
+        assert row.n_bench_hits == true_hits > 0
+
+
+def test_repetition_stats_bounds_and_extremes(spark):
+    """Fractions stay in [0,1]; a fully repeated doc maxes both
+    metrics, an all-distinct doc zeroes the bigram metric."""
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["text_repetition_stats"](spark, SF)
+    bad = df.filter(
+        (F.col("top_word_frac") < 0)
+        | (F.col("top_word_frac") > 1)
+        | (F.col("dup_bigram_frac") < 0)
+        | (F.col("dup_bigram_frac") > 1)
+    )
+    assert bad.count() == 0
+
+    probe = spark.createDataFrame(
+        [(1, "a a a a a a"), (2, "b c d e f g")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in _repetition_over(spark, probe).collect()
+    }
+    assert rows[1].top_word_frac == 1.0 and rows[1].dup_bigram_frac > 0.7
+    assert rows[2].top_word_frac < 0.2 and rows[2].dup_bigram_frac == 0.0
+
+
+def _repetition_over(spark, probe):
+    """Run the repetition metric formula over an in-memory frame (the
+    registered query is bound to the documents table; the formula is
+    re-applied here to characterize extremes)."""
+    from getdbt_spark import functions as E
+
+    w = P.ws_tokens(F.col("text"))
+    toks = probe.filter(F.size(w) >= 2).select("doc_id", w.alias("w"))
+    wstat = (
+        toks.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            E.round_to(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                "top_word_frac"
+            )
+        )
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("w")) - 1),
+        lambda i: F.concat_ws(
+            "|", F.element_at("w", i), F.element_at("w", i + 1)
+        ),
+    )
+    gstat = toks.select(
+        "doc_id",
+        E.round_to(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+    return wstat.join(gstat, "doc_id")
+
+
+def test_train_test_split_partitions_every_doc_once(spark, docs):
+    """Split shares are ~80/10/10, every doc lands in exactly one
+    split, and membership is stable across two runs."""
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    agg = QUERIES["sample_train_test_split"](spark, SF)
+    totals = {}
+    for r in agg.collect():
+        totals[r.split] = totals.get(r.split, 0) + r.n_docs
+    n = docs.count()
+    assert sum(totals.values()) == n
+    assert 0.6 * n <= totals.get("train", 0) <= 0.95 * n
+    a = agg.collect()
+    b = QUERIES["sample_train_test_split"](spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

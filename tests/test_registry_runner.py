@@ -247,3 +247,33 @@ class TestIncrementalInsertOverwrite:
         rows = [(D.isoformat(), "k", 5)]
         out = Runner(spark, {("raw", "events"): _events(spark, rows)}, D, None, reg).run()
         assert out["daily"].collect()[0]["total"] == 5
+
+
+class TestMergeUpsert:
+    def test_update_insert_and_dormant_rows(self, spark, tmp_path):
+        """merge_upsert replaces matched keys, appends new keys, and
+        leaves unmatched rows exactly as written by the prior run."""
+        from getdbt_spark.runner import merge_upsert
+
+        path = str(tmp_path / "tbl")
+        r1 = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k int, v int"
+        )
+        merge_upsert(spark, path, r1, ["k"])
+        r2 = spark.createDataFrame([(2, 99), (4, 40)], "k int, v int")
+        out = merge_upsert(spark, path, r2, ["k"])
+        got = {(r.k, r.v) for r in out.collect()}
+        assert got == {(1, 10), (2, 99), (3, 30), (4, 40)}
+        # idempotent re-merge of the same batch changes nothing
+        again = merge_upsert(spark, path, r2, ["k"])
+        assert {(r.k, r.v) for r in again.collect()} == got
+
+    def test_no_staging_or_retired_dirs_left(self, spark, tmp_path):
+        from getdbt_spark.runner import merge_upsert
+
+        path = str(tmp_path / "tbl")
+        df = spark.createDataFrame([(1, 1)], "k int, v int")
+        merge_upsert(spark, path, df, ["k"])
+        merge_upsert(spark, path, df, ["k"])
+        assert not os.path.exists(path + ".staging")
+        assert not os.path.exists(path + ".retired")
