@@ -1906,3 +1906,185 @@ def sink_incremental_merge(spark, sf_dir):
     active = ev.filter(F.col("d") > anchor - _dt.timedelta(days=8)).select("user_id").distinct()
     batch = _agg(ev.join(F.broadcast(active), "user_id"))
     return merge_upsert(spark, wh, batch, ["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# Provenance, running totals, bit/hash functions, union-by-name
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_file_provenance",
+    oracle="""
+    SELECT 'orders.parquet' AS file_name, count(*) AS n_rows FROM orders
+    UNION ALL
+    SELECT 'customer.parquet', count(*) FROM customer
+    UNION ALL
+    SELECT 'lineitem.parquet', count(*) FROM lineitem
+    """,
+)
+def scan_file_provenance(spark, sf_dir):
+    """Per-source-file row accounting via the ``_metadata.file_name``
+    pseudo-column — the lineage/debugging primitive behind "which
+    input file produced this row" investigations and per-file
+    completeness checks after a bulk load.
+
+    ``_metadata`` is served by the parquet reader itself (no extra
+    column in the data, no second scan); the aggregation is
+    map-combinable with one row per file.  At 100 TB this is how you
+    audit a 100k-file ingest without an external manifest.  Reads the
+    scan relation directly (pseudo-columns attach to the file scan,
+    not to derived frames).
+    """
+    out = None
+    for t in ("orders", "customer", "lineitem"):
+        part = (
+            spark.read.parquet(f"{sf_dir.rstrip('/')}/{t}.parquet")
+            .select(F.col("_metadata.file_name").alias("file_name"))
+            .groupBy("file_name")
+            .agg(F.count("*").alias("n_rows"))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@query(
+    "win_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(sum(floor(o_totalprice * 100)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS running_cents
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    """,
+)
+def win_running_total(spark, sf_dir):
+    """Per-customer running spend — the cumulative-balance window
+    every ledger/statement pipeline computes.  Totals run on exact
+    integer cents (double cumsum is order-sensitive at the ULP level);
+    the ORDER BY includes the unique order key so ties on date have
+    one deterministic accumulation order on both engines.  One
+    exchange on the partition key; the running frame is the default
+    streaming-friendly ROWS UNBOUNDED PRECEDING.
+    """
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        _cents("o_totalprice").alias("cents"),
+    ).withColumn("running_cents", F.sum("cents").over(w))
+
+
+@query(
+    "fn_bitops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_partkey & l_suppkey AS b_and,
+           l_partkey | l_suppkey AS b_or,
+           xor(l_partkey, l_suppkey) AS b_xor,
+           l_partkey << 2 AS b_shl,
+           l_partkey >> 2 AS b_shr,
+           CAST(bit_count(l_partkey) AS INT) AS b_pop,
+           bin(l_linenumber) AS b_bin
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def fn_bitops(spark, sf_dir):
+    """Bitwise function family (and/or/xor/shifts/popcount/binary
+    repr) — flag packing, bitmap membership, and hash mixing all lean
+    on these.  Pure codegen'd expressions, map-only."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    p, s = F.col("l_partkey"), F.col("l_suppkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        p.bitwiseAND(s).alias("b_and"),
+        p.bitwiseOR(s).alias("b_or"),
+        p.bitwiseXOR(s).alias("b_xor"),
+        F.shiftleft(p, 2).cast("long").alias("b_shl"),
+        F.shiftright(p, 2).cast("long").alias("b_shr"),
+        F.bit_count(p).alias("b_pop"),
+        F.bin("l_linenumber").alias("b_bin"),
+    )
+
+
+@query(
+    "fn_hash_family",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS h_md5,
+           sha256(c_name) AS h_sha256,
+           substr(md5(c_name || '|' || c_mktsegment), 1, 16) AS h_composite
+    FROM customer WHERE c_custkey % 20 = 0
+    """,
+)
+def fn_hash_family(spark, sf_dir):
+    """Cryptographic-hash function family over strings: md5, sha-256,
+    and a composite-key digest — surrogate keys, change detection,
+    and PII tokenization all reduce to these.  Hex output is
+    lowercase on both engines, so values hash-match byte-for-byte
+    (unlike engine-native ``hash()``/``xxhash64``, which are
+    implementation-defined — the repo rule is portable digests only).
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 0)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.sha2(F.col("c_name"), 256).alias("h_sha256"),
+        F.substring(
+            F.md5(F.concat_ws("|", "c_name", "c_mktsegment")), 1, 16
+        ).alias("h_composite"),
+    )
+
+
+@query(
+    "setop_union_by_name",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+           NULL::VARCHAR AS segment
+    FROM orders WHERE o_orderkey % 200 = 0
+    UNION ALL BY NAME
+    SELECT c_custkey AS k, c_mktsegment AS segment,
+           NULL::VARCHAR AS status, NULL::BIGINT AS cents
+    FROM customer WHERE c_custkey % 50 = 0
+    """,
+)
+def setop_union_by_name(spark, sf_dir):
+    """Schema-aligned union by COLUMN NAME with missing columns
+    NULL-padded (``unionByName(allowMissingColumns=True)``) — the
+    safe way to stack heterogeneous branches; positional UNION ALL
+    silently mis-binds when branch column orders drift (SURVEY §7's
+    "untyped NULL pads" hazard, solved structurally here).  Pure
+    concatenation: no shuffle, no type discovery at runtime.
+    """
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 200 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            _cents("o_totalprice").alias("cents"),
+        )
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 50 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return o.unionByName(c, allowMissingColumns=True)
