@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import functions as E
+from .. import pipeline as P
 from ..io import load_table
 from . import query
 
@@ -2088,3 +2089,90 @@ def setop_union_by_name(spark, sf_dir):
         )
     )
     return o.unionByName(c, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog sketch (oracle-checkable approximate distinct)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_hll_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag, l_partkey,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM lineitem
+    ), b AS (
+      SELECT l_returnflag, hv % 256 AS bucket,
+             max(CASE WHEN hv // 256 = 0 THEN 53
+                 ELSE 53 - length(bin(hv // 256)) END) AS mj
+      FROM h GROUP BY 1, 2
+    ), s AS (
+      SELECT l_returnflag,
+             sum(power(2.0, -mj)) + (256 - count(*)) AS ssum,
+             256 - count(*) AS v
+      FROM b GROUP BY 1
+    ), ex AS (
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+      FROM lineitem GROUP BY 1
+    )
+    SELECT s.l_returnflag, ex.n_exact,
+           round(CASE
+             WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / ssum <= 640
+                  AND v > 0
+             THEN 256 * ln(256.0 / v)
+             ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / ssum
+           END, 3) AS n_hll
+    FROM s JOIN ex USING (l_returnflag)
+    """,
+)
+def agg_hll_sketch(spark, sf_dir):
+    """HyperLogLog distinct-count sketch built from first principles on
+    a PORTABLE hash — so, unlike ``approx_count_distinct`` (whose
+    engine-native sketch can never be oracle-checked), the estimate is
+    bit-identical on both engines and this approximate operator gets a
+    full hash-green correctness row.
+
+    m=256 registers; register = md5-60bit % m, rank = leading-zero
+    count of the remaining 52 bits (+1) via ``length(bin(w))``;
+    standard bias correction α_m·m²/Σ2^(−M_j) with the linear-counting
+    small-range branch (Flajolet et al. 2007).  Scale shape: one
+    map-combinable max per (group, register) — the shuffle carries at
+    most groups×256 rows regardless of input size, THE reason HLL is
+    the 100 TB distinct-count operator; the exact DISTINCT column here
+    exists only to expose the sketch's error and would be dropped in
+    production.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    hv = P.md5_long(F.col("l_partkey").cast("string"))
+    w = F.floor(hv / 256).cast("long")
+    rho = F.when(w == 0, F.lit(53)).otherwise(53 - F.length(F.bin(w)))
+    b = (
+        li.select(
+            "l_returnflag",
+            (hv % 256).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    s = b.groupBy("l_returnflag").agg(
+        (F.sum(F.pow(F.lit(2.0), -F.col("mj"))) + (256 - F.count("*"))).alias(
+            "ssum"
+        ),
+        (256 - F.count("*")).alias("v"),
+    )
+    alpha_m2 = (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+    raw = F.lit(alpha_m2) / F.col("ssum")
+    est = F.when(
+        (raw <= 640) & (F.col("v") > 0),
+        256 * F.log(256.0 / F.col("v")),
+    ).otherwise(raw)
+    ex = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_exact")
+    )
+    return s.join(ex, "l_returnflag").select(
+        "l_returnflag", "n_exact", E.round_to(est, 3).alias("n_hll")
+    )

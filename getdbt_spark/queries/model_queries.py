@@ -829,3 +829,35 @@ def streaming_dedup_replays(spark, sf_dir):
         "ts",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
+
+
+@query(
+    "streaming_sliding_stats",
+    oracle="""
+    WITH buckets AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                     time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE])
+               AS win_start
+      FROM events
+    )
+    SELECT win_start, win_start + INTERVAL 10 MINUTE AS win_end,
+           event_type, count(*) AS n_events,
+           round(sum(CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
+             AS total_value
+    FROM buckets
+    GROUP BY win_start, event_type
+    """,
+)
+def streaming_sliding_stats(spark, sf_dir):
+    """Sliding 10-min/5-min windowed rollup via the native overlapping
+    ``F.window`` generator (getdbt_spark/streaming.py
+    sliding_window_stats) — each event contributes to exactly two
+    windows.  The oracle is the two-shifted-bucket rewrite (every
+    event's enclosing window starts are its 5-min floor and that
+    minus 5 minutes), proving the generator's assignment row for row.
+    The same function runs under readStream + watermark
+    (stream/batch parity in tests/test_streaming.py)."""
+    from ..streaming import sliding_window_stats
+
+    return sliding_window_stats(_t(spark, sf_dir, "events"))

@@ -338,3 +338,56 @@ def dedup_replays(events: DataFrame) -> DataFrame:
         else wm.dropDuplicates(["event_id"])
     )
     return deduped.select("event_id", "user_id", "event_type", "ts", "value")
+
+
+def sliding_window_stats(events: DataFrame) -> DataFrame:
+    """Overlapping sliding-window rollup: 10-minute windows advancing
+    every 5 minutes, per event type — the moving-rate / trend surface
+    a monitoring stream maintains (each event lands in exactly two
+    windows).
+
+    Same unified-API + TZ discipline as ``daily_event_stats``: the
+    NTZ event time is shifted so its UTC face equals the wall clock,
+    the native ``F.window(ts, '10 minutes', '5 minutes')`` generator
+    assigns both enclosing windows, and the reported bounds are cast
+    back to wall-clock NTZ.  Streaming-legal as-is (watermark closes
+    a window once events >8 days late are impossible); in batch the
+    watermark is a no-op and the DuckDB oracle checks the same rows
+    via the two-shifted-bucket rewrite.  One shuffle on
+    (window, event_type); the window fan-out is exactly 2×, applied
+    map-side before the combine.
+    """
+    shifted = events.withColumn(
+        "ts_evt",
+        F.from_utc_timestamp(
+            F.col("ts").cast("timestamp"), F.expr("current_timezone()")
+        ),
+    )
+    return (
+        shifted.withWatermark("ts_evt", WATERMARK)
+        .groupBy(
+            F.window("ts_evt", "10 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .select(
+            # Inverse of the input shift: w.start's UTC face is the
+            # wall-clock bucket, but a bare NTZ cast renders the
+            # SESSION-TZ face (+1h/+2h drift); to_utc_timestamp
+            # restores the wall clock before the NTZ cast.
+            F.to_utc_timestamp(F.col("w.start"), F.expr("current_timezone()"))
+            .cast("timestamp_ntz")
+            .alias("win_start"),
+            F.to_utc_timestamp(F.col("w.end"), F.expr("current_timezone()"))
+            .cast("timestamp_ntz")
+            .alias("win_end"),
+            "event_type",
+            "n_events",
+            E.round_to(F.col("total_cents") / 100.0, 2).alias("total_value"),
+        )
+    )

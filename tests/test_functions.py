@@ -299,3 +299,15 @@ def test_round_to_matches_duckdb_round_on_random_doubles(spark):
             f"ndigits={nd}: {np.count_nonzero(~same)} mismatches, e.g. "
             f"{vals[~same][:3]} -> {got[~same][:3]} vs {want[~same][:3]}"
         )
+
+
+def test_hll_sketch_error_bounded(spark):
+    """The hand-rolled portable HLL lands within 3σ of the exact
+    distinct count (σ = 1.04/√m ≈ 6.5% at m=256)."""
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["agg_hll_sketch"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.n_hll - r.n_exact) / r.n_exact < 0.195

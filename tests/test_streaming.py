@@ -183,3 +183,24 @@ def test_dedup_replays_stream_matches_batch(spark, events_dir, tmp_path):
     )
     assert key(got.collect()) == key(want.collect())
     assert got.count() == batch.count()
+
+
+def test_sliding_window_stream_matches_batch(spark, events_dir):
+    """The overlapping F.window generator assigns each event to the
+    same two windows on the streaming and static paths, and the
+    total event mass doubles exactly (2 windows per event)."""
+    from getdbt_spark.streaming import sliding_window_stats
+
+    path, src = events_dir
+    got = run_available_now(
+        spark, path, src, "t_sliding", transform=sliding_window_stats
+    )
+    want = sliding_window_stats(spark.read.parquet(path))
+    key = lambda rows: sorted(
+        (r["win_start"], r["win_end"], r["event_type"],
+         r["n_events"], r["total_value"])
+        for r in rows
+    )
+    assert key(got.collect()) == key(want.collect())
+    n_raw = spark.read.parquet(path).count()
+    assert sum(r["n_events"] for r in want.collect()) == 2 * n_raw
