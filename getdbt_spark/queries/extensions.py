@@ -2176,3 +2176,83 @@ def agg_hll_sketch(spark, sf_dir):
     return s.join(ex, "l_returnflag").select(
         "l_returnflag", "n_exact", E.round_to(est, 3).alias("n_hll")
     )
+
+
+@query(
+    "win_ewma_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE user_id % 10 = 0
+      GROUP BY 1, 2
+    ), seq AS (
+      SELECT user_id, d, cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS i
+      FROM daily
+    ), scaled AS (
+      SELECT user_id, d, cents, i,
+             cents * power(0.8, -i) AS y,
+             first_value(cents) OVER (
+               PARTITION BY user_id ORDER BY i
+             ) AS x1
+      FROM seq
+    )
+    SELECT user_id, d, cents,
+           round(power(0.8, i) * (
+             0.2 * (sum(y) OVER (PARTITION BY user_id ORDER BY i
+                                 ROWS UNBOUNDED PRECEDING)
+                    - x1 * power(0.8, -1))
+             + x1 * power(0.8, -1)
+           ) / 100.0, 4) AS ewma_value
+    FROM scaled
+    """,
+)
+def win_ewma_daily(spark, sf_dir):
+    """Exponentially weighted moving average of daily per-user spend
+    (α = 0.2, seeded at the first observation) — the trend-smoothing
+    window behind rate limiting and anomaly baselines.
+
+    EWMA's recursion is order-dependent, which windows can't express
+    directly; the closed form used here rescales each term by
+    (1−α)^(−i) so the recursion becomes ONE running sum over the
+    sequence (single exchange on user_id, same frame as any cumsum).
+    The rescaling grows exponentially, so the operator contract bounds
+    the series length — daily grain over a bounded replay window
+    (30 points ⇒ 0.8^(−30) ≈ 800, far inside double range); for
+    unbounded streams the segmented variant (restart the scaling every
+    K rows) is the documented extension.  Results rounded to 4
+    decimals: both engines evaluate the identical expression tree
+    sequentially per partition.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    wo = Window.partitionBy("user_id").orderBy("d")
+    seq = daily.withColumn("i", F.row_number().over(wo))
+    scaled = seq.select(
+        "user_id",
+        "d",
+        "cents",
+        "i",
+        (F.col("cents") * F.pow(F.lit(0.8), -F.col("i"))).alias("y"),
+        F.first("cents").over(wo).alias("x1"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    y1 = F.col("x1") * F.pow(F.lit(0.8), -1)
+    ewma = F.pow(F.lit(0.8), F.col("i")) * (
+        0.2 * (F.sum("y").over(run) - y1) + y1
+    )
+    return scaled.select(
+        "user_id",
+        "d",
+        "cents",
+        E.round_to(ewma / 100.0, 4).alias("ewma_value"),
+    )

