@@ -2256,3 +2256,226 @@ def win_ewma_daily(spark, sf_dir):
         "cents",
         E.round_to(ewma / 100.0, 4).alias("ewma_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: funnels and retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_funnel_steps",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS t_purchase
+      FROM events GROUP BY user_id
+    ), flags AS (
+      SELECT user_id,
+             (t_view IS NOT NULL) AS s1,
+             (t_view IS NOT NULL AND t_click > t_view) AS s2,
+             (t_view IS NOT NULL AND t_click > t_view
+              AND t_purchase > t_click) AS s3
+      FROM per_user
+    )
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS n_view,
+           sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS n_view_click,
+           sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS n_full_funnel,
+           round(sum(CASE WHEN s3 THEN 1 ELSE 0 END)::DOUBLE
+                 / nullif(sum(CASE WHEN s1 THEN 1 ELSE 0 END), 0), 6)
+             AS conversion
+    FROM flags
+    """,
+)
+def agg_funnel_steps(spark, sf_dir):
+    """Ordered funnel analysis: users whose FIRST view precedes their
+    first click precedes their first purchase — the product-analytics
+    staple.  The sequence constraint compiles to one conditional-min
+    aggregation per step followed by scalar comparisons: a single
+    map-combinable pass over the event stream, no self-joins, no
+    per-user sorting (the min-per-step trick is why funnels stay
+    linear at 100 TB where the naive k-way self-join is k-fold
+    quadratic).  NULL semantics give strict ordering for free: a
+    missing step yields NULL > / < comparisons = false on both
+    engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    flags = per_user.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))
+    return flags.agg(
+        F.count("*").alias("n_users"),
+        cnt("s1").alias("n_view"),
+        cnt("s2").alias("n_view_click"),
+        cnt("s3").alias("n_full_funnel"),
+        E.round_to(
+            cnt("s3").cast("double") / F.nullif(cnt("s1"), F.lit(0)), 6
+        ).alias("conversion"),
+    )
+
+
+@query(
+    "agg_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id,
+             date_diff('day', f.first_day, CAST(e.ts AS DATE)) // 7
+               AS week_offset,
+             f.first_day
+      FROM events e JOIN firsts f USING (user_id)
+    ), cohorts AS (
+      SELECT date_trunc('week', first_day) AS cohort_week,
+             week_offset, count(*) AS n_active
+      FROM activity GROUP BY 1, 2
+    ), base AS (
+      SELECT cohort_week, n_active AS cohort_size
+      FROM cohorts WHERE week_offset = 0
+    )
+    SELECT c.cohort_week, CAST(c.week_offset AS BIGINT) AS week_offset,
+           c.n_active,
+           round(c.n_active::DOUBLE / b.cohort_size, 6) AS retention
+    FROM cohorts c JOIN base b USING (cohort_week)
+    """,
+)
+def agg_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen week,
+    tracked by activity in each subsequent 7-day offset bucket, with
+    retention normalized to the cohort's week-0 size.
+
+    Three map-combinable aggregations chained on already-reduced
+    frames (user-grain, then cohort-grain); the base-size join is over
+    the cohort dimension (weeks — tiny, broadcast).  The raw event
+    stream is touched exactly twice (first-seen min and the distinct
+    activity projection), both pushdown-friendly single passes —
+    the shape that keeps cohort dashboards cheap over years of
+    events.  Offsets bucket by elapsed days/7 from the user's OWN
+    first day (not calendar weeks), the convention that makes week-0
+    retention exactly 1.0.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", "first_day")
+            .cast("date")
+            .alias("cohort_week"),
+            F.floor(F.datediff("d", "first_day") / 7).alias("week_offset"),
+        )
+        .distinct()
+    )
+    cohorts = activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
+    base = cohorts.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return cohorts.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        F.col("week_offset").cast("long").alias("week_offset"),
+        "n_active",
+        E.round_to(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention"),
+    )
+
+
+@query(
+    "sink_cdc_changelog",
+    oracle="""
+    WITH old_snap AS (
+      SELECT user_id, count(*) AS n, sum(CAST(floor(value*100) AS BIGINT))
+               AS cents
+      FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
+      GROUP BY user_id
+    ), new_snap AS (
+      SELECT user_id, count(*) AS n, sum(CAST(floor(value*100) AS BIGINT))
+               AS cents
+      FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-11'
+      GROUP BY user_id
+    )
+    SELECT coalesce(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           o.n AS old_n, o.cents AS old_cents,
+           n.n AS new_n, n.cents AS new_cents
+    FROM old_snap o FULL OUTER JOIN new_snap n USING (user_id)
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+          OR o.n != n.n OR o.cents != n.cents
+    """,
+)
+def sink_cdc_changelog(spark, sf_dir):
+    """Change-data-capture between two warehouse snapshots: emit an
+    insert/update/delete changelog keyed by user — the diff feed a
+    downstream incremental consumer (or an SCD2 snapshot, see
+    ``snapshots.py``) applies instead of re-reading the full table.
+
+    Snapshot diffing is ONE full outer hash join on the key plus a
+    changed-row filter — no sorting, no window — and both sides are
+    already aggregate-grain (small relative to raw events).  Identical
+    no-op rows are dropped before they shuffle anywhere downstream;
+    at 100 TB the changelog is proportional to the churn, not the
+    table.  (Two fixed snapshot windows stand in for "yesterday's
+    table vs today's" so the oracle can reproduce both sides.)
+    """
+    import datetime as _dt
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def snap(pred):
+        return ev.filter(pred).groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("cents").alias("cents")
+        )
+
+    old = snap(F.col("d") <= _dt.date(2024, 1, 20)).select(
+        "user_id", F.col("n").alias("old_n"), F.col("cents").alias("old_cents")
+    )
+    new = snap(F.col("d") >= _dt.date(2024, 1, 11)).select(
+        "user_id", F.col("n").alias("new_n"), F.col("cents").alias("new_cents")
+    )
+    j = old.join(new, "user_id", "full_outer")
+    op = (
+        F.when(F.col("old_n").isNull(), F.lit("insert"))
+        .when(F.col("new_n").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    changed = (
+        F.col("old_n").isNull()
+        | F.col("new_n").isNull()
+        | (F.col("old_n") != F.col("new_n"))
+        | (F.col("old_cents") != F.col("new_cents"))
+    )
+    return j.filter(changed).select(
+        "user_id", op.alias("op"),
+        "old_n", "old_cents", "new_n", "new_cents",
+    )
