@@ -44,6 +44,10 @@ PIPELINE_HEADLINE = [
     "emb_knn_classify",         # kNN vote classification (composed)
     "pack_token_budget",        # sequence packing (single-exchange window)
     "text_quality_score",
+    "text_decontaminate",       # benchmark n-gram overlap (broadcast bench side)
+    "dedup_containment",        # rare-gram-blocked asymmetric containment
+    "text_perplexity_proxy",    # unigram surprisal (broadcast vocab join)
+    "agg_hll_sketch",           # portable HLL (bounded-shuffle distinct)
 ]
 # End-to-end model-DAG shapes (round 2+): the incremental stream model
 # and the full dashboard (builds the whole 22-model DAG under one action).

@@ -1593,10 +1593,19 @@ def dedup_containment(spark, sf_dir):
     blocking in dedup literature).  Verification ships the two
     (distinct-gram) arrays per candidate and intersects them JVM-side.
     """
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir)
     w = P.ws_tokens(F.col("text"))
-    sh = d.filter(F.size(w) >= 3).select(
-        "doc_id", P.word_shingles(w, 3).alias("s")
+    # The shingle table feeds FIVE consumers (df counts, both sides of
+    # the candidate self-join, both sides of the verify join) — persist
+    # it once rather than re-shingling the corpus per branch (the same
+    # policy as the minhash/ngram builders; the sweep harness clears
+    # cache post-action).
+    sh = (
+        d.filter(F.size(w) >= 3)
+        .select("doc_id", P.word_shingles(w, 3).alias("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     g = sh.select("doc_id", F.explode("s").alias("gram"))
     df_c = g.groupBy("gram").agg(F.count("*").alias("dfc"))
