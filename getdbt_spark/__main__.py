@@ -1,0 +1,201 @@
+"""``python -m getdbt_spark`` — the dbt-shaped command-line surface.
+
+The reference project is driven entirely through the dbt CLI
+(``dbt run`` / ``dbt test`` / ``dbt seed`` / ``dbt snapshot``; see the
+reference's ``dbt_project.yml`` capability directories).  A user
+switching engines keeps the same verbs:
+
+    python -m getdbt_spark ls
+    python -m getdbt_spark run  [--select m ...] [--warehouse DIR]
+    python -m getdbt_spark test [--select m ...]
+    python -m getdbt_spark seed
+    python -m getdbt_spark snapshot --source dim_poms_episodes \
+        --key mid --check-cols titles --warehouse DIR
+    python -m getdbt_spark sql "SELECT ... FROM <model view>"
+
+Every subcommand builds on the library API (``api.py``, ``dq.py``,
+``seeds.py``, ``snapshots.py``) — the CLI adds argument parsing and
+printing only, so anything the CLI can do is equally scriptable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _spark(cpus: int = 8):
+    from .session import get_spark
+
+    return get_spark("getdbt_spark_cli", master=f"local[{cpus}]",
+                     shuffle_partitions=cpus)
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="getdbt_spark", description=__doc__.splitlines()[0]
+    )
+    p.add_argument("--sf-dir", default=DEFAULT_SF_DIR,
+                   help="source-table directory (parquet per table)")
+    p.add_argument("--cpus", type=int, default=8, help="local cores")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("ls", help="list models in dependency order")
+
+    runp = sub.add_parser("run", help="materialize the model DAG")
+    runp.add_argument("--select", nargs="*", default=None)
+    runp.add_argument("--warehouse", default=None)
+    runp.add_argument("--run-date", default=None,
+                      help="YYYY-MM-DD anchor (default: max event date)")
+
+    testp = sub.add_parser("test", help="run declared dq tests")
+    testp.add_argument("--select", nargs="*", default=None)
+
+    sub.add_parser("seed", help="load declared CSV seeds")
+
+    snapp = sub.add_parser("snapshot", help="SCD2 snapshot of a source")
+    snapp.add_argument("--source", required=True,
+                       help="fixture/source model name")
+    snapp.add_argument("--key", required=True)
+    snapp.add_argument("--check-cols", nargs="+", required=True)
+    snapp.add_argument("--warehouse", required=True)
+
+    sqlp = sub.add_parser("sql", help="ad-hoc SQL over model views")
+    sqlp.add_argument("query")
+    sqlp.add_argument("--select", nargs="*", default=None,
+                      help="models to materialize first (default: all)")
+    return p
+
+
+def cmd_ls(args, out) -> int:
+    from . import models as M
+    from .registry import MODELS, topo_sort
+
+    M.load_all()
+    for m in topo_sort(None, MODELS):
+        cfg = m.config
+        out.write(
+            f"{m.name:55s} {cfg.materialized:12s} "
+            f"{(cfg.schema or '-'):10s} refs={len(m.refs)}\n"
+        )
+    return 0
+
+
+def cmd_run(args, out) -> int:
+    from . import api
+
+    spark = _spark(args.cpus)
+    run_date = (
+        dt.date.fromisoformat(args.run_date) if args.run_date else None
+    )
+    result = api.run(
+        spark, args.sf_dir, select=args.select,
+        warehouse=args.warehouse, run_date=run_date,
+    )
+    for name, df in result.items():
+        out.write(f"{name:55s} rows={df.count()}\n")
+    out.write(f"OK: {len(result)} model(s) materialized\n")
+    return 0
+
+
+def cmd_test(args, out) -> int:
+    from . import api, models as M
+    from .dq import run_dq
+    from .fixtures import sources_map
+    from .runner import Runner
+
+    spark = _spark(args.cpus)
+    M.load_all()
+    runner = Runner(
+        spark, sources_map(spark, args.sf_dir),
+        api._anchor(spark, args.sf_dir),
+    )
+    rows = run_dq(runner, select=args.select).collect()
+    n_bad = 0
+    for r in rows:
+        status = "PASS" if r.n_failures == 0 else "FAIL"
+        n_bad += int(r.n_failures != 0)
+        out.write(
+            f"{status} {r.model_name:40s} {r.test_kind:15s} "
+            f"{r.column_name:20s} failures={r.n_failures}\n"
+        )
+    out.write(f"{len(rows) - n_bad}/{len(rows)} tests passed\n")
+    return 1 if n_bad else 0
+
+
+def cmd_seed(args, out) -> int:
+    from .seeds import SEEDS, load_seed, register_seed_models
+
+    spark = _spark(args.cpus)
+    register_seed_models()
+    for name in SEEDS:
+        df = load_seed(spark, name)
+        out.write(f"{name:40s} rows={df.count()}\n")
+    out.write(f"OK: {len(SEEDS)} seed(s) loaded\n")
+    return 0
+
+
+def cmd_snapshot(args, out) -> int:
+    import os
+
+    from . import api
+    from .snapshots import snapshot_apply, snapshot_init
+
+    spark = _spark(args.cpus)
+    result = api.run(spark, args.sf_dir, select=[args.source])
+    source = result[args.source]
+    as_of = dt.datetime.combine(
+        api._anchor(spark, args.sf_dir), dt.time(0, 0)
+    )
+    path = os.path.join(args.warehouse, f"snap_{args.source}")
+    if os.path.exists(path):
+        prev = spark.read.parquet(path)
+        snap = snapshot_apply(
+            prev, source, args.key, args.check_cols, as_of
+        )
+    else:
+        snap = snapshot_init(source, as_of)
+    staging = path + ".staging"
+    snap.write.mode("overwrite").parquet(staging)
+    retired = path + ".retired"
+    import shutil
+
+    shutil.rmtree(retired, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, retired)
+    os.rename(staging, path)
+    shutil.rmtree(retired, ignore_errors=True)
+    out.write(f"snapshot {args.source} -> {path} "
+              f"rows={spark.read.parquet(path).count()}\n")
+    return 0
+
+
+def cmd_sql(args, out) -> int:
+    from . import api
+
+    spark = _spark(args.cpus)
+    api.run(spark, args.sf_dir, select=args.select)
+    df = api.sql(spark, args.query)
+    for line in df.limit(50)._show_string(50, 0, False).splitlines():
+        out.write(line + "\n")
+    return 0
+
+
+def main(argv: list[str] | None = None, out=None) -> int:
+    out = out or sys.stdout
+    args = _parser().parse_args(argv)
+    return {
+        "ls": cmd_ls,
+        "run": cmd_run,
+        "test": cmd_test,
+        "seed": cmd_seed,
+        "snapshot": cmd_snapshot,
+        "sql": cmd_sql,
+    }[args.cmd](args, out)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,71 @@
+"""CLI surface tests (python -m getdbt_spark ...) — the dbt-verb
+command layer over the library API."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from getdbt_spark.__main__ import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(argv):
+    out = io.StringIO()
+    rc = main(argv, out=out)
+    return rc, out.getvalue()
+
+
+def test_ls_lists_models_in_dependency_order(spark):
+    rc, text = _run(["ls"])
+    assert rc == 0
+    lines = [l.split()[0] for l in text.splitlines()]
+    assert "poms_flattened" in lines
+    # a ref'ing model must appear after its upstream source model
+    assert lines.index("audiovisual_metadata_poms_metadata_v1") < lines.index(
+        "poms_flattened"
+    )
+
+
+def test_run_select_materializes_closure(spark):
+    rc, text = _run(["--sf-dir", SF, "run", "--select", "poms_flattened"])
+    assert rc == 0
+    assert "poms_flattened" in text and "OK: 2 model(s)" in text
+
+
+def test_test_exits_nonzero_on_declared_failures(spark):
+    rc, text = _run(["--sf-dir", SF, "test"])
+    # the fixture deliberately plants nulls: dbt-style nonzero exit
+    assert rc == 1
+    assert "FAIL" in text and "tests passed" in text
+
+
+def test_seed_loads_declared_seeds(spark):
+    rc, text = _run(["seed"])
+    assert rc == 0
+    assert "npo_net_groups" in text
+
+
+def test_sql_after_run_answers_over_views(spark):
+    rc, text = _run([
+        "--sf-dir", SF, "sql",
+        "SELECT count(*) AS n FROM poms_flattened",
+        "--select", "poms_flattened",
+    ])
+    assert rc == 0
+    assert "n" in text
+
+
+def test_snapshot_creates_and_evolves_scd2(spark, tmp_path):
+    args = [
+        "--sf-dir", SF, "snapshot", "--source", "dim_poms_episodes",
+        "--key", "episode_id", "--check-cols", "episode_type",
+        "--warehouse", str(tmp_path),
+    ]
+    rc, text = _run(args)
+    assert rc == 0 and "rows=" in text
+    # second run over identical data: row count unchanged (no churn)
+    rc2, text2 = _run(args)
+    assert rc2 == 0 and text2.split("rows=")[1] == text.split("rows=")[1]
