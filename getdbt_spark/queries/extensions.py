@@ -2479,3 +2479,223 @@ def sink_cdc_changelog(spark, sf_dir):
         "user_id", op.alias("op"),
         "old_n", "old_cents", "new_n", "new_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling & approximate quantiles; error-safe arithmetic;
+# star joins; clustered sinks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_quantile_sampled",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice
+      FROM orders
+      ORDER BY ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                 ::BIGINT
+      LIMIT 1000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sample,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50_s,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_s,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99_s
+    FROM ranked
+    """,
+)
+def agg_quantile_sampled(spark, sf_dir):
+    """Approximate quantiles over a DETERMINISTIC hash-ranked sample —
+    the portable alternative to ``percentile_approx`` (whose GK sketch
+    is engine-internal and can never hash-match an oracle).  The
+    sample is the 1000 rows with the smallest md5(key): a pure
+    function of the data, so both engines see the identical sample
+    and the interpolated quantiles agree exactly.
+
+    The ranked-limit compiles to ``TakeOrderedAndProject`` — a
+    1000-row heap per partition merged on the driver, never a full
+    sort — so sample selection is O(n) scan + O(k log k) merge at any
+    scale, and the quantile computation itself touches only k rows.
+    Error vs the exact percentiles is pinned in tests.
+    """
+    o = _t(spark, sf_dir, "orders")
+    ranked = (
+        o.select(
+            "o_totalprice",
+            P.md5_long(F.col("o_orderkey").cast("string")).alias("hk"),
+        )
+        .orderBy("hk")
+        .limit(1000)
+    )
+    return ranked.agg(
+        F.count("*").alias("n_sample"),
+        E.round_to(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50_s"),
+        E.round_to(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_s"),
+        E.round_to(F.expr("percentile(o_totalprice, 0.99)"), 4).alias(
+            "p99_s"
+        ),
+    )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderstatus, o_totalprice,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+               ::BIGINT / 1152921504606846976.0 AS u
+      FROM orders
+    )
+    SELECT o_orderstatus, count(*) AS n_kept,
+           CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents_kept
+    FROM keyed
+    WHERE u < 0.2 * o_totalprice / 500000.0
+    GROUP BY o_orderstatus
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Weighted Bernoulli sampling without RNG state: row i is kept iff
+    its md5-uniform u_i < rate·wᵢ/w_max — high-value rows
+    oversampled in proportion to weight, membership a pure function of
+    the stable key (reproducible across runs, engines, partitionings,
+    and retries; the property RAND()-based sampling loses on every
+    speculative re-execution).  Map-only keep decision (sargable into
+    the scan) + one map-combinable aggregation.
+    """
+    o = _t(spark, sf_dir, "orders")
+    u = P.md5_long(F.col("o_orderkey").cast("string")) / F.lit(
+        float(1 << 60)
+    )
+    return (
+        o.filter(u < 0.2 * F.col("o_totalprice") / 500000.0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(_cents("o_totalprice")).alias("cents_kept"),
+        )
+    )
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice / nullif(o_orderkey % 3, 0), 4) AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+           TRY_CAST(o_orderkey % 400 AS TINYINT) AS narrow_int,
+           TRY_CAST(o_orderpriority AS TIMESTAMP) AS bad_ts
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def fn_try_arith(spark, sf_dir):
+    """Error-safe arithmetic/cast family: NULL instead of a runtime
+    error for divide-by-zero, unparseable strings, and narrowing
+    overflow — the semantics that keep a 100 TB batch job alive at row
+    3 billion instead of failing the stage (ANSI mode's try_* escape
+    hatches; DuckDB's TRY_CAST / nullif are the exact equivalents).
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        E.round_to(
+            F.try_divide(
+                F.col("o_totalprice"), F.col("o_orderkey") % 3
+            ),
+            4,
+        ).alias("safe_div"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_int"),
+        (F.col("o_orderkey") % 400).try_cast("tinyint").alias("narrow_int"),
+        F.col("o_orderpriority").try_cast("timestamp").alias("bad_ts"),
+    )
+
+
+@query(
+    "join_star_multihop",
+    oracle="""
+    SELECT r.r_name, count(*) AS n_orders,
+           CAST(sum(floor(o.o_totalprice * 100)) AS BIGINT) AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_star_multihop(spark, sf_dir):
+    """Three-hop snowflake rollup (orders→customer→nation→region) —
+    the canonical star-schema shape.  Every dimension side is
+    catalog-bounded and explicitly broadcast, so the fact table
+    streams through three map-side hash joins WITHOUT ever shuffling,
+    and the only exchange is the final 5-region aggregation.  This is
+    the plan discipline that makes dimensional rollups O(fact-scan)
+    at 100 TB.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("cents"),
+        )
+    )
+
+
+@query(
+    "sink_sorted_clustered",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-07-01'
+    """,
+)
+def sink_sorted_clustered(spark, sf_dir):
+    """Write-side clustering: the warehouse copy is range-partitioned
+    AND sorted by order date before writing, so every parquet file
+    covers a narrow date band and a date-range read-back skips whole
+    files/row-groups on min-max statistics — the poor man's Z-order,
+    and the cheapest 100 TB accelerant there is for time-range
+    queries.  ``repartitionByRange`` gives file-level pruning,
+    ``sortWithinPartitions`` gives row-group-level pruning; the
+    read-back's date filter lands in PushedFilters where the stats
+    apply.  The oracle checks the round-trip against the source table
+    directly (values, not layout).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"getdbt_spark_clustered_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
+    )
+    if not os.path.exists(path):
+        staging = path + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            _t(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                _cents("o_totalprice").alias("cents"),
+            )
+            .repartitionByRange(8, "o_orderdate")
+            .sortWithinPartitions("o_orderdate")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        os.rename(staging, path)
+    import datetime as _dt
+
+    return spark.read.parquet(path).filter(
+        (F.col("o_orderdate") >= _dt.date(1998, 1, 1))
+        & (F.col("o_orderdate") < _dt.date(1998, 7, 1))
+    )

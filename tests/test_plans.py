@@ -282,3 +282,37 @@ def test_results_invariant_to_shuffle_partition_count(spark):
                     )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_star_multihop_joins_all_broadcast(spark):
+    """The 3-hop snowflake rollup must stream the fact table through
+    broadcast hash joins only — any SortMergeJoin means the fact
+    table shuffled for a catalog-bounded dimension."""
+    load_all()
+    import re
+
+    plan = _formatted(spark, QUERIES["join_star_multihop"](spark, SF))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sorted_clustered_readback_pushes_range_filter(spark):
+    """The clustered-sink read-back's date-range predicate must reach
+    the parquet scan (PushedFilters) where min-max row-group stats
+    can skip — a post-scan Filter-only plan would read every file."""
+    load_all()
+    plan = _formatted(spark, QUERIES["sink_sorted_clustered"](spark, SF))
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderdate" in m.group(1), plan[:500]
+
+
+def test_quantile_sample_is_take_ordered(spark):
+    """The deterministic 1000-row sample must compile to
+    TakeOrderedAndProject (bounded per-partition heap), never a global
+    Sort."""
+    load_all()
+    plan = _formatted(spark, QUERIES["agg_quantile_sampled"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
