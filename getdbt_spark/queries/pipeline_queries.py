@@ -1694,3 +1694,123 @@ def text_perplexity_proxy(spark, sf_dir):
             F.sum("micro_nats") / F.count("*") / 1000000.0, 6
         ).alias("avg_neg_log_p"),
     )
+
+
+@query(
+    "pipeline_end_to_end",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, text, lang, n_chars,
+             string_split(lower(text), ' ') AS w
+      FROM documents
+    ), s1_lang AS (
+      SELECT * FROM raw WHERE lang IN ('en', 'de', 'fr', 'es')
+    ), s2_quality AS (
+      SELECT * FROM s1_lang
+      WHERE n_chars >= 100 AND len(w) >= 20
+            AND len(list_distinct(w))::DOUBLE / len(w) > 0.15
+    ), s3_exact AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        FROM s2_quality) WHERE rn = 1
+    ), s4_neardup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY list_aggregate(
+            list_sort(list_distinct(list_transform(
+              [w[i] || '|' || w[i+1] for i in range(1, len(w))],
+              x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)))[1:4],
+            'string_agg', ',')
+          ORDER BY doc_id) AS rn2
+        FROM s3_exact) WHERE rn2 = 1
+    ), s5_train AS (
+      SELECT * FROM s4_neardup
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              ::BIGINT % 10 < 8
+    )
+    SELECT stage, n_docs FROM (
+      SELECT 0 AS ord, 'raw' AS stage, count(*) AS n_docs FROM raw
+      UNION ALL SELECT 1, 'lang_filter', count(*) FROM s1_lang
+      UNION ALL SELECT 2, 'quality_filter', count(*) FROM s2_quality
+      UNION ALL SELECT 3, 'exact_dedup', count(*) FROM s3_exact
+      UNION ALL SELECT 4, 'neardup_dedup', count(*) FROM s4_neardup
+      UNION ALL SELECT 5, 'train_split', count(*) FROM s5_train
+    ) ORDER BY ord
+    """,
+)
+def pipeline_end_to_end(spark, sf_dir):
+    """The full training-data funnel COMPOSED from the engine's own
+    primitives — language filter → quality filter → exact dedup →
+    near-dup dedup (k=4 winnowing signature) → train split — reporting
+    survivors per stage.  Proves the pipeline operators are composable
+    stages of one lazy plan, not isolated demos: Catalyst fuses the
+    three filters into the scan, and the two dedup windows are the
+    only exchanges before the stage counts.
+
+    Every stage reuses a primitive that is independently oracle-
+    checked (`text_langid` family, `text_token_stats` ratios,
+    `dedup_exact`, `doc_fingerprint`'s rolling-min winnowing (densified to k=4),
+    `sample_train_test_split`), so a red here localizes to the
+    composition, not the operators.  At 100 TB this single-action
+    funnel is the shape of a real corpus build: one scan feeding
+    map-side filters, then key-bounded shuffles only for the dedup
+    keeps.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = P.ws_tokens(F.col("text"))
+    raw = d.select(
+        "doc_id", "text", "lang", "n_chars", w.alias("w")
+    )
+    s1 = raw.filter(F.col("lang").isin("en", "de", "fr", "es"))
+    ttr = F.size(F.array_distinct("w")).cast("double") / F.size("w")
+    s2 = s1.filter(
+        (F.col("n_chars") >= 100) & (F.size("w") >= 20) & (ttr > 0.15)
+    )
+    w_exact = Window.partitionBy(
+        F.md5(F.lower(F.trim(F.col("text"))))
+    ).orderBy("doc_id")
+    s3 = (
+        s2.withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("w")) - 1),
+        lambda i: F.concat_ws(
+            "|", F.element_at("w", i), F.element_at("w", i + 1)
+        ),
+    )
+    # winnowing signature: the FOUR smallest distinct bigram hashes
+    # (a single min collides globally on a tiny vocabulary; k=4 is the
+    # standard winnowing density dial)
+    fp = F.concat_ws(
+        ",",
+        F.slice(
+            F.array_sort(F.array_distinct(F.transform(grams, P.md5_long))),
+            1,
+            4,
+        ),
+    )
+    w_near = Window.partitionBy(fp).orderBy("doc_id")
+    s4 = (
+        s3.withColumn("rn2", F.row_number().over(w_near))
+        .filter(F.col("rn2") == 1)
+        .drop("rn2")
+    )
+    s5 = s4.filter(
+        P.md5_long(F.col("doc_id").cast("string")) % 10 < 8
+    )
+    stages = [
+        ("raw", raw), ("lang_filter", s1), ("quality_filter", s2),
+        ("exact_dedup", s3), ("neardup_dedup", s4), ("train_split", s5),
+    ]
+    out = None
+    for name, frame in stages:
+        c = frame.agg(
+            F.lit(name).alias("stage"), F.count("*").alias("n_docs")
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
