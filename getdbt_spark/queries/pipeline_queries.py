@@ -1814,3 +1814,128 @@ def pipeline_end_to_end(spark, sf_dir):
         )
         out = c if out is None else out.unionByName(c)
     return out
+
+
+@query(
+    "sim_recall_at_k",
+    oracle=_COSINE_ORACLE_CORE
+    + """
+    , exact5 AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY c DESC, neighbor_id) AS rnk
+        FROM p) WHERE rnk <= 5
+    ), cent AS (
+      SELECT vec_id AS cent_id, embedding, norm FROM e WHERE vec_id < 16
+    ), assign_scored AS (
+      SELECT e.vec_id, cent.cent_id,
+             list_sum([e.embedding[i]::DOUBLE * cent.embedding[i]::DOUBLE
+                       for i in range(1, len(e.embedding) + 1)])
+               / (e.norm * cent.norm) AS c
+      FROM e CROSS JOIN cent
+    ), assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+        FROM assign_scored) WHERE rn = 1
+    ), ivf5 AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT p.vec_id, p.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id ORDER BY p.c DESC, p.neighbor_id)
+                 AS rnk
+        FROM p
+        JOIN assign qa ON qa.vec_id = p.vec_id
+        JOIN assign na ON na.vec_id = p.neighbor_id
+        WHERE qa.cent_id = na.cent_id) WHERE rnk <= 5
+    )
+    SELECT (SELECT count(DISTINCT vec_id) FROM e) AS n_queries,
+           (SELECT count(*) FROM ivf5 JOIN exact5 USING (vec_id, neighbor_id))
+             AS n_hits,
+           round((SELECT count(*) FROM ivf5 JOIN exact5
+                  USING (vec_id, neighbor_id))::DOUBLE
+                 / (5 * (SELECT count(DISTINCT vec_id) FROM e)), 6)
+             AS recall_at_5
+    """,
+)
+def sim_recall_at_k(spark, sf_dir):
+    """ANN quality evaluation: recall@5 of the IVF index against the
+    exact brute-force top-5 — the metric that decides whether an
+    approximate index is shippable, computed inside the engine (no
+    external eval harness).
+
+    Composes the two independently oracle-checked builders
+    (`sim_topk_cosine`, `sim_ann_ivf`) and reduces their overlap to
+    one row: hits / (k·queries).  Missing neighbors (bucket smaller
+    than k) count against recall, per the standard definition.  The
+    join is on (query, neighbor) ids — aggregate-grain, k rows per
+    query — so the evaluation costs a fraction of either index build
+    at any corpus size.
+
+    The measured ~0.20 recall is itself the correct result for THIS
+    corpus: isotropic random vectors have no cluster structure, so
+    nearest neighbors rarely share the single nearest of 16 centroids
+    (nprobe=1).  Real embedding spaces are clustered, and the nprobe
+    dial (union over top-n assignments, see the multiprobe LSH
+    variant) is how production trades compute for recall — this
+    operator is the measurement that tunes it.
+    """
+    exact5 = sim_topk_cosine(spark, sf_dir).filter(F.col("rnk") <= 5)
+    ivf5 = sim_ann_ivf(spark, sf_dir)
+    e = _embs(spark, sf_dir)
+    hits = ivf5.join(
+        exact5.select("vec_id", "neighbor_id"), ["vec_id", "neighbor_id"]
+    )
+    n_queries = e.select("vec_id").distinct().count()
+    return hits.agg(
+        F.lit(n_queries).cast("long").alias("n_queries"),
+        F.count("*").alias("n_hits"),
+        E.round_to(
+            F.count("*").cast("double") / F.lit(float(5 * n_queries)), 6
+        ).alias("recall_at_5"),
+    )
+
+
+from . import ORACLES as _ORACLES  # composition: reuse a registered oracle
+
+
+@query(
+    "text_lang_confusion",
+    oracle="WITH preds AS (\n"
+    + _ORACLES["text_langid"]
+    + """)
+    SELECT actual_lang, pred_lang, count(*) AS n,
+           round(count(*)::DOUBLE / sum(count(*)) OVER (
+             PARTITION BY actual_lang), 6) AS row_share
+    FROM preds GROUP BY actual_lang, pred_lang
+    """,
+)
+def text_lang_confusion(spark, sf_dir):
+    """Language-ID evaluation: the confusion matrix of the stopword
+    classifier against the labeled lang column, with per-true-class
+    shares (row-normalized) — the in-engine quality report that
+    decides whether the cheap n-gram classifier is good enough before
+    anything downstream trusts its routing.
+
+    Composes the oracle-checked `text_langid` output; the matrix is a
+    langs² aggregation over per-doc predictions — the evaluation is
+    O(docs) map-combinable work and a constant-size result at any
+    corpus scale.
+    """
+    preds = text_langid(spark, sf_dir)
+    from pyspark.sql import Window
+
+    counts = preds.groupBy("actual_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("actual_lang")
+    return counts.select(
+        "actual_lang",
+        "pred_lang",
+        "n",
+        E.round_to(
+            F.col("n").cast("double") / F.sum("n").over(w), 6
+        ).alias("row_share"),
+    )
