@@ -965,3 +965,20 @@ def lsh_bucket(embs: DataFrame, nbits: int = 16, dim: int = 64) -> DataFrame:
     # the equi join (NULL keys never match) rather than degrade it.
     bucket = F.when(F.size("embedding") == dim, bucket)
     return embs.withColumn("bucket", bucket)
+
+
+def spread(df) -> "DataFrame":
+    """Round-robin repartition to the session's parallelism when the
+    input arrives in fewer splits than cores.
+
+    A small parquet file is one split, so a CPU-heavy per-row stage
+    (shingle HOFs, winnowing signatures) would otherwise run on ONE
+    core regardless of cluster size.  On a real corpus the scan
+    already yields many splits and this is a no-op — the guard makes
+    the shuffle exist only when it pays for itself (the same policy
+    as the Arrow-kernel paths at minhash_signatures/ngram_sets).
+    """
+    n_cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_cores:
+        return df.repartition(n_cores)
+    return df

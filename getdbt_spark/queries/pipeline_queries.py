@@ -1386,24 +1386,29 @@ def text_decontaminate(spark, sf_dir):
     is the final groupBy over candidate hits, which is bounded by the
     contaminated subset, not the corpus.
     """
-    d = _docs(spark, sf_dir)
+    d = P.spread(_docs(spark, sf_dir))
     w = P.ws_tokens(F.col("text"))
     base = d.filter(F.size(w) >= 3).select(
         "doc_id", "source", F.explode(P.word_shingles(w, 3)).alias("g")
     )
-    bench = (
+    # Bench side pre-aggregated to one row per gram carrying the set of
+    # benchmark ids: the corpus join is then 1:1 per matched gram (the
+    # matched-gram × bench-doc fan-out never materializes as rows), and
+    # the per-doc distinct-benchmark count is an array union over the
+    # small per-gram sets instead of a corpus-wide pair distinct.
+    bench_sets = (
         base.filter(F.col("doc_id") % 97 == 0)
         .select(F.col("doc_id").alias("bench_id"), "g")
-        .distinct()
+        .groupBy("g")
+        .agg(F.collect_set("bench_id").alias("bids"))
     )
-    hits = (
-        base.filter(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(bench), "g")
-        .select("doc_id", "source", "bench_id")
-        .distinct()
+    hits = base.filter(F.col("doc_id") % 97 != 0).join(
+        F.broadcast(bench_sets), "g"
     )
     return hits.groupBy("doc_id", "source").agg(
-        F.count("*").alias("n_bench_hits")
+        F.size(F.array_distinct(F.flatten(F.collect_list("bids"))))
+        .cast("long")
+        .alias("n_bench_hits")
     )
 
 
@@ -1595,7 +1600,7 @@ def dedup_containment(spark, sf_dir):
     """
     from pyspark import StorageLevel
 
-    d = _docs(spark, sf_dir)
+    d = P.spread(_docs(spark, sf_dir))
     w = P.ws_tokens(F.col("text"))
     # The shingle table feeds FIVE consumers (df counts, both sides of
     # the candidate self-join, both sides of the verify join) — persist
@@ -1759,7 +1764,7 @@ def pipeline_end_to_end(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir)
+    d = P.spread(_docs(spark, sf_dir))
     w = P.ws_tokens(F.col("text"))
     raw = d.select(
         "doc_id", "text", "lang", "n_chars", w.alias("w")
