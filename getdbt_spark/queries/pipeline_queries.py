@@ -616,7 +616,7 @@ def doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: full-content md5 plus a rolling-hash
     style min-hash over word bigrams (the winnowing primitive — at
     scale, k min values per doc give a locality-sensitive sketch)."""
-    d = _docs(spark, sf_dir)
+    d = P.spread(_docs(spark, sf_dir))
     w = P.ws_tokens(F.col("text"))
     grams = P.word_shingles(w, 2)
     # word_shingles dedups; fingerprint min is unaffected by dedup.
@@ -984,7 +984,7 @@ def text_ngram_profile(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir)
+    d = P.spread(_docs(spark, sf_dir))
     w = P.ws_tokens(F.col("text"))
     f = (
         d.filter(F.size(w) >= 3)
