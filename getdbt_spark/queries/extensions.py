@@ -2699,3 +2699,187 @@ def sink_sorted_clustered(spark, sf_dir):
         (F.col("o_orderdate") >= _dt.date(1998, 1, 1))
         & (F.col("o_orderdate") < _dt.date(1998, 7, 1))
     )
+
+
+@query(
+    "agg_linreg_by_group",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(CAST(floor(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))
+               AS x,
+             CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                  AS DECIMAL(38,0)) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DECIMAL(38,0)) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM q GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 100.0, 6) AS intercept,
+           round(power(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS r2
+    FROM s
+    """,
+)
+def agg_linreg_by_group(spark, sf_dir):
+    """Per-group OLS fit (slope, intercept, R²) of price on quantity —
+    in-engine regression from the SAME exact DECIMAL(38,0) moment
+    sums as ``agg_stats_exact``: all accumulation is order-free
+    integer arithmetic (map-combinable, partitioning-stable), and the
+    doubles appear only in the final closed-form division, so both
+    engines produce bit-identical coefficients.  At 100 TB this is
+    one pass + a groups-sized reduction — regression as an aggregate,
+    not a solver.  (Built-ins ``regr_slope``/``regr_intercept``
+    accumulate in doubles and are NOT cross-engine stable.)
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") * 100).cast("long").cast("decimal(38,0)")
+    y = (
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    s = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = nd * sxy - sx * sy
+    den = nd * sxx - sx * sx
+    slope = num / den
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        E.round_to(slope, 6).alias("slope"),
+        E.round_to((sy - slope * sx) / nd / 100.0, 6).alias("intercept"),
+        E.round_to(
+            F.pow(num, 2) / (den * (nd * syy - sy * sy)), 6
+        ).alias("r2"),
+    )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    WITH build AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_totalprice > 400000
+    ), bloom AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' ||
+                                 CAST(j AS VARCHAR)), 1, 15))::BIGINT % 4096
+               AS pos
+      FROM build, (SELECT unnest([1, 2, 3]) AS j)
+    ), probe AS (
+      SELECT l_orderkey, l_returnflag,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                                 CAST(j AS VARCHAR)), 1, 15))::BIGINT % 4096
+               AS pos
+      FROM lineitem, (SELECT unnest([1, 2, 3]) AS j)
+    ), hits AS (
+      SELECT l_orderkey, l_returnflag
+      FROM probe JOIN bloom USING (pos)
+      GROUP BY l_orderkey, l_returnflag
+      HAVING count(*) = 3
+    )
+    SELECT h.l_returnflag,
+           count(*) AS n_pass,
+           sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS n_true,
+           sum(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END)
+             AS n_false_positive
+    FROM hits h LEFT JOIN build b ON b.k = h.l_orderkey
+    GROUP BY h.l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter semi-join pre-filter built portably from md5:
+    m=4096 bits, k=3 salted hashes — the runtime-filter idea (only
+    probe rows whose k positions are all set reach the real join)
+    expressed as data, so the filter itself is oracle-checkable,
+    including its EXACT false-positive set (engine-native
+    ``bloom_filter_agg``/runtime bloom joins are
+    implementation-defined and unverifiable across engines).
+
+    Scale shape: the bit set is fixed-size (≤ m rows) regardless of
+    build-side cardinality — broadcast it and the probe side is
+    map-only until the tiny per-key position count; at 100 TB this is
+    how a selective dimension filter reaches the fact scan before the
+    shuffle.  Spark's native equivalent
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) injects the
+    same structure invisibly; this operator is the explicit,
+    verifiable form.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    salts = F.array(*[F.lit(j) for j in (1, 2, 3)])
+
+    def positions(key):
+        return F.explode(
+            F.transform(
+                salts,
+                lambda j: P.md5_long(
+                    F.concat_ws(":", key.cast("string"), j.cast("string"))
+                )
+                % 4096,
+            )
+        )
+
+    build = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("k")
+    ).distinct()
+    bloom = build.select(positions(F.col("k")).alias("pos")).distinct()
+    probe = li.select(
+        "l_orderkey",
+        "l_returnflag",
+        positions(F.col("l_orderkey")).alias("pos"),
+    )
+    hits = (
+        probe.join(F.broadcast(bloom), "pos")
+        .groupBy("l_orderkey", "l_returnflag")
+        .agg(F.count("*").alias("nset"))
+        .filter(F.col("nset") == 3)
+    )
+    return (
+        hits.join(F.broadcast(build), hits.l_orderkey == build.k, "left")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_pass"),
+            F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias(
+                "n_true"
+            ),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias(
+                "n_false_positive"
+            ),
+        )
+    )
