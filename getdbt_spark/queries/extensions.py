@@ -2798,13 +2798,13 @@ def agg_linreg_by_group(spark, sf_dir):
     ), bloom AS (
       SELECT DISTINCT
              ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' ||
-                                 CAST(j AS VARCHAR)), 1, 15))::BIGINT % 4096
+                                 CAST(j AS VARCHAR)), 1, 15))::BIGINT % 32768
                AS pos
       FROM build, (SELECT unnest([1, 2, 3]) AS j)
     ), probe AS (
       SELECT l_orderkey, l_returnflag,
              ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
-                                 CAST(j AS VARCHAR)), 1, 15))::BIGINT % 4096
+                                 CAST(j AS VARCHAR)), 1, 15))::BIGINT % 32768
                AS pos
       FROM lineitem, (SELECT unnest([1, 2, 3]) AS j)
     ), hits AS (
@@ -2824,7 +2824,7 @@ def agg_linreg_by_group(spark, sf_dir):
 )
 def join_bloom_prefilter(spark, sf_dir):
     """Bloom-filter semi-join pre-filter built portably from md5:
-    m=4096 bits, k=3 salted hashes — the runtime-filter idea (only
+    m=32768 bits, k=3 salted hashes — the runtime-filter idea (only
     probe rows whose k positions are all set reach the real join)
     expressed as data, so the filter itself is oracle-checkable,
     including its EXACT false-positive set (engine-native
@@ -2851,7 +2851,7 @@ def join_bloom_prefilter(spark, sf_dir):
                 lambda j: P.md5_long(
                     F.concat_ws(":", key.cast("string"), j.cast("string"))
                 )
-                % 4096,
+                % 32768,
             )
         )
 
