@@ -2883,3 +2883,148 @@ def join_bloom_prefilter(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "dq_skew_report",
+    oracle="""
+    WITH sizes AS (
+      SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey
+    ), tot AS (
+      SELECT count(*) AS n_rows FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_key_rows,
+           round(max(c)::DOUBLE / any_value(t.n_rows), 6)
+             AS max_key_share,
+           round(max(c)::DOUBLE / avg(c), 6) AS skew_factor,
+           round(quantile_cont(c, 0.99) / quantile_cont(c, 0.5), 6)
+             AS p99_over_median
+    FROM sizes, tot t
+    """,
+)
+def dq_skew_report(spark, sf_dir):
+    """Key-skew diagnostics for a prospective join/agg key: key count,
+    the hottest key's row count and share, max/mean skew factor, and
+    the p99/median group-size ratio — the numbers that DECIDE between
+    a plain shuffle, AQE skew splitting, and explicit salting
+    (`scale.py`'s salted_join/salted_agg are the remedies this report
+    prescribes).
+
+    One map-combinable count per key plus constant-size statistics
+    over the (keys-sized, not rows-sized) size table; cheap enough to
+    run as a pre-flight check before any 100 TB join.
+    """
+    o = _t(spark, sf_dir, "orders")
+    sizes = o.groupBy("o_custkey").agg(F.count("*").alias("c"))
+    n_rows = o.count()
+    return sizes.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        E.round_to(
+            F.max("c").cast("double") / F.lit(float(n_rows)), 6
+        ).alias("max_key_share"),
+        E.round_to(F.max("c").cast("double") / F.avg("c"), 6).alias(
+            "skew_factor"
+        ),
+        E.round_to(
+            F.expr("percentile(c, 0.99)") / F.expr("percentile(c, 0.5)"), 6
+        ).alias("p99_over_median"),
+    )
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 40 = 0
+    """,
+)
+def scan_csv_roundtrip(spark, sf_dir):
+    """CSV source with an EXPLICIT schema, round-tripped from a
+    deterministic customer slice — completing the source-format
+    matrix (parquet / JSONL / ORC / seed-CSV / direct-CSV).  As with
+    JSONL, the declared schema is the scale-critical part: CSV
+    inference is an extra full pass and type-drifts on content; money
+    travels as integer cents so the text format cannot lose precision.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"getdbt_spark_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
+    )
+    if not os.path.exists(path):
+        staging = path + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            _t(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 40 == 0)
+            .select(
+                "c_custkey",
+                "c_name",
+                "c_mktsegment",
+                _cents("c_acctbal").alias("bal_cents"),
+            )
+            .write.option("header", True)
+            .mode("overwrite")
+            .csv(staging)
+        )
+        os.rename(staging, path)
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_mktsegment", StringType()),
+            StructField("bal_cents", LongType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+@query(
+    "win_time_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_7d_cents
+    FROM orders WHERE o_custkey % 25 = 0
+    """,
+)
+def win_time_range_frame(spark, sf_dir):
+    """Trailing-7-day spend per customer via a TIME-interval RANGE
+    frame — the moving-window aggregate where the frame is defined by
+    event-time distance, not row count (rows on the same day share a
+    frame; gaps shrink it).  Spark's rangeBetween is numeric, so the
+    date maps to an epoch-day ordinal — semantically identical to
+    DuckDB's ``RANGE BETWEEN INTERVAL 6 DAY PRECEDING``.  Exact
+    integer cents; one exchange on the partition key.
+    """
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 25 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.sum(_cents("o_totalprice")).over(w).alias("trailing_7d_cents"),
+    )

@@ -1944,3 +1944,71 @@ def text_lang_confusion(spark, sf_dir):
             F.col("n").cast("double") / F.sum("n").over(w), 6
         ).alias("row_share"),
     )
+
+
+@query(
+    "multimodal_dedup_phash",
+    oracle="""
+    WITH payloads AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             lower(trim(text)) AS body
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, modality,
+             md5(substr(body, 1, 16) || '|' ||
+                 CAST(length(body) // 64 AS VARCHAR)) AS phash
+      FROM payloads
+    )
+    SELECT modality, phash,
+           count(*) AS n_assets,
+           min(doc_id) AS canonical_id
+    FROM hashed
+    GROUP BY modality, phash
+    HAVING count(*) > 1
+    """,
+)
+def multimodal_dedup_phash(spark, sf_dir):
+    """Perceptual-hash-style dedup over opaque binary payloads: a
+    locality fingerprint from a leading payload window plus a coarse
+    size bucket (tolerant of tail edits/padding — the common
+    re-encode artifact) groups copies of the same asset; keep = min
+    doc id per (modality, fingerprint) group.
+
+    Real perceptual hashes (pHash DCT, chromaprint) are codec work
+    inside the same mapInPandas decode stub as the other multimodal
+    ops; the FINGERPRINT-then-groupBy shape here is the production
+    plan either way — a map-only digest (reads three 8-byte windows,
+    never the full blob into the hash) followed by one key-bounded
+    aggregation, identical in cost to exact dedup at any corpus size.
+    The digest is computed on the decoded byte stream both engine-side
+    and oracle-side, so the grouping is hash-verifiable.
+    """
+    d = _docs(spark, sf_dir)
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    body = F.lower(F.trim(F.col("text")))
+    blen = F.length(body)
+    phash = F.md5(
+        F.concat_ws(
+            "|",
+            F.substring(body, 1, 16),
+            F.floor(blen / 64).cast("string"),
+        )
+    )
+    return (
+        d.select(
+            "doc_id", modality.alias("modality"), phash.alias("phash")
+        )
+        .groupBy("modality", "phash")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_assets") > 1)
+    )
