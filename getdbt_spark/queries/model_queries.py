@@ -861,3 +861,76 @@ def streaming_sliding_stats(spark, sf_dir):
     from ..streaming import sliding_window_stats
 
     return sliding_window_stats(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "sink_snapshot_time_travel",
+    oracle="""
+    WITH t1 AS (
+      SELECT DATE '2024-01-15' AS as_of, c_custkey, c_mktsegment
+      FROM customer WHERE c_custkey % 7 != 0
+    ), t2_present AS (
+      SELECT DATE '2024-02-15' AS as_of, c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'SEGMENT_CHANGED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 11 != 3
+    ), t2_vanished AS (
+      SELECT DATE '2024-02-15' AS as_of, c_custkey, c_mktsegment
+      FROM customer WHERE c_custkey % 7 != 0 AND c_custkey % 11 = 3
+    )
+    SELECT * FROM t1
+    UNION ALL SELECT * FROM t2_present
+    UNION ALL SELECT * FROM t2_vanished
+    """,
+)
+def sink_snapshot_time_travel(spark, sf_dir):
+    """Point-in-time (time-travel) reads over the SCD2 snapshot — the
+    whole REASON dbt snapshots exist: reconstruct the table exactly as
+    it stood at any past instant with the one declarative predicate
+    ``valid_from <= t AND (valid_to IS NULL OR valid_to > t)``.
+
+    Reads the same two-run snapshot as ``sink_snapshot_scd2`` at two
+    instants: between the runs (must equal source state T1 exactly)
+    and after the second run (T2's rows, including close+reopen
+    changes, PLUS keys that vanished from the source — whose versions
+    stay open, the SCD2 semantics that a naive "latest load" loses).
+    The oracle reconstructs both states from first principles, so a
+    wrong validity bound anywhere in the snapshot machinery breaks
+    the hash.  The as-of predicate is sargable — on a date-partitioned
+    snapshot it prunes to the partitions overlapping t.
+    """
+    import datetime as dt
+
+    from ..snapshots import snapshot_apply, snapshot_init
+
+    cust = _t(spark, sf_dir, "customer")
+    src1 = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    src2 = cust.filter(F.col("c_custkey") % 11 != 3).select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("SEGMENT_CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    snap = snapshot_apply(
+        snapshot_init(src1, dt.datetime(2024, 1, 1)),
+        src2,
+        "c_custkey",
+        ["c_mktsegment"],
+        dt.datetime(2024, 2, 1),
+    )
+
+    def as_of(d: dt.date):
+        t = F.lit(d.isoformat() + " 00:00:00").cast("timestamp_ntz")
+        return snap.filter(
+            (F.col("dbt_valid_from") <= t)
+            & (F.col("dbt_valid_to").isNull() | (F.col("dbt_valid_to") > t))
+        ).select(
+            F.lit(d).alias("as_of"), "c_custkey", "c_mktsegment"
+        )
+
+    return as_of(dt.date(2024, 1, 15)).unionByName(
+        as_of(dt.date(2024, 2, 15))
+    )
