@@ -3028,3 +3028,91 @@ def win_time_range_frame(spark, sf_dir):
         F.col("o_orderdate").cast("date").alias("o_orderdate"),
         F.sum(_cents("o_totalprice")).over(w).alias("trailing_7d_cents"),
     )
+
+
+@query(
+    "agg_funnel_in_session",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM l
+    ), per_sess AS (
+      SELECT user_id, sess_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS t_purchase
+      FROM s GROUP BY user_id, sess_id
+    )
+    SELECT count(*) AS n_sessions,
+           sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+             AS n_view_sessions,
+           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS n_click_after_view,
+           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    AND t_purchase > t_click THEN 1 ELSE 0 END)
+             AS n_converted
+    FROM per_sess
+    """,
+)
+def agg_funnel_in_session(spark, sf_dir):
+    """The strict form of funnel analysis: the view→click→purchase
+    sequence must complete WITHIN one 30-minute-gap session, not over
+    the user's lifetime — the definition product analytics actually
+    bills as "conversion".
+
+    Composes sessionization (the lag→flag→cumsum idiom, same as
+    `streaming_session_stats`' oracle) with the conditional-min
+    funnel: both windows cluster on user_id, so the whole pipeline —
+    session assignment, per-session step minima, the ordering check —
+    shares ONE hash exchange before the constant-size rollup.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    # microsecond gap (same idiom as win_session_longest: NTZ doesn't
+    # cast to a number; timestampdiff keeps the exact resolution)
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts), ts)"
+    )
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(gap_us < 1800 * 1000 * 1000, 0).otherwise(1),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return per_sess.agg(
+        F.count("*").alias("n_sessions"),
+        flag(s1).alias("n_view_sessions"),
+        flag(s2).alias("n_click_after_view"),
+        flag(s3).alias("n_converted"),
+    )
