@@ -3116,3 +3116,155 @@ def agg_funnel_in_session(spark, sf_dir):
         flag(s2).alias("n_click_after_view"),
         flag(s3).alias("n_converted"),
     )
+
+
+@query(
+    "win_rank_change",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
+             sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN (1997, 1998)
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT o_custkey, yr, cents,
+             rank() OVER (PARTITION BY yr ORDER BY cents DESC, o_custkey)
+               AS rnk
+      FROM yearly
+    )
+    SELECT a.o_custkey,
+           CAST(a.rnk AS BIGINT) AS rank_1997,
+           CAST(b.rnk AS BIGINT) AS rank_1998,
+           CAST(a.rnk AS BIGINT) - CAST(b.rnk AS BIGINT) AS rank_gain
+    FROM ranked a JOIN ranked b USING (o_custkey)
+    WHERE a.yr = 1997 AND b.yr = 1998
+          AND a.rnk <= 100 AND b.rnk <= 100
+    """,
+)
+def win_rank_change(spark, sf_dir):
+    """Rank-migration analysis: customers in the top-100 by spend in
+    BOTH 1997 and 1998, with their rank delta — the leaderboard-
+    movement report (who climbed, who slid).  Two period ranks from
+    one aggregated frame, self-joined on the entity key; ranks use a
+    deterministic tie-break and exact integer cents so the orderings
+    are engine-stable.  All work after the first aggregation is over
+    entity-grain rows — at 100 TB the raw facts are touched once.
+    """
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    yearly = (
+        o.withColumn("yr", F.year("o_orderdate"))
+        .filter(F.col("yr").isin(1997, 1998))
+        .groupBy("o_custkey", "yr")
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    )
+    w = Window.partitionBy("yr").orderBy(
+        F.col("cents").desc(), F.col("o_custkey")
+    )
+    ranked = yearly.withColumn("rnk", F.rank().over(w).cast("long"))
+    a = ranked.filter((F.col("yr") == 1997) & (F.col("rnk") <= 100)).select(
+        "o_custkey", F.col("rnk").alias("rank_1997")
+    )
+    b = ranked.filter((F.col("yr") == 1998) & (F.col("rnk") <= 100)).select(
+        "o_custkey", F.col("rnk").alias("rank_1998")
+    )
+    return a.join(b, "o_custkey").select(
+        "o_custkey",
+        "rank_1997",
+        "rank_1998",
+        (F.col("rank_1997") - F.col("rank_1998")).alias("rank_gain"),
+    )
+
+
+@query(
+    "agg_market_basket",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 100 AS part_bucket
+      FROM lineitem
+    ), pairs AS (
+      SELECT a.part_bucket AS item_a, b.part_bucket AS item_b,
+             count(*) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.part_bucket < b.part_bucket
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_orders
+    FROM pairs WHERE n_orders >= 40
+    """,
+)
+def agg_market_basket(spark, sf_dir):
+    """Market-basket co-occurrence: item pairs appearing together in
+    the same order above a support threshold — the association-rules
+    primitive (items bucketed to a 100-ary catalog so supports are
+    meaningful at test scale).
+
+    The self-join is WITHIN the basket key (orderkey), so the pair
+    fan-out is Σ|basket|² with baskets bounded by order size (~7
+    lines) — linear in orders, never items × items; the support
+    HAVING prunes before anything downstream.  This in-basket
+    self-join + threshold is exactly how FP-growth's candidate
+    generation is fed at warehouse scale.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("part_bucket")
+    ).distinct()
+    a = items.select("l_orderkey", F.col("part_bucket").alias("item_a"))
+    b = items.select("l_orderkey", F.col("part_bucket").alias("item_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 40)
+    )
+
+
+@query(
+    "win_wow_delta",
+    oracle="""
+    WITH weekly AS (
+      SELECT date_trunc('week', CAST(ts AS DATE)) AS wk, event_type,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(wk AS DATE) AS wk, event_type, n_events,
+           lag(n_events) OVER w AS prev_week,
+           n_events - lag(n_events) OVER w AS wow_delta,
+           round((n_events - lag(n_events) OVER w)::DOUBLE
+                 / nullif(lag(n_events) OVER w, 0), 6) AS wow_pct
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+    """,
+)
+def win_wow_delta(spark, sf_dir):
+    """Week-over-week deltas per event type — the BI staple: weekly
+    rollup, lag to the prior week, absolute and relative change.
+    The lag runs over the WEEKLY aggregate (constant-size per type),
+    so the window stage costs nothing at any event volume; the ratio
+    NULLs safely on a zero prior week.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("wk"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "wk",
+        "event_type",
+        "n_events",
+        prev.alias("prev_week"),
+        (F.col("n_events") - prev).alias("wow_delta"),
+        E.round_to(
+            (F.col("n_events") - prev).cast("double")
+            / F.nullif(prev, F.lit(0)),
+            6,
+        ).alias("wow_pct"),
+    )

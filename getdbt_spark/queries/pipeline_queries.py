@@ -2012,3 +2012,75 @@ def multimodal_dedup_phash(spark, sf_dir):
         )
         .filter(F.col("n_assets") > 1)
     )
+
+
+@query(
+    "text_keyword_tfidf",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM words GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM words
+    ), scored AS (
+      SELECT tf.doc_id, tf.word,
+             CAST(floor(tf.tf * ln(n.n_docs::DOUBLE / df.df) * 1000000)
+                  AS BIGINT) AS micro_score
+      FROM tf JOIN df USING (word), n
+    )
+    SELECT doc_id, rnk, word, micro_score FROM (
+      SELECT doc_id, word, micro_score,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY micro_score DESC, word) AS rnk
+      FROM scored) WHERE rnk <= 3 AND micro_score > 0
+    """,
+)
+def text_keyword_tfidf(spark, sf_dir):
+    """TF-IDF keyword extraction: each document's top-3 most
+    distinctive terms — the classic relevance/tagging primitive,
+    computed wholly in-engine.
+
+    Cross-engine exactness: the tf·ln(N/df) score is quantized to
+    integer micro-units BEFORE the ranking window, so rank order (and
+    the tie-break on the term itself) cannot flip on a last-ulp
+    double difference between engines.  Plan shape: two
+    map-combinable aggregations (term frequency, document frequency),
+    a vocabulary-sized broadcast join, one ranking window partitioned
+    by document — the raw token stream shuffles once.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id", F.explode(P.ws_tokens(F.col("text"))).alias("word")
+    )
+    n_docs = d.count()
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_t = words.groupBy("word").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_t), "word").select(
+        "doc_id",
+        "word",
+        F.floor(
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.col("df"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("micro_score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("micro_score").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("micro_score") > 0))
+        .select("doc_id", "rnk", "word", "micro_score")
+    )
