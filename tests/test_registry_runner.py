@@ -277,3 +277,47 @@ class TestMergeUpsert:
         merge_upsert(spark, path, df, ["k"])
         assert not os.path.exists(path + ".staging")
         assert not os.path.exists(path + ".retired")
+
+
+class TestMergeUpsertProperty:
+    def test_random_batch_sequences_match_dict_semantics(
+        self, spark, tmp_path
+    ):
+        """Any sequence of unique-key batches merged in order must
+        leave the table equal to a plain dict replay (last write per
+        key wins, nothing else changes)."""
+        from uuid import uuid4
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from getdbt_spark.runner import merge_upsert
+
+        @settings(
+            max_examples=5,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            batches=st.lists(
+                st.dictionaries(
+                    st.integers(0, 9), st.integers(-99, 99), max_size=6
+                ),
+                min_size=1,
+                max_size=3,
+            )
+        )
+        def run(batches):
+            path = str(tmp_path / f"tbl_{uuid4().hex}")
+            expect: dict[int, int] = {}
+            out = None
+            for batch in batches:
+                expect.update(batch)
+                df = spark.createDataFrame(
+                    list(batch.items()) or [(None, None)], "k int, v int"
+                ).filter(F.col("k").isNotNull())
+                out = merge_upsert(spark, path, df, ["k"])
+            got = {(r.k, r.v) for r in out.collect()}
+            assert got == set(expect.items())
+
+        run()
