@@ -316,3 +316,31 @@ def test_quantile_sample_is_take_ordered(spark):
     load_all()
     plan = _formatted(spark, QUERIES["agg_quantile_sampled"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+class TestPlanLintApi:
+    def test_flags_cartesian_and_passes_hash_join(self, spark):
+        from getdbt_spark.io import load_table
+        from getdbt_spark.plans import plan_lint, plan_report
+
+        c = load_table(spark, SF, "customer")
+        n = load_table(spark, SF, "nation")
+        bad = c.crossJoin(n.select(F.col("n_name")))
+        assert any("nested-loop" in f for f in plan_lint(bad))
+        assert plan_lint(bad, allow_nested_loop=True) == []
+
+        good = c.join(n, c.c_nationkey == n.n_nationkey).filter(
+            F.col("c_acctbal") > 0
+        )
+        assert plan_lint(good) == []
+        rep = plan_report(good)
+        assert rep["joins"] and rep["bnlj"] == 0
+
+    def test_exchange_budget_enforced(self, spark):
+        from getdbt_spark.io import load_table
+        from getdbt_spark.plans import plan_lint
+
+        o = load_table(spark, SF, "orders")
+        agg = o.groupBy("o_orderstatus").count()
+        assert plan_lint(agg, max_exchanges=0) != []
+        assert plan_lint(agg, max_exchanges=5) == []
