@@ -3268,3 +3268,79 @@ def win_wow_delta(spark, sf_dir):
             6,
         ).alias("wow_pct"),
     )
+
+
+@query(
+    "win_pareto_share",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk,
+             sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS run_cents,
+             sum(cents) OVER () AS tot_cents,
+             count(*) OVER () AS n_cust
+    FROM per_cust
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, o_custkey, cents,
+           round(run_cents::DOUBLE / tot_cents, 6) AS cum_revenue_share,
+           round(rnk::DOUBLE / n_cust, 6) AS cum_customer_share,
+           CASE WHEN run_cents::DOUBLE / tot_cents <= 0.5 THEN 'A'
+                WHEN run_cents::DOUBLE / tot_cents <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked WHERE rnk <= 200
+    """,
+)
+def win_pareto_share(spark, sf_dir):
+    """Pareto / ABC analysis: customers ranked by lifetime revenue
+    with cumulative revenue- and customer-share, classed A/B/C at the
+    50%/80% cumulative-revenue cuts — the concentration report behind
+    every "top X% of customers drive Y%" decision.
+
+    The ranking and both running sums share ONE global ordering over
+    the customer-grain aggregate (not the raw facts); output is capped
+    to the head of the curve, which TakeOrdered-style bounds at any
+    customer count.  Exact integer cents make the global cumsum
+    engine-deterministic; the deterministic tie-break keeps equal-
+    revenue customers in one order on both engines.
+    """
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("cents")
+    )
+    order = [F.col("cents").desc(), F.col("o_custkey")]
+    w_run = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_cust.select(
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("rnk"),
+        "o_custkey",
+        "cents",
+        (F.sum("cents").over(w_run).cast("double")
+         / F.sum("cents").over(w_all)).alias("rev_share"),
+        (F.row_number().over(Window.orderBy(*order)).cast("double")
+         / F.count("*").over(w_all)).alias("cust_share"),
+    )
+    abc = (
+        F.when(F.col("rev_share") <= 0.5, "A")
+        .when(F.col("rev_share") <= 0.8, "B")
+        .otherwise("C")
+    )
+    return ranked.filter(F.col("rnk") <= 200).select(
+        "rnk",
+        "o_custkey",
+        "cents",
+        E.round_to(F.col("rev_share"), 6).alias("cum_revenue_share"),
+        E.round_to(F.col("cust_share"), 6).alias("cum_customer_share"),
+        abc.alias("abc_class"),
+    )
