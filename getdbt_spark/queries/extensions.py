@@ -3344,3 +3344,117 @@ def win_pareto_share(spark, sf_dir):
         E.round_to(F.col("cust_share"), 6).alias("cum_customer_share"),
         abc.alias("abc_class"),
     )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             count(*) OVER () AS n,
+             sum(cents) OVER () AS tot
+      FROM per_cust
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+           CAST(any_value(tot) AS BIGINT) AS total_cents,
+           round(2.0 * sum(i * cents)::DOUBLE
+                   / (any_value(n) * any_value(tot))
+                 - (any_value(n) + 1.0) / any_value(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def agg_gini_concentration(spark, sf_dir):
+    """Gini coefficient of revenue concentration — the single-number
+    companion to the Pareto curve (0 = perfectly even, →1 = one
+    customer is the business).
+
+    Computed from the rank-weighted form G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n
+    over exact integer cents and integer ranks — Σi·xᵢ is an
+    order-free integer sum, so the coefficient is engine- and
+    partitioning-exact; doubles enter only in the final expression.
+    One global sort of the CUSTOMER-grain aggregate (not the facts),
+    then a single map-combinable reduction.
+    """
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = per_cust.select(
+        "cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        E.round_to(
+            2.0
+            * F.sum(F.col("i") * F.col("cents")).cast("double")
+            / (F.count("*") * F.sum("cents"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "agg_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT user_id,
+             date_diff('microsecond', t_view, t_buy) // 1000000 AS secs
+      FROM firsts
+      WHERE t_view IS NOT NULL AND t_buy > t_view
+    )
+    SELECT count(*) AS n_converted,
+           CAST(min(secs) AS BIGINT) AS min_secs,
+           round(avg(secs), 4) AS avg_secs,
+           round(median(secs), 4) AS median_secs,
+           CAST(max(secs) AS BIGINT) AS max_secs
+    FROM conv
+    """,
+)
+def agg_time_to_convert(spark, sf_dir):
+    """Time-to-conversion distribution: seconds from each user's first
+    view to their first purchase (converters only) — the latency
+    histogram product teams track next to the funnel itself.  Same
+    single-pass conditional-min skeleton as ``agg_funnel_steps``;
+    durations are computed at MICROsecond
+    resolution then floor-divided to whole seconds — ``date_diff``'s
+    second grain counts boundary CROSSINGS and disagrees between
+    engines by ±1 (the same pitfall win_session_longest documents), and the stats run over the converter-grain frame.
+    """
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_buy"),
+    )
+    conv = firsts.filter(
+        F.col("t_view").isNotNull() & (F.col("t_buy") > F.col("t_view"))
+    ).select(
+        F.floor(
+            F.expr("timestampdiff(MICROSECOND, t_view, t_buy)") / 1000000
+        ).alias("secs")
+    )
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        F.min("secs").cast("long").alias("min_secs"),
+        E.round_to(F.avg("secs"), 4).alias("avg_secs"),
+        E.round_to(F.median("secs"), 4).alias("median_secs"),
+        F.max("secs").cast("long").alias("max_secs"),
+    )
