@@ -2084,3 +2084,85 @@ def text_keyword_tfidf(spark, sf_dir):
         .filter((F.col("rnk") <= 3) & (F.col("micro_score") > 0))
         .select("doc_id", "rnk", "word", "micro_score")
     )
+
+
+@query(
+    "dedup_embedding_cluster",
+    oracle="WITH RECURSIVE e AS (\n"
+    + """      SELECT vec_id, embedding,
+             sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding]))
+               AS norm
+      FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                            for i in range(1, len(a.embedding) + 1)])
+                  / (a.norm * b.norm), 6) >= 0.45
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM p
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM p
+    ), walk(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e2.dst, w.comp FROM walk w JOIN edges e2 ON e2.src = w.id
+    ), comp AS (
+      SELECT id, min(comp) AS canonical FROM walk GROUP BY id
+    )
+    SELECT emb.vec_id,
+           coalesce(c.canonical, emb.vec_id) AS canonical_id,
+           emb.vec_id = coalesce(c.canonical, emb.vec_id) AS keep
+    FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id
+    """,
+)
+def dedup_embedding_cluster(spark, sf_dir):
+    """SEMANTIC near-dup clusters: connected components over the
+    embedding-cosine pair graph (cos ≥ 0.45), minimum vec_id elected
+    canonical — the embedding-space counterpart of
+    ``dedup_cluster_canonical``'s lexical clusters, closing the same
+    pairs→verdict gap for semantic dedup (paraphrases chain A~B~C even
+    when A and C are not pairwise similar).
+
+    Reuses the alternating large-star/small-star component engine
+    (pipeline.connected_components — reliable checkpoint cadence,
+    never a driver-side graph); pair generation is the brute-force
+    oracle-checkable baseline at test scale, with the IVF/LSH bucket
+    keys (sim_ann_*) as the documented candidate generator at 100 TB.
+    The oracle walks the same graph with a recursive CTE.
+    """
+    e = P.with_norm(_embs(spark, sf_dir))
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            E.round_to(
+                P.cosine(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.45)
+    )
+    comp = P.connected_components(pairs)
+    emb = _embs(spark, sf_dir).select("vec_id")
+    return (
+        emb.join(comp, emb.vec_id == comp.id, "left")
+        .select(
+            "vec_id",
+            F.coalesce("comp", "vec_id").alias("canonical_id"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("canonical_id"))
+    )
