@@ -3458,3 +3458,59 @@ def agg_time_to_convert(spark, sf_dir):
         E.round_to(F.median("secs"), 4).alias("median_secs"),
         F.max("secs").cast("long").alias("max_secs"),
     )
+
+
+@query(
+    "win_percent_of_total",
+    oracle="""
+    WITH per_nation AS (
+      SELECT n.n_regionkey, c.c_nationkey,
+             sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_regionkey, c_nationkey, cents,
+           round(cents::DOUBLE / sum(cents) OVER (
+             PARTITION BY n_regionkey), 6) AS share_of_region,
+           round(cents::DOUBLE / sum(cents) OVER (), 6) AS share_of_total
+    FROM per_nation
+    """,
+)
+def win_percent_of_total(spark, sf_dir):
+    """Ratio-to-report: each nation's revenue as a share of its region
+    and of the grand total — the two-level percent-of-total every BI
+    layer exposes.  Both denominators are unbounded-frame window sums
+    over the NATION-grain aggregate (25 rows at any fact volume), so
+    the 'global total' costs nothing; exact integer cents make the
+    shares engine-deterministic.
+    """
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "c_nationkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    )
+    w_region = Window.partitionBy("n_regionkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_nation.select(
+        "n_regionkey",
+        "c_nationkey",
+        "cents",
+        E.round_to(
+            F.col("cents").cast("double") / F.sum("cents").over(w_region), 6
+        ).alias("share_of_region"),
+        E.round_to(
+            F.col("cents").cast("double") / F.sum("cents").over(w_all), 6
+        ).alias("share_of_total"),
+    )
