@@ -3514,3 +3514,52 @@ def win_percent_of_total(spark, sf_dir):
             F.col("cents").cast("double") / F.sum("cents").over(w_all), 6
         ).alias("share_of_total"),
     )
+
+
+@query(
+    "agg_rolling_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM du
+    )
+    SELECT days.d,
+           count(DISTINCT du.user_id) AS wau,
+           count(*) AS active_user_days
+    FROM days JOIN du
+      ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+)
+def agg_rolling_wau(spark, sf_dir):
+    """Rolling 7-day active users (WAU) per day — the
+    engagement-dashboard staple that resists plain windows because
+    DISTINCT doesn't compose across frames (yesterday's WAU set and
+    today's overlap).
+
+    Shape: the raw stream reduces once to DISTINCT (day, user) pairs
+    — day-grain × daily actives, thousands of times smaller than the
+    events — then a bounded 7-day range self-join fans each pair into
+    at most 7 window anchors before the distinct count.  At 100 TB
+    the fan-out is 7× the REDUCED frame, not the stream; the sketch
+    alternative (HLL per day + merge, see agg_hll_sketch) is the
+    documented approximate upgrade when even that is too wide.
+    """
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().select(F.col("d").alias("anchor"))
+    joined = du.join(
+        days,
+        (F.col("d") <= F.col("anchor"))
+        & (F.col("d") >= F.date_sub(F.col("anchor"), 6)),
+    )
+    return (
+        joined.groupBy(F.col("anchor").alias("d"))
+        .agg(
+            F.count_distinct("user_id").alias("wau"),
+            F.count("*").alias("active_user_days"),
+        )
+    )
