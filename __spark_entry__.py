@@ -51,16 +51,50 @@ def _driver_verified_ids() -> set[str]:
     return verified
 
 
-def _priority_order(ids: list[str]) -> list[str]:
-    """Never-verified ids first (fixture scans last within that class,
-    they are the lowest-value rows), then already-proven ids.  The sort
-    is stable, so registration order is preserved within each class."""
-    verified = _driver_verified_ids()
+# Unverified ids the next window must prove first: the 8 ids repaired
+# after CORRECTNESS_r03 (oracle dtype / array serialization — re-enter
+# red ids), then the reference's core incremental/snapshot contracts
+# (atinternet_smarttag_streams_daily_v4.sql:1-22), the stateful
+# streaming twins, and the user-visible never-windowed operators
+# VERDICT.md round 3 called out.
+_WINDOW_FIRST = [
+    "model_streams_daily_v4",
+    "model_quintly_youtube_latest",
+    "model_dashboard_channel_weekly",
+    "multimodal_frame_sample",
+    "emb_l2_normalize",
+    "emb_quantize_int8",
+    "emb_centroid_per_label",
+    "pack_shard_manifest",
+    "sink_incremental_insert_overwrite",
+    "sink_incremental_replay",
+    "sink_snapshot_scd2",
+    "streaming_first_seen",
+    "streaming_sliding_stats",
+    "streaming_dedup_replays",
+    "fn_current_date",
+    "sort_in_cte",
+    "join_left_semi",
+    "join_left_anti",
+    "text_pii_flags",
+    "sample_weighted",
+]
 
-    def rank(qid: str) -> int:
+
+def _priority_order(ids: list[str]) -> list[str]:
+    """Never-verified ids first — hand-prioritized high-value ids, then
+    the rest in registration order, fixture scans last within the
+    class (lowest-value rows) — then already-proven ids.  The sort is
+    stable, so registration order is preserved within each class."""
+    verified = _driver_verified_ids()
+    first = {qid: i for i, qid in enumerate(_WINDOW_FIRST)}
+
+    def rank(qid: str) -> tuple[int, int]:
         if qid in verified:
-            return 2
-        return 1 if qid.startswith("fixture_") else 0
+            return (3, 0)
+        if qid in first:
+            return (0, first[qid])
+        return ((2, 0) if qid.startswith("fixture_") else (1, 0))
 
     return sorted(ids, key=rank)
 

@@ -160,10 +160,10 @@ FROM nation
 SELECT
   CAST(1000 + o_custkey % 20 AS BIGINT)                 AS profileId,
   CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)    AS intervalBegin,
-  sum(o_orderkey % 1000)                                AS fans,
-  sum(o_orderkey % 21) - 10 * count(*)                  AS fansChange,
+  CAST(sum(o_orderkey % 1000) AS BIGINT)                AS fans,
+  CAST(sum(o_orderkey % 21) - 10 * count(*) AS BIGINT)  AS fansChange,
   count(*) % 50                                         AS ownPosts,
-  sum(o_orderkey % 5000)                                AS pageImpressionsUnique,
+  CAST(sum(o_orderkey % 5000) AS BIGINT)                AS pageImpressionsUnique,
   CAST(sum(o_orderkey % 83) AS DOUBLE) / 7              AS ownPostsEngagement
 FROM orders WHERE o_custkey % 3 = 0
 GROUP BY 1, 2
@@ -172,12 +172,12 @@ GROUP BY 1, 2
 SELECT
   CAST(2000 + o_custkey % 20 AS BIGINT)                 AS profileId,
   CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)    AS intervalBegin,
-  sum(o_orderkey % 900)                                 AS followers,
-  sum(o_orderkey % 19) - 9 * count(*)                   AS followersChange,
+  CAST(sum(o_orderkey % 900) AS BIGINT)                 AS followers,
+  CAST(sum(o_orderkey % 19) - 9 * count(*) AS BIGINT)   AS followersChange,
   count(*) % 40                                         AS posts,
   count(*) % 7 - 3                                      AS postschange,
-  sum(o_orderkey % 4000)                                AS reach,
-  sum(o_orderkey % 77)                                  AS totalengagement
+  CAST(sum(o_orderkey % 4000) AS BIGINT)                AS reach,
+  CAST(sum(o_orderkey % 77) AS BIGINT)                  AS totalengagement
 FROM orders WHERE o_custkey % 3 = 1
 GROUP BY 1, 2
 """,
@@ -187,12 +187,12 @@ GROUP BY 1, 2
 SELECT
   CAST(3000 + o_custkey % 20 AS BIGINT)                 AS profileId,
   CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)    AS intervalBegin,
-  sum(o_orderkey % 700)                                 AS totalSubscribers,
-  sum(o_orderkey % 17) - 8 * count(*)                   AS totalSubscribersChange,
+  CAST(sum(o_orderkey % 700) AS BIGINT)                 AS totalSubscribers,
+  CAST(sum(o_orderkey % 17) - 8 * count(*) AS BIGINT)   AS totalSubscribersChange,
   count(*) % 60                                         AS totalVideos,
-  sum(o_orderkey % 9000)                                AS views,
-  sum(o_orderkey % 601)                                 AS estimatedminuteswatched,
-  sum(o_orderkey % 59)                                  AS totalengagement,
+  CAST(sum(o_orderkey % 9000) AS BIGINT)                AS views,
+  CAST(sum(o_orderkey % 601) AS BIGINT)                 AS estimatedminuteswatched,
+  CAST(sum(o_orderkey % 59) AS BIGINT)                  AS totalengagement,
   CAST(min(o_orderkey) % 101 AS DOUBLE)                 AS averageViewPercentage,
   CAST(min(o_orderkey) % 600 AS DOUBLE)                 AS averageViewDuration,
   CASE WHEN o_orderkey % 2 = 0 THEN DATE '2024-02-01'
@@ -211,9 +211,9 @@ SELECT
   weekofyear(o_orderdate)                               AS weeknum,
   extract(year FROM CAST(date_trunc('week', o_orderdate) AS DATE)
                + INTERVAL 3 DAY)                        AS year,
-  sum(o_orderkey % 300)                                 AS weekly_visitors,
-  sum(o_orderkey % 47)                                  AS daily_visitors,
-  sum(o_orderkey % 90)                                  AS visits
+  CAST(sum(o_orderkey % 300) AS BIGINT)                 AS weekly_visitors,
+  CAST(sum(o_orderkey % 47) AS BIGINT)                  AS daily_visitors,
+  CAST(sum(o_orderkey % 90) AS BIGINT)                  AS visits
 FROM orders WHERE o_custkey % 4 < 2
 GROUP BY 1, 2, 3, 4, 5
 """,
@@ -226,9 +226,9 @@ SELECT
   weekofyear(o_orderdate)                               AS weeknum,
   extract(year FROM CAST(date_trunc('week', o_orderdate) AS DATE)
                + INTERVAL 3 DAY)                        AS year,
-  sum(o_orderkey % 250)                                 AS weekly_visitors,
-  sum(o_orderkey % 41)                                  AS daily_visitors,
-  sum(o_orderkey % 80)                                  AS visits
+  CAST(sum(o_orderkey % 250) AS BIGINT)                 AS weekly_visitors,
+  CAST(sum(o_orderkey % 41) AS BIGINT)                  AS daily_visitors,
+  CAST(sum(o_orderkey % 80) AS BIGINT)                  AS visits
 FROM orders WHERE o_custkey % 4 = 2
 GROUP BY 1, 2, 3, 4, 5, 6
 """,

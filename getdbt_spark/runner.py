@@ -221,30 +221,45 @@ def merge_upsert(
 
     Plain parquet has no ACID MERGE, so this is merge-by-rewrite:
     ``existing LEFT ANTI JOIN new-keys`` ∪ ``new_df`` → staging dir →
-    atomic directory swap.  The anti join broadcasts the *distinct
-    updated-key set* — a daily batch's keys, small relative to the
-    table by construction (AQE demotes to shuffle if not) — so the
-    existing side is map-only.  On a real lakehouse this function is
+    two-rename directory swap.  The anti join is left to AQE's join
+    selection: no explicit ``F.broadcast`` hint, because a hint is
+    binding — AQE never demotes a hinted broadcast, so an unexpectedly
+    large batch-key set would force a driver-side broadcast and OOM
+    instead of falling back to a shuffle join.  A daily batch's
+    distinct key set is small by construction, so AQE picks broadcast
+    in the normal case anyway; the no-hint form just makes the
+    degenerate case degrade instead of die.
+
+    Crash safety: the swap is ``rename(path → .retired)`` then
+    ``rename(.staging → path)``; a crash between the two leaves no
+    live directory at ``path``.  Recovery is mechanical and the data
+    is never lost: if ``path`` is missing, rename ``.retired`` back
+    (or ``.staging`` forward — both are complete tables; ``.retired``
+    is pre-merge, ``.staging`` post-merge).  The ``.retired`` copy is
+    deleted only AFTER the new ``path`` has been re-opened and its
+    footer read, so the pre-merge table survives until the post-merge
+    one is verified readable.  On a real lakehouse this function is
     the seam where Delta/Iceberg ``MERGE INTO`` plugs in, which also
-    makes the rewrite partition-scoped instead of full-table.
+    makes the rewrite partition-scoped instead of full-table and the
+    swap a metadata commit.
     """
     import shutil
-
-    from pyspark.sql import functions as F
 
     if not os.path.exists(path):
         new_df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
     existing = spark.read.parquet(path)
     new_keys = new_df.select(*keys).distinct()
-    merged = existing.join(F.broadcast(new_keys), keys, "left_anti").unionByName(
-        new_df
-    )
+    merged = existing.join(new_keys, keys, "left_anti").unionByName(new_df)
     staging = path.rstrip("/") + ".staging"
     merged.write.mode("overwrite").parquet(staging)
     retired = path.rstrip("/") + ".retired"
     shutil.rmtree(retired, ignore_errors=True)
     os.rename(path, retired)
     os.rename(staging, path)
+    # Verify the swapped-in table is readable before dropping the
+    # pre-merge copy — the footer read raises if the write was torn.
+    out = spark.read.parquet(path)
+    out.schema  # forces footer resolution
     shutil.rmtree(retired, ignore_errors=True)
-    return spark.read.parquet(path)
+    return out

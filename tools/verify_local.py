@@ -26,6 +26,17 @@ TABLES = (
 
 
 def _norm_cell(v) -> str:
+    """Driver-strict cell canon.
+
+    The driver's canonicalizer (a) crashes on array-typed cells
+    (pandas sort_values → ``unhashable type: 'list'``) and (b) does
+    NOT collapse integral floats, so ``14508`` (int64) vs ``14508.0``
+    (float64) hash differently.  This replica mirrors (a) by raising,
+    and (b) via the dtype-class check in :func:`frame_hash` (the cell
+    canon stays value-tolerant so a 1-ULP double drift doesn't flag
+    what the driver would pass).  CORRECTNESS_r03 proved the forgiving
+    version masks both classes — never relax this again.
+    """
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -42,22 +53,73 @@ def _norm_cell(v) -> str:
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
-        seq = v.tolist() if hasattr(v, "tolist") else v
-        return "[" + ",".join(_norm_cell(x) for x in seq) + "]"
+        raise TypeError(
+            "array-typed output cell: the driver's canonicalizer cannot "
+            "hash lists — serialize the column (concat_ws / "
+            "array_to_string) in BOTH the Spark query and its oracle"
+        )
     if isinstance(v, (bool,)):
         return "true" if v else "false"
     return str(v)
 
 
-def frame_hash(df: pd.DataFrame) -> tuple[int, list[str], str]:
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class used for the strict cross-engine check.
+
+    The driver hashes raw cell reprs, so an int64 Spark column vs a
+    float64 oracle column (DuckDB HUGEINT / nullable-int pandas fetch)
+    mismatches even when every value is integral.  Comparing classes
+    — not exact dtypes — catches that while still allowing int32 vs
+    int64 (both repr as bare ints).
+    """
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        # all-NaN float columns carry no int-vs-float signal
+        return "float" if s.notna().any() else "any"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    if k == "O":
+        vals = [v for v in s if v is not None and not (isinstance(v, float) and math.isnan(v))]
+        if not vals:
+            return "any"
+        if all(isinstance(v, bool) for v in vals):
+            return "bool"
+        if all(isinstance(v, int) for v in vals):
+            return "int"
+        if all(isinstance(v, float) for v in vals):
+            return "float"
+        if all(isinstance(v, (date, datetime, pd.Timestamp)) for v in vals):
+            return "datetime"
+        return "str"
+    return k
+
+
+def frame_hash(df: pd.DataFrame) -> tuple[int, list[str], str, dict[str, str]]:
     cols = sorted(df.columns)
     df = df[cols]
+    classes = {c: _dtype_class(df[c]) for c in cols}
     rows = []
     for tup in df.itertuples(index=False, name=None):
         rows.append("\x01".join(_norm_cell(v) for v in tup))
     rows.sort()
     digest = hashlib.md5("\n".join(rows).encode()).hexdigest()
-    return len(rows), cols, digest
+    return len(rows), cols, digest, classes
+
+
+def _classes_ok(a: dict[str, str], b: dict[str, str]) -> list[str]:
+    """Columns whose dtype classes are driver-incompatible."""
+    bad = []
+    for c in a:
+        ca, cb = a.get(c), b.get(c, "?")
+        if ca == "any" or cb == "any":
+            continue
+        if ca != cb:
+            bad.append(f"{c}:{ca}!={cb}")
+    return bad
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -71,24 +133,41 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def compare(qid: str, spark_df, con, oracle: str | None, verbose=True):
     spd = spark_df.toPandas()
-    n_s, cols_s, h_s = frame_hash(spd)
+    n_s, cols_s, h_s, cl_s = frame_hash(spd)
     if oracle is None:
         status = "ROWS_ONLY" if n_s >= 0 else "FAIL"
         if verbose:
             print(f"{qid:36s} {status:10s} rows={n_s}")
         return True, spd, None
-    # .arrow() keeps DATE columns as date32 (fetchdf coerces them to
-    # datetime64 midnight, which would spuriously mismatch Spark DateType).
+    # Values hash against the arrow fetch (it keeps DATE as date32;
+    # fetchdf coerces dates to datetime64 midnight which would
+    # spuriously mismatch Spark DateType).  Dtype classes check
+    # against fetchdf — the driver's oracle fetch path (r03 evidence:
+    # DuckDB HUGEINT/nullable-int render as float64 there, and a
+    # non-null Spark bigint hashes "14508" vs "14508.0" → red).  A
+    # null-bearing int column is float64 on BOTH sides (Spark
+    # toPandas does the same NaN promotion), so matching values imply
+    # matching classes; the one real driver-red shape this catches is
+    # an integer SUM the oracle left as HUGEINT.
     dkd = con.execute(oracle).arrow().to_pandas()
-    n_d, cols_d, h_d = frame_hash(dkd)
-    ok = (n_s == n_d) and (cols_s == cols_d) and (h_s == h_d)
+    n_d, cols_d, h_d, _cl_arrow = frame_hash(dkd)
+    fdf = con.execute(oracle).fetchdf()
+    cl_f = {c: _dtype_class(fdf[c]) for c in fdf.columns}
+    bad = _classes_ok(cl_s, cl_f)
+    ok = (n_s == n_d) and (cols_s == cols_d) and (h_s == h_d) and not bad
     if verbose:
         print(
             f"{qid:36s} {'OK' if ok else 'MISMATCH':10s} "
             f"rows={n_s}/{n_d} cols={'=' if cols_s == cols_d else cols_s}"
             f"{'' if cols_s == cols_d else cols_d} hash={'=' if h_s == h_d else 'DIFF'}"
+            f"{' dtypes=' + ','.join(bad) if bad else ''}"
         )
     return ok, spd, dkd
+
+
+def frame_hash_classes_only(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    return len(df), cols, None, {c: _dtype_class(df[c]) for c in cols}
 
 
 def show_diff(qid: str, spd: pd.DataFrame, dkd: pd.DataFrame, n=6):
