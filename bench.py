@@ -98,6 +98,29 @@ def _warmup(spark, sf_dir: str) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _host_canary() -> float:
+    """Fixed single-core CPU workload (sha256 over 64 MiB), timed.
+
+    Round-over-round bench comparisons cross VM boots, and measured
+    host speed varies 20-30% between boots (frequency/migration).
+    The canary is identical work every round, so readers can divide
+    per-query timings by (canary / reference-canary) to separate
+    plan regressions from host drift."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    block = b"\x5a" * (1 << 20)
+    h = hashlib.sha256()
+    for _ in range(256):
+        h.update(block)
+    h.hexdigest()
+    # interpreter-speed component (hash units are often HW-offloaded)
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 31 + i) & 0xFFFFFFFF
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -156,6 +179,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Host-speed canary: identical CPU work every round —
+                # normalize cross-round query deltas by the canary
+                # ratio before reading them as plan changes.
+                "canary_cpu_sec": _host_canary(),
             }
         )
     )

@@ -47,18 +47,32 @@ REPORTING_YEAR_MIN = 2019  # extract(isoyear from date) >= 2019 filters —
 # the fixture's advantedge dates (2024) all pass, as the reference's do.
 
 
-def _spine(ctx) -> DataFrame:
-    """One row per reporting week: SPINE_START .. run_date step 7 days
+def _spine_seq(ctx):
+    """The weekly spine as a literal-bounded sequence expression:
+    SPINE_START .. run_date step 7 days
     (`_dashboard_channel_weekly.sql:10` et al.)."""
-    return ctx.spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.to_date(F.lit(SPINE_START)),
-                F.lit(ctx.run_date),
-                F.expr("interval 7 days"),
-            )
-        ).alias("weekdate")
+    return F.sequence(
+        F.to_date(F.lit(SPINE_START)),
+        F.lit(ctx.run_date),
+        F.expr("interval 7 days"),
     )
+
+
+def _spine(ctx) -> DataFrame:
+    """One row per reporting week, as a standalone table."""
+    return ctx.spark.range(1).select(
+        F.explode(_spine_seq(ctx)).alias("weekdate")
+    )
+
+
+def _with_spine(ctx, df: DataFrame) -> DataFrame:
+    """``df × weekly spine`` as a per-row generator instead of a cross
+    join: the sequence bounds are literals, so ``explode(sequence(…))``
+    fans each row out to one row per week inline — no broadcast build,
+    no nested-loop join node, and at cluster scale no exchange at all
+    (the reference's ``CROSS JOIN UNNEST(GENERATE_DATE_ARRAY(…))``
+    shape, executed the way BigQuery actually runs it)."""
+    return df.withColumn("weekdate", F.explode(_spine_seq(ctx)))
 
 
 def _week_cols(df: DataFrame, col: str = "weekdate") -> DataFrame:
@@ -75,7 +89,7 @@ def _quintly_mart(ctx, quintly_name: str, id_col: str, out_cols):
     q = ctx.ref(quintly_name).withColumn(
         "q_year", iso_year("intervalBegin")
     ).withColumn("q_week", iso_week("intervalBegin"))
-    base = _week_cols(vt.crossJoin(_spine(ctx)))
+    base = _week_cols(_with_spine(ctx, vt))
     # Broadcast the facts side: quintly weeklies are bounded by
     # #profiles × #weeks (catalog-shaped) at any corpus scale.
     joined = base.join(
@@ -202,7 +216,7 @@ def integral_reporting_sites_and_apps(ctx):
     ati = pages.unionAll(progs)
 
     vt = ctx.ref(VERTAAL).filter(F.col("Naam").isNotNull())
-    base = _week_cols(vt.crossJoin(_spine(ctx)))
+    base = _week_cols(_with_spine(ctx, vt))
     # ATI weeklies are bounded by #titles × #weeks — broadcast-safe.
     joined = base.join(
         F.broadcast(ati),
@@ -654,7 +668,7 @@ def integral_reporting_dashboard_channel_weekly(ctx):
     tv = ctx.ref("integral_reporting_tvbroadcasts")
     vod = ctx.ref("integral_reporting_vodstreaming")
 
-    basis = _week_cols(vt.crossJoin(_spine(ctx)))
+    basis = _week_cols(_with_spine(ctx, vt))
 
     # intekening_cleaning (:17-34): series kept when >= 1000 yearly
     # broadcast-VOD views OR >= 1 lineair broadcast.
@@ -702,8 +716,11 @@ def integral_reporting_dashboard_channel_weekly(ctx):
             F.col("weekdate").alias("j_weekdate"),
             *[F.col(c).alias(f"j_{c}") for c in metric_cols],
         )
+        # Mart outputs are #titles × #weeks (catalog-bounded at any
+        # corpus scale) — broadcast so each branch stays a map-side
+        # hash join instead of sort-merging basis five times.
         j = basis.join(
-            right,
+            F.broadcast(right),
             (basis[key] == F.col("j_id"))
             & (basis["weekdate"] == F.col("j_weekdate")),
             "left",
@@ -823,8 +840,10 @@ def integral_reporting_dashboard_channel_weekly(ctx):
         F.col("tv_time_spent_per_week_min").alias("tvj_time_spent_min"),
         F.col("tv_sum_kdh_per_week").alias("tvj_sum_kdh"),
     )
+    # basis_b is titles × weeks — catalog-bounded, broadcast-safe as
+    # the right (build) side of both left joins below.
     j_tv = tv_sel.join(
-        basis_b,
+        F.broadcast(basis_b),
         (F.col("b_Serie_mid") == F.col("tvj_series_id"))
         & (F.col("b_weekdate") == F.col("tvj_weekdate")),
         "left",
@@ -878,7 +897,7 @@ def integral_reporting_dashboard_channel_weekly(ctx):
         & (F.col("c_year") == F.col("vj_year")),
         "inner",
     ).join(
-        basis_b,
+        F.broadcast(basis_b),
         (F.col("b_Serie_mid") == F.col("vj_series_id"))
         & (F.col("b_weekdate") == F.col("vj_weekdate")),
         "left",
@@ -941,7 +960,23 @@ def integral_reporting_dashboard_channel_weekly(ctx):
         for c in stacked.columns
         if c not in ("is_tv_week", "new_releases", "has_intekening")
     ]
-    return stacked.select(
+    # Two-stage window evaluation: every Naam-partitioned window runs
+    # in the inner select (ONE hash(Naam) exchange), and the outer
+    # (weekdate, Naam) window reuses it — HashPartitioning(Naam)
+    # satisfies ClusteredDistribution(weekdate, Naam), so Catalyst
+    # inserts only a partition-local sort, not a second full-table
+    # exchange.  One select would let the (weekdate, Naam) group
+    # evaluate first and shuffle the stacked table twice.
+    staged = stacked.select(
+        *stacked.columns,
+        F.sum(F.when(lineair, F.col("new_releases")).otherwise(0))
+        .over(w_title)
+        .alias("n_total_tv_broadcasts"),
+        F.max("has_intekening").over(w_title).alias("_has_intek_max"),
+        avg_kdh.alias("_avg_kdh"),
+        avg_has_kdh.alias("_avg_has_kdh"),
+    )
+    return staged.select(
         *keep,
         round_to(
             safe_divide(
@@ -957,13 +992,13 @@ def integral_reporting_dashboard_channel_weekly(ctx):
             safe_divide("daily_reach_per_week", "weekly_reach_per_week"), 2
         ).alias("dau_mau_ratio"),
         F.max("is_tv_week").over(w_title_week).alias("is_tv_week"),
-        F.sum(F.when(lineair, F.col("new_releases")).otherwise(0))
-        .over(w_title)
-        .alias("n_total_tv_broadcasts"),
-        F.max("has_intekening").over(w_title).alias("has_intekening"),
-        F.when(avg_kdh < 100000, "avg lineaire KDH < 100.000")
-        .when(avg_kdh >= 4000000, "avg lineaire KDH > 4.000.000")
-        .when(avg_has_kdh == 0, "no lineair KDH in this week")
+        F.col("n_total_tv_broadcasts"),
+        F.col("_has_intek_max").alias("has_intekening"),
+        F.when(F.col("_avg_kdh") < 100000, "avg lineaire KDH < 100.000")
+        .when(
+            F.col("_avg_kdh") >= 4000000, "avg lineaire KDH > 4.000.000"
+        )
+        .when(F.col("_avg_has_kdh") == 0, "no lineair KDH in this week")
         .otherwise("avg lineaire KDH >= 100.000 and < 4.0000.000")
         .alias("lineair_kdh_bucket"),
     )

@@ -25,6 +25,17 @@ JOIN_NODES = (
     "CartesianProduct",
 )
 
+# Per-query nested-loop allow-list: {query_id: max BNLJ nodes}.  A
+# BroadcastNestedLoopJoin whose build side is k-bounded BY CONSTRUCTION
+# (not merely small at this SF) is the optimal fan-out plan, and the
+# only deliberate such shape in the engine is sim_ann_ivf's
+# all-vectors × 16-centroid codebook assignment (the IVF codebook is
+# small by definition — the alternatives measure slower: literal
+# explode re-evaluates k×dim literals per row, constant-key equi joins
+# constant-fold back to cross joins).  Everything else must be 0 —
+# an unlisted NLJ is an accident that goes quadratic at 100 TB.
+BOUNDED_NLJ_ALLOW: dict[str, int] = {"sim_ann_ivf": 1}
+
 
 def _formatted(df: DataFrame) -> str:
     spark = df.sparkSession

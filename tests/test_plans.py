@@ -7,6 +7,8 @@ properties the engine promises (SURVEY §4.2).
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -27,16 +29,12 @@ GUARDED = [
     "filter_partition_window",
 ]
 
-# crossJoin is the reference's own semantic (vertaaltabel × week spine,
-# `_dashboard_channel_weekly.sql:8-10`) — a broadcast of a 25-row dim
-# against a generated spine, not an accident; likewise IVF centroid
-# assignment is inherently all-vectors × a tiny broadcast centroid
-# table. Everything else must not produce nested-loop fallbacks.
-_SPINE_CROSS_OK = {
-    "model_dashboard_channel_weekly",
-    "model_integral_reporting_vodstreaming",
-    "sim_ann_ivf",
-}
+# The former vertaaltabel × week-spine crossJoins are now join-free
+# per-row explodes of a literal-bounded sequence, so the only plan
+# allowed any nested-loop node is the explicit per-query budget in
+# plans.BOUNDED_NLJ_ALLOW (sim_ann_ivf's 16-centroid codebook
+# broadcast — k-bounded by construction, the optimal fan-out plan).
+from getdbt_spark.plans import BOUNDED_NLJ_ALLOW
 
 
 @pytest.fixture(scope="module")
@@ -68,13 +66,16 @@ def test_no_cartesian_product(plans, qid):
 
 
 @pytest.mark.parametrize("qid", GUARDED)
-def test_no_nested_loop_join_except_spine_cross(plans, qid):
-    n_bnlj = plans[qid].count("BroadcastNestedLoopJoin")
-    if qid in _SPINE_CROSS_OK:
-        # only the deliberate tiny-dim × spine cross joins
-        assert n_bnlj <= plans[qid].count("Cross")
-    else:
-        assert n_bnlj == 0, f"unexpected nested-loop join in {qid}"
+def test_no_nested_loop_join_outside_allow_list(plans, qid):
+    # formatted explain prints each node in the tree AND the details
+    # section — count the numbered detail headers, one per node.
+    n_bnlj = len(
+        re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plans[qid])
+    )
+    assert n_bnlj <= BOUNDED_NLJ_ALLOW.get(qid, 0), (
+        f"unexpected nested-loop join in {qid} "
+        f"({n_bnlj} > budget {BOUNDED_NLJ_ALLOW.get(qid, 0)})"
+    )
 
 
 def test_topk_is_take_ordered_not_full_sort(spark):
