@@ -688,6 +688,52 @@ def sample_frames(df: DataFrame, stride: int = 7, box: int = 224) -> DataFrame:
     return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
 
 
+CHUNK_SCHEMA = (
+    "doc_id long, chunk_idx long, chunk_off long, chunk_len long, "
+    "checksum long, energy long, peak long"
+)
+
+
+def chunk_audio(df: DataFrame, chunk: int = 512) -> DataFrame:
+    """Fixed-window chunking of opaque audio payloads: one row per
+    ``chunk``-byte window with integer summary features (byte sum,
+    sum of squares as an energy stand-in, peak byte).
+
+    Input: ``(doc_id, payload binary)``.  STUB boundary, same as
+    ``sample_frames``: the per-window features are where a real
+    deployment calls a resampler / fbank / VAD kernel per window.
+    The Spark contract is the real part — Arrow batch iterator, 1→N
+    row fan-out, payload bytes stay on the executor, integer-only
+    outputs so the cross-engine hash needs no float tolerance.  At
+    100 TB this is a map-only stage: no shuffle, scales with input
+    splits; the downstream groupBy(doc_id) consumers pay the only
+    exchange.
+    """
+
+    def _chunks(batches):
+        cols = (
+            "doc_id", "chunk_idx", "chunk_off", "chunk_len",
+            "checksum", "energy", "peak",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(raw)
+                for ci, lo in enumerate(range(0, n, chunk)):
+                    seg = raw[lo : lo + chunk]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(ci)
+                    out["chunk_off"].append(lo)
+                    out["chunk_len"].append(len(seg))
+                    out["checksum"].append(int(seg.sum()))
+                    out["energy"].append(int((seg * seg).sum()))
+                    out["peak"].append(int(seg.max()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_chunks, schema=CHUNK_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate cluster canonicalization (connected components)
 # ---------------------------------------------------------------------------

@@ -2232,3 +2232,246 @@ def dedup_embedding_cluster(spark, sf_dir):
         )
         .withColumn("keep", F.col("vec_id") == F.col("canonical_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation, round 4: span-level dedup, composite quality rules,
+# audio chunking
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_paragraph_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE length(text) > 0
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)))
+               AS pos
+      FROM t
+    ), sp AS (
+      SELECT doc_id, pos,
+             array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ')
+               AS span
+      FROM s
+    ), d AS (
+      SELECT span, count(DISTINCT doc_id) AS span_df FROM sp GROUP BY span
+    )
+    SELECT sp.doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN d.span_df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           round(sum(CASE WHEN d.span_df > 1 THEN 1 ELSE 0 END)
+                 / count(*), 6) AS dup_ratio,
+           coalesce(string_agg(CASE WHEN d.span_df = 1 THEN sp.span END,
+                               ' ' ORDER BY sp.pos), '') AS kept_text
+    FROM sp JOIN d USING (span)
+    GROUP BY sp.doc_id
+    """,
+)
+def text_paragraph_dedup(spark, sf_dir):
+    """Cross-document span-level exact dedup — the paragraph/line
+    dedup stage every web-scrape curation pipeline runs (boilerplate
+    headers, navigation, cookie banners repeat VERBATIM across pages;
+    CCNet/RefinedWeb drop them at paragraph granularity).  The fixture
+    corpus has no newlines, so the unit is a consecutive 10-word span;
+    a span is boilerplate when it appears in MORE THAN ONE document
+    (within-doc repeats are text_repetition_stats' domain), and each
+    doc is reassembled from its surviving spans in position order.
+
+    Scale shape: explode to spans (map-only, linear in corpus size) →
+    one map-combinable groupBy(span) for document frequency → shuffle
+    join back on span → groupBy(doc_id) reassembly.  Two exchanges
+    total on span/doc_id; no driver state, no all-pairs anything —
+    the span-df table is the only corpus-sized intermediate and it
+    partitions by hash(span) evenly (spans are near-unique).
+    """
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    spans = (
+        d.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * 10 + 1, 10), " "
+                    ),
+                )
+            ).alias("pos", "span"),
+        )
+    )
+    span_df = spans.groupBy("span").agg(
+        F.count_distinct("doc_id").alias("span_df")
+    )
+    flagged = spans.join(span_df, "span")
+    dup = F.when(F.col("span_df") > 1, 1).otherwise(0)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(dup).alias("n_dup_spans"),
+        F.round(F.sum(dup) / F.count("*"), 6).alias("dup_ratio"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos"),
+                                F.col("span"),
+                                (F.col("span_df") == 1).alias("keep"),
+                            )
+                        )
+                    ),
+                    lambda s: s["keep"],
+                ),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
+_GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on")
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             list_sum([length(x) for x in words]) AS sum_len,
+             len(list_filter(words,
+                             x -> regexp_matches(x, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_intersect(
+               list_distinct(words),
+               {list(_GOPHER_STOPWORDS)!r})) AS n_stopwords
+      FROM w
+    )
+    SELECT doc_id,
+           n_words,
+           round(sum_len / n_words, 4) AS mean_word_len,
+           round(n_alpha / n_words, 4) AS frac_alpha,
+           n_stopwords,
+           CAST(n_words BETWEEN 50 AND 100000 AS INT) AS rule_wc,
+           CAST(sum_len / n_words BETWEEN 3 AND 10 AS INT) AS rule_wl,
+           CAST(n_alpha / n_words >= 0.8 AS INT) AS rule_alpha,
+           CAST(n_stopwords >= 2 AS INT) AS rule_stop,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND sum_len / n_words BETWEEN 3 AND 10
+                AND n_alpha / n_words >= 0.8
+                AND n_stopwords >= 2 AS INT) AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Composite rule-based quality filter in the style of the Gopher
+    curation rules (Rae et al. 2021, appendix A): word-count bounds,
+    mean-word-length bounds, minimum fraction of alphabetic words,
+    and a minimum count of distinct common stopwords.  Emitted as
+    per-rule 0/1 columns plus the conjunction, so downstream mixes
+    can re-weight individual rules instead of re-scanning the corpus.
+
+    All features are integer counts; the two ratios are the SAME
+    int/int IEEE-double divisions on both engines, so the rule
+    comparisons (and the hash) are exact — no tolerance.  Plan shape:
+    pure projection over the documents scan (one stage, no shuffle);
+    the split→HOF pipeline stays in the JVM.
+    """
+    d = _docs(spark, sf_dir)
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    m = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("words"),
+    ).select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.aggregate(
+            "words",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        ).alias("sum_len"),
+        F.size(
+            F.filter("words", lambda x: x.rlike("[A-Za-z]"))
+        ).alias("n_alpha"),
+        F.size(
+            F.array_intersect(F.array_distinct("words"), stops)
+        ).alias("n_stopwords"),
+    )
+    mean_wl = F.col("sum_len") / F.col("n_words")
+    frac_alpha = F.col("n_alpha") / F.col("n_words")
+    rule_wc = F.col("n_words").between(50, 100000)
+    rule_wl = mean_wl.between(3, 10)
+    rule_alpha = frac_alpha >= 0.8
+    rule_stop = F.col("n_stopwords") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(frac_alpha, 4).alias("frac_alpha"),
+        "n_stopwords",
+        rule_wc.cast("int").alias("rule_wc"),
+        rule_wl.cast("int").alias("rule_wl"),
+        rule_alpha.cast("int").alias("rule_alpha"),
+        rule_stop.cast("int").alias("rule_stop"),
+        (rule_wc & rule_wl & rule_alpha & rule_stop)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+@query(
+    "multimodal_audio_chunks",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 1
+    ), c AS (
+      SELECT doc_id, text, n_bytes,
+             unnest(range(0, n_bytes, 512)) AS chunk_off
+      FROM a
+    )
+    SELECT doc_id,
+           chunk_off // 512 AS chunk_idx,
+           chunk_off,
+           least(chunk_off + 512, n_bytes) - chunk_off AS chunk_len,
+           CAST(coalesce(list_sum(
+             [ascii(text[i + 1])
+              for i in range(chunk_off,
+                             least(chunk_off + 512, n_bytes))]), 0)
+             AS BIGINT) AS checksum,
+           CAST(coalesce(list_sum(
+             [ascii(text[i + 1]) * ascii(text[i + 1])
+              for i in range(chunk_off,
+                             least(chunk_off + 512, n_bytes))]), 0)
+             AS BIGINT) AS energy,
+           CAST(coalesce(list_max(
+             [ascii(text[i + 1])
+              for i in range(chunk_off,
+                             least(chunk_off + 512, n_bytes))]), 0)
+             AS BIGINT) AS peak
+    FROM c
+    """,
+)
+def multimodal_audio_chunks(spark, sf_dir):
+    """Fixed-window audio chunking over opaque binary payloads (the
+    audio-modality third of the corpus, ``doc_id % 3 = 1`` matching
+    multimodal_meta's modality assignment): 512-byte windows with
+    integer summary features via the Arrow ``chunk_audio`` kernel —
+    the framing stage before any resample/fbank/VAD call.  The corpus
+    is ASCII, so the oracle's code-point arithmetic equals the
+    kernel's byte arithmetic exactly (same trick as
+    multimodal_frame_sample).
+    """
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 1)
+    payload = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return P.chunk_audio(payload)

@@ -408,3 +408,97 @@ def test_train_test_split_partitions_every_doc_once(spark, docs):
     a = agg.collect()
     b = QUERIES["sample_train_test_split"](spark, SF).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_chunk_audio_partitions_payload_exactly(spark, docs):
+    """Chunk extents tile each payload with no gap or overlap, chunk
+    checksums sum to the whole-payload byte sum, and every non-final
+    chunk is exactly the window size."""
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    chunks = P.chunk_audio(payload, chunk=512).collect()
+    n_bytes = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n")
+        ).collect()
+    }
+    byte_sum = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id",
+            F.aggregate(
+                F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        ).collect()
+    }
+    assert chunks
+    per_doc: dict[int, list] = {}
+    for r in chunks:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        off = 0
+        for i, r in enumerate(rows):
+            assert r.chunk_idx == i
+            assert r.chunk_off == off
+            assert 0 <= r.peak <= 255
+            assert r.energy >= r.checksum  # bytes>=1 ⇒ b² ≥ b; b=0 ⇒ equal
+            if i < len(rows) - 1:
+                assert r.chunk_len == 512
+            off += r.chunk_len
+        assert off == n_bytes[doc_id]
+        assert sum(r.checksum for r in rows) == byte_sum[doc_id]
+
+
+def test_paragraph_dedup_kept_text_roundtrip(spark):
+    """A span shared by two docs is dropped from BOTH; unique spans
+    survive verbatim in position order; a doc of only-shared spans
+    reassembles to the empty string."""
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = {
+        r.doc_id: r
+        for r in QUERIES["text_paragraph_dedup"](spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents").collect()
+    spans_by_doc = {}
+    for d in docs:
+        toks = d.text.split(" ")
+        spans_by_doc[d.doc_id] = [
+            " ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)
+        ]
+    from collections import Counter
+
+    df_count = Counter()
+    for spans in spans_by_doc.values():
+        for s in set(spans):
+            df_count[s] += 1
+    for doc_id, spans in spans_by_doc.items():
+        r = out[doc_id]
+        expect_kept = " ".join(s for s in spans if df_count[s] == 1)
+        assert r.n_spans == len(spans)
+        assert r.n_dup_spans == sum(1 for s in spans if df_count[s] > 1)
+        assert r.kept_text == expect_kept
+
+
+def test_gopher_rules_flags_match_feature_columns(spark):
+    """Every rule column is the boolean of its own feature column, and
+    keep is the conjunction — so a mix can recompute any rule from the
+    emitted features alone."""
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["text_gopher_rules"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.rule_wc == int(50 <= r.n_words <= 100000)
+        assert r.rule_stop == int(r.n_stopwords >= 2)
+        assert r.keep == int(
+            bool(r.rule_wc and r.rule_wl and r.rule_alpha and r.rule_stop)
+        )
+        assert 0.0 <= r.frac_alpha <= 1.0
