@@ -44,6 +44,7 @@ PIPELINE_HEADLINE = [
     "emb_knn_classify",         # kNN vote classification (composed)
     "pack_token_budget",        # sequence packing (single-exchange window)
     "text_quality_score",
+    "text_paragraph_dedup",     # cross-doc span dedup (explode→df→join back)
     "text_decontaminate",       # benchmark n-gram overlap (broadcast bench side)
     "dedup_containment",        # rare-gram-blocked asymmetric containment
     "text_perplexity_proxy",    # unigram surprisal (broadcast vocab join)

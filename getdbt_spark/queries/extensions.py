@@ -3573,3 +3573,180 @@ def agg_rolling_wau(spark, sf_dir):
             F.count("*").alias("active_user_days"),
         )
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, d, n,
+             list_sort(list(n) OVER (
+               PARTITION BY event_type ORDER BY d
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                 AND CURRENT ROW)) AS arr
+      FROM daily
+    )
+    SELECT event_type, d, n,
+           round((arr[CAST(floor((len(arr) + 1) / 2) AS BIGINT)]
+                  + arr[CAST(floor(len(arr) / 2) AS BIGINT) + 1])
+                 / 2.0, 1) AS median_7d
+    FROM win
+    """,
+)
+def win_rolling_median(spark, sf_dir):
+    """Rolling 7-day median of daily event counts per stream — the
+    robust-baseline window behind anomaly detection (median shrugs
+    off the single-day spikes that drag a rolling mean).
+
+    Spark has no exact percentile window, so the frame is collected
+    per row (``collect_list`` over a RANGE frame — bounded at 7
+    elements by the day grain, NOT by data volume), sorted, and the
+    median read positionally with the standard interpolated formula
+    ((lo+hi)/2 — integer counts, so the result is exactly x.0/x.5 on
+    both engines).  One exchange on event_type; the frame is keyed by
+    ``unix_date`` so absent days genuinely shrink the window (RANGE,
+    not ROWS).
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date("d"))
+        .rangeBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("n").over(w))
+    k = F.size(arr)
+    lo = F.element_at(arr, F.floor((k + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (F.floor(k / 2) + 1).cast("int"))
+    return daily.select(
+        "event_type",
+        "d",
+        "n",
+        E.round_to((lo + hi) / 2.0, 1).alias("median_7d"),
+    )
+
+
+@query(
+    "sample_alpha_temperature",
+    oracle="""
+    WITH l AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ), t AS (
+      SELECT lang, n_docs,
+             n_docs / (SELECT sum(n_docs) FROM l) AS p,
+             power(n_docs / (SELECT sum(n_docs) FROM l), 0.3) AS w
+      FROM l
+    )
+    SELECT lang, n_docs,
+           round(p, 6) AS p_raw,
+           round(w / (SELECT sum(w) FROM t), 6) AS share_alpha,
+           round(10000 * w / (SELECT sum(w) FROM t), 6) AS quota_10k
+    FROM t
+    """,
+)
+def sample_alpha_temperature(spark, sf_dir):
+    """Temperature-based language-mix weights: sampling share
+    ∝ p_lang^α with α = 0.3 — the standard multilingual pretraining
+    rebalance (upsamples tail languages, tempers the head; the mT5/
+    XLM-R exponent).  Emits raw share, α-tempered share, and the
+    expected per-language quota for a 10k-doc budget.
+
+    Plan shape: one map-combinable groupBy(lang), then the
+    normalization terms as unpartitioned window sums over the
+    ALREADY-REDUCED language table (#langs rows — catalog-bounded, so
+    the single-partition window is over a handful of rows, never the
+    corpus).  Both engines evaluate the same int/int division and
+    pow(·, 0.3) expression trees; results rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    l = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    p = F.col("n_docs") / F.sum("n_docs").over(wall)
+    t = l.select("lang", "n_docs", p.alias("p"), F.pow(p, 0.3).alias("w"))
+    share = F.col("w") / F.sum("w").over(wall)
+    return t.select(
+        "lang",
+        "n_docs",
+        E.round_to(F.col("p"), 6).alias("p_raw"),
+        E.round_to(share, 6).alias("share_alpha"),
+        E.round_to(share * 10000, 6).alias("quota_10k"),
+    )
+
+
+@query(
+    "streaming_late_data_audit",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, ts,
+             max(ts) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS high_water
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN ts < high_water - INTERVAL 1 HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           round(sum(CASE WHEN ts < high_water - INTERVAL 1 HOUR
+                          THEN 1 ELSE 0 END) / count(*), 6) AS late_ratio
+    FROM seq
+    GROUP BY event_type
+    """,
+)
+def streaming_late_data_audit(spark, sf_dir):
+    """Watermark late-data audit, batch twin: how many events would a
+    1-hour watermark drop per stream?  Arrival order is event_id (the
+    ingest sequence); the running high-water mark is max(event time)
+    over the arrival prefix, and an event is late when it arrives
+    more than 1 h behind it — exactly Structured Streaming's
+    ``withWatermark("ts", "1 hour")`` drop rule applied per stream.
+    The strong SQL oracle makes this the driver-hash-checkable
+    companion to the rows-only stateful streaming ids.
+
+    Plan shape: one window exchange on event_type (each stream's
+    watermark is tracked independently, as each partition's is in a
+    real deployment), then a map-combinable groupBy of the same key —
+    AQE reuses the partitioning, and nothing is ever collected.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = (
+        F.col("ts")
+        < F.col("high_water") - F.expr("INTERVAL 1 HOUR")
+    ).cast("int")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "ts",
+            F.max("ts").over(w).alias("high_water"),
+        )
+        .select("event_type", late.alias("late"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("late").cast("long").alias("n_late"),
+            E.round_to(F.sum("late") / F.count("*"), 6).alias(
+                "late_ratio"
+            ),
+        )
+    )

@@ -2475,3 +2475,78 @@ def multimodal_audio_chunks(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return P.chunk_audio(payload)
+
+
+@query(
+    "emb_matryoshka_truncate",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding[1:16] AS t16,
+             sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE)
+                            for x in embedding])) AS nrm_full,
+             sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE)
+                            for x in embedding[1:16]])) AS nrm16
+      FROM embeddings
+    )
+    SELECT vec_id,
+           array_to_string(
+             [coalesce(CAST(CAST(sign(u) * floor(abs(u) * 1000000.0
+                                                 + 0.5)
+                                 AS BIGINT) AS VARCHAR), 'null')
+              for u in [x::DOUBLE / nullif(nrm16, 0) for x in t16]],
+             ',') AS unit16_q6,
+           round(nrm16, 6) AS norm16,
+           round(nrm16 / nullif(nrm_full, 0), 6) AS norm_retained
+    FROM e
+    """,
+)
+def emb_matryoshka_truncate(spark, sf_dir):
+    """Matryoshka-style truncation: keep the first 16 embedding
+    dimensions, re-normalize to unit length, and report how much of
+    the original L2 norm the prefix retains — the storage/recall dial
+    of nested-representation embeddings (a 16-d prefix index screens
+    candidates, the full vector reranks).
+
+    Same JVM higher-order fold and float→double cast order as
+    emb_l2_normalize, and the same micro-unit CSV serialization for
+    the driver's list-free canonicalizer.  Pure projection — no
+    shuffle; at 100 TB the prefix index is dim/16× cheaper to scan
+    and shuffle than the full-vector index it screens for.
+    """
+    t16 = F.slice(
+        F.transform("embedding", lambda v: v.cast("double")), 1, 16
+    )
+    ss = lambda arr: F.aggregate(  # noqa: E731 — local fold helper
+        arr, F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    e = _embs(spark, sf_dir).select(
+        "vec_id",
+        t16.alias("t16"),
+        F.sqrt(
+            ss(F.transform("embedding", lambda v: v.cast("double")))
+        ).alias("nrm_full"),
+        F.sqrt(ss(t16)).alias("nrm16"),
+    )
+    safe16 = F.when(F.col("nrm16") > 0, F.col("nrm16"))
+    q6 = F.transform(
+        F.col("t16"),
+        lambda v: F.coalesce(
+            (
+                F.signum(v / safe16)
+                * F.floor(F.abs(v / safe16) * F.lit(1e6) + F.lit(0.5))
+            )
+            .cast("long")
+            .cast("string"),
+            F.lit("null"),
+        ),
+    )
+    return e.select(
+        "vec_id",
+        F.concat_ws(",", q6).alias("unit16_q6"),
+        F.round(F.col("nrm16"), 6).alias("norm16"),
+        F.round(
+            F.col("nrm16")
+            / F.when(F.col("nrm_full") > 0, F.col("nrm_full")),
+            6,
+        ).alias("norm_retained"),
+    )

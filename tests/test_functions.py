@@ -330,3 +330,94 @@ def test_ewma_closed_form_matches_recursion(spark):
         for r in series[1:]:
             e = 0.8 * e + 0.2 * (r.cents / 100.0)
             assert abs(r.ewma_value - e) < 5e-4
+
+
+def test_rolling_median_matches_naive_window(spark):
+    """The positional-formula median over the RANGE frame equals a
+    Python recomputation over each (type, day−6..day) window."""
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["win_rolling_median"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    daily = {(r.event_type, r.d): r.n for r in rows}
+    import datetime as dt
+    import statistics
+
+    for r in rows:
+        frame = sorted(
+            daily[(r.event_type, d)]
+            for d in (r.d - dt.timedelta(days=k) for k in range(7))
+            if (r.event_type, d) in daily
+        )
+        assert r.median_7d == round(statistics.median(frame), 1)
+
+
+def test_late_data_audit_watermark_semantics(spark):
+    """An event is late iff it arrives (by event_id order) more than
+    1 h behind its stream's running max event time — recomputed
+    naively per stream."""
+    import datetime as dt
+
+    from getdbt_spark.io import load_table
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    out = {
+        r.event_type: r
+        for r in QUERIES["streaming_late_data_audit"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").collect()
+    streams = {}
+    for e in sorted(ev, key=lambda e: e.event_id):
+        streams.setdefault(e.event_type, []).append(e.ts)
+    assert set(out) == set(streams)
+    for etype, stamps in streams.items():
+        hw, late = None, 0
+        for ts in stamps:
+            if hw is not None and ts < hw - dt.timedelta(hours=1):
+                late += 1
+            hw = ts if hw is None or ts > hw else hw
+        assert out[etype].n_events == len(stamps)
+        assert out[etype].n_late == late
+
+
+def test_alpha_temperature_shares_normalize_and_flatten(spark):
+    """α-tempered shares sum to 1 and sit between the raw shares and
+    uniform: tail languages gain, head languages lose."""
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["sample_alpha_temperature"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert abs(sum(r.share_alpha for r in rows) - 1.0) < 1e-4
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        if r.p_raw > uniform:
+            assert r.share_alpha <= r.p_raw + 1e-9
+        elif r.p_raw < uniform:
+            assert r.share_alpha >= r.p_raw - 1e-9
+
+
+def test_matryoshka_prefix_is_unit_and_retention_bounded(spark):
+    """The truncated prefix re-normalizes to unit length (micro-unit
+    components bounded by 1e6) and norm retention lies in (0, 1]."""
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["emb_matryoshka_truncate"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.norm_retained <= 1.0 + 1e-9
+        comps = [int(c) for c in r.unit16_q6.split(",") if c != "null"]
+        assert comps and all(abs(c) <= 1_000_000 for c in comps)
+        ss = sum((c / 1e6) ** 2 for c in comps)
+        assert abs(ss - 1.0) < 1e-2  # q6 quantization error bound

@@ -27,6 +27,7 @@ GUARDED = [
     "multimodal_frame_sample",
     "sim_ann_ivf",
     "filter_partition_window",
+    "text_paragraph_dedup",
 ]
 
 # The former vertaaltabel × week-spine crossJoins are now join-free
