@@ -42,6 +42,7 @@ PIPELINE_HEADLINE = [
     "sim_ann_ivf",
     "sim_ann_lsh",
     "emb_knn_classify",         # kNN vote classification (composed)
+    "emb_kmeans_train",         # integer-exact Lloyd's rounds (IVF trainer)
     "pack_token_budget",        # sequence packing (single-exchange window)
     "text_quality_score",
     "text_paragraph_dedup",     # cross-doc span dedup (explode→df→join back)

@@ -896,6 +896,85 @@ def near_dup_canonical(
 # ---------------------------------------------------------------------------
 
 
+def kmeans_quantized(
+    embs: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Lloyd's k-means over integer-quantized embeddings:
+    ``(vec_id, cluster, dist_q)`` after ``iters`` update rounds from a
+    deterministic init (the first ``k`` vectors).
+
+    Exactness is the point: components are quantized to micro-unit
+    BIGINTs (``floor(x·1e6)``) up front, so every distance is an
+    integer sum (order-free — no float addition-order drift across
+    partitionings or engines), argmin ties break on cluster id, and
+    centroid updates use ``floor(Σ/n)`` integer means.  The whole
+    trajectory is therefore bit-reproducible and a SQL oracle can
+    replay it — the usual float k-means can't cross an engine
+    boundary.  Production IVF (sim_ann_ivf) swaps its first-k
+    codebook for these trained centroids without changing its plan.
+
+    Scale shape per iteration: assignment is an all-vectors ×
+    broadcast-k-centroids fan-out (the BOUNDED_NLJ_ALLOW pattern) +
+    one vec_id window; the update is posexplode to (cluster, dim)
+    cells → map-combinable groupBy of k×d groups → k-row rebuild.  No
+    driver-side state: centroids stay a DataFrame end-to-end, empty
+    clusters keep their previous centroid (left-join coalesce).
+    ``iters`` is small and fixed, so the lineage stays shallow; a
+    long-running trainer would localCheckpoint per round like
+    connected_components.
+    """
+    from pyspark.sql import Window
+
+    q = embs.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1e6).cast("long")
+        ).alias("qv"),
+    )
+    cents = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cvec")
+    )
+    dist = F.aggregate(
+        F.zip_with("qv", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wa = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+
+    def _assign(cents_df):
+        return (
+            q.crossJoin(F.broadcast(cents_df))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cent_id", "dist")
+        )
+
+    for _ in range(iters):
+        assign = _assign(cents)
+        comp = assign.join(q, "vec_id").select(
+            "cent_id", F.posexplode("qv").alias("pos", "val")
+        )
+        upd = comp.groupBy("cent_id", "pos").agg(
+            F.floor(F.sum("val") / F.count("*")).cast("long").alias("val")
+        )
+        newc = upd.groupBy("cent_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias("cvec_new")
+        )
+        cents = cents.join(newc, "cent_id", "left").select(
+            "cent_id", F.coalesce("cvec_new", "cvec").alias("cvec")
+        )
+
+    return _assign(cents).select(
+        "vec_id",
+        F.col("cent_id").alias("cluster"),
+        F.col("dist").alias("dist_q"),
+    )
+
+
 def l2_normalize(embs: DataFrame) -> DataFrame:
     """Unit-norm embeddings: ``(vec_id, unit, norm)``.
 

@@ -27,14 +27,21 @@ JOIN_NODES = (
 
 # Per-query nested-loop allow-list: {query_id: max BNLJ nodes}.  A
 # BroadcastNestedLoopJoin whose build side is k-bounded BY CONSTRUCTION
-# (not merely small at this SF) is the optimal fan-out plan, and the
-# only deliberate such shape in the engine is sim_ann_ivf's
-# all-vectors × 16-centroid codebook assignment (the IVF codebook is
-# small by definition — the alternatives measure slower: literal
-# explode re-evaluates k×dim literals per row, constant-key equi joins
-# constant-fold back to cross joins).  Everything else must be 0 —
-# an unlisted NLJ is an accident that goes quadratic at 100 TB.
-BOUNDED_NLJ_ALLOW: dict[str, int] = {"sim_ann_ivf": 1}
+# (not merely small at this SF) is the optimal fan-out plan; the only
+# deliberate such shape is all-vectors × a k-row centroid codebook
+# (codebooks are small by definition — the alternatives measure
+# slower: literal explode re-evaluates k×dim literals per row,
+# constant-key equi joins constant-fold back to cross joins):
+# sim_ann_ivf scores one codebook; emb_kmeans_train scores one per
+# Lloyd's round plus the final assignment, and the round-1 subtree
+# appears twice in the lazy lineage (round-2 scoring AND the centroid
+# rebuild join both consume it), so 2 rounds plan 4 nodes — all of
+# them k-row build sides.  Everything else must be 0 — an unlisted
+# NLJ is an accident that goes quadratic at 100 TB.
+BOUNDED_NLJ_ALLOW: dict[str, int] = {
+    "sim_ann_ivf": 1,
+    "emb_kmeans_train": 4,
+}
 
 
 def _formatted(df: DataFrame) -> str:

@@ -2550,3 +2550,81 @@ def emb_matryoshka_truncate(spark, sf_dir):
             6,
         ).alias("norm_retained"),
     )
+
+
+def _km_dist_sql(v: str, c: str) -> str:
+    """Integer squared-distance between two quantized list columns."""
+    return (
+        f"CAST(list_sum([({v}[i + 1] - {c}[i + 1])"
+        f" * ({v}[i + 1] - {c}[i + 1])"
+        f" for i in range(len({v}))]) AS BIGINT)"
+    )
+
+
+def _km_round_sql(n: int, prev_c: str) -> str:
+    """One unrolled Lloyd's round: score vs ``prev_c``, argmin with
+    cent_id tie-break, floor-integer centroid means, empty clusters
+    keep their previous centroid."""
+    return f"""
+    s{n} AS (
+      SELECT e.vec_id, c.cent_id,
+             {_km_dist_sql('e.qv', 'c.cvec')} AS dist
+      FROM qe e, {prev_c} c
+    ), a{n} AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        FROM s{n}) WHERE rn = 1
+    ), u{n} AS (
+      SELECT a.cent_id, gs.i,
+             CAST(floor(sum(e.qv[gs.i]) / count(*)) AS BIGINT) AS val
+      FROM a{n} a JOIN qe e USING (vec_id),
+           generate_series(1, 64) AS gs(i)
+      GROUP BY a.cent_id, gs.i
+    ), n{n} AS (
+      SELECT cent_id, list(val ORDER BY i) AS cvec
+      FROM u{n} GROUP BY cent_id
+    ), c{n} AS (
+      SELECT {prev_c}.cent_id,
+             coalesce(n{n}.cvec, {prev_c}.cvec) AS cvec
+      FROM {prev_c} LEFT JOIN n{n} USING (cent_id)
+    )"""
+
+
+@query(
+    "emb_kmeans_train",
+    oracle=f"""
+    WITH qe AS (
+      SELECT vec_id,
+             [CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cent_id, qv AS cvec FROM qe WHERE vec_id < 8
+    ),{_km_round_sql(1, 'c0')},{_km_round_sql(2, 'c1')},
+    sf AS (
+      SELECT e.vec_id, c.cent_id,
+             {_km_dist_sql('e.qv', 'c.cvec')} AS dist
+      FROM qe e, c2 c
+    )
+    SELECT vec_id, cent_id AS cluster, dist AS dist_q FROM (
+      SELECT vec_id, cent_id, dist,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+      FROM sf) WHERE rn = 1
+    """,
+)
+def emb_kmeans_train(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=8, 2 rounds) over
+    integer-quantized embeddings — the trainer that produces real IVF
+    codebooks (sim_ann_ivf's "production swaps in sampled k-means
+    centroids" path).  Quantizing to micro-unit BIGINTs first makes
+    every distance an order-free integer sum and every centroid update
+    a floor-integer mean, so the whole 2-round trajectory is
+    bit-reproducible across engines and partitionings — the oracle
+    replays it exactly, CTE per round.  See pipeline.kmeans_quantized
+    for the per-round plan shape (bounded broadcast fan-out + k×d-cell
+    map-combinable update; no driver-side state).
+    """
+    return P.kmeans_quantized(_embs(spark, sf_dir), k=8, iters=2)

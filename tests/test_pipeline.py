@@ -502,3 +502,53 @@ def test_gopher_rules_flags_match_feature_columns(spark):
             bool(r.rule_wc and r.rule_wl and r.rule_alpha and r.rule_stop)
         )
         assert 0.0 <= r.frac_alpha <= 1.0
+
+
+def test_kmeans_quantized_matches_python_replay(spark):
+    """The 2-round integer Lloyd's trajectory equals an independent
+    Python replay: same quantization, argmin tie-break on cluster id,
+    floor-integer centroid means, empty clusters keeping their
+    previous centroid."""
+    import math
+
+    embs = load_table(spark, SF, "embeddings")
+    got = {
+        r.vec_id: (r.cluster, r.dist_q)
+        for r in P.kmeans_quantized(embs, k=8, iters=2).collect()
+    }
+    vecs = {
+        r.vec_id: [int(math.floor(float(x) * 1e6)) for x in r.embedding]
+        for r in embs.collect()
+    }
+    cents = {i: vecs[i][:] for i in range(8) if i in vecs}
+
+    def assign(c):
+        out = {}
+        for vid, qv in vecs.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid)
+                for cid, cv in c.items()
+            )
+            out[vid] = best  # (dist, cent_id): min is argmin w/ tiebreak
+        return out
+
+    for _ in range(2):
+        a = assign(cents)
+        members: dict[int, list] = {}
+        for vid, (_, cid) in a.items():
+            members.setdefault(cid, []).append(vecs[vid])
+        nxt = {}
+        for cid, cv in cents.items():
+            if cid in members:
+                m = members[cid]
+                nxt[cid] = [
+                    int(math.floor(sum(col) / len(m)))
+                    for col in zip(*m)
+                ]
+            else:
+                nxt[cid] = cv
+        cents = nxt
+    final = assign(cents)
+    assert set(got) == set(vecs)
+    for vid, (dist, cid) in final.items():
+        assert got[vid] == (cid, dist), vid

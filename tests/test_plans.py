@@ -28,6 +28,7 @@ GUARDED = [
     "sim_ann_ivf",
     "filter_partition_window",
     "text_paragraph_dedup",
+    "emb_kmeans_train",
 ]
 
 # The former vertaaltabel × week-spine crossJoins are now join-free
