@@ -3750,3 +3750,54 @@ def streaming_late_data_audit(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "sink_compaction",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS evt_date,
+           count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def sink_compaction(spark, sf_dir):
+    """Small-file compaction round-trip: the events feed is written
+    date-partitioned with a deliberately fragmented layout (several
+    files per partition — what an incremental micro-batch sink
+    accretes), compacted to one file per partition by
+    ``runner.compact_partitions`` (the OPTIMIZE maintenance pass on
+    plain parquet: listing-driven victim selection, partition-pruned
+    re-read, dynamic-partition-overwrite rewrite), and read back for
+    a per-date aggregate the oracle recomputes from the raw feed —
+    proving compaction moved bytes, not data.  File-count and
+    untouched-partition guarantees are pinned by
+    tests/test_compaction.py.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..runner import compact_partitions
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"getdbt_spark_compact_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    e = _t(spark, sf_dir, "events").withColumn("evt_date", F.to_date("ts"))
+    (
+        e.repartition(6, "event_id")
+        .write.mode("overwrite")
+        .partitionBy("evt_date")
+        .parquet(path)
+    )
+    compact_partitions(spark, path, "evt_date")
+    back = spark.read.parquet(path)
+    return back.groupBy("evt_date").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("id_checksum"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

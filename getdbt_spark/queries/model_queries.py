@@ -934,3 +934,65 @@ def sink_snapshot_time_travel(spark, sf_dir):
     return as_of(dt.date(2024, 1, 15)).unionByName(
         as_of(dt.date(2024, 2, 15))
     )
+
+
+@query(
+    "streaming_incremental_sink",
+    oracle="""
+    SELECT
+      CAST(date_trunc('day', ts) AS DATE) AS evt_date,
+      event_type,
+      count(*) AS n_events,
+      round(sum(CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
+        AS total_value,
+      min(value) AS min_value,
+      max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_incremental_sink(spark, sf_dir):
+    """Streaming → incremental warehouse, END TO END and driver-hash
+    checked: the event feed is delivered as two date-ordered
+    generations into a file source; each generation is processed by a
+    REAL Structured Streaming run (availableNow, update mode, shared
+    checkpoint carrying offsets + aggregation state) whose micro-batch
+    output is MERGEd into a plain-parquet table by (evt_date,
+    event_type) via foreachBatch + merge_upsert
+    (streaming.run_into_incremental_sink).  The final table must equal
+    the batch aggregate the oracle computes from the raw feed — the
+    strongest check in the streaming family (the other streaming ids
+    verify the batch twin; this one verifies the streaming engine's
+    own cumulative output through the warehouse sink).  Generations
+    arrive in date order, so the 8-day watermark drops nothing, as in
+    the reference's trailing-window arrival pattern.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .. import streaming as S
+
+    e = _t(spark, sf_dir, "events")
+    lo, hi = e.agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+    ).collect()[0]
+    mid = lo + (hi - lo) / 2
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"getdbt_spark_stream_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    table = os.path.join(base, "table")
+    gens = (
+        e.filter(F.to_date("ts") <= F.lit(mid)),
+        e.filter(F.to_date("ts") > F.lit(mid)),
+    )
+    out = None
+    for gen in gens:
+        gen.write.mode("append").parquet(src)
+        out = S.run_into_incremental_sink(spark, src, e, table, ckpt)
+    return out

@@ -33,6 +33,7 @@ import os
 from collections.abc import Iterable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .registry import MODELS, Model, ModelContext, topo_sort
 
@@ -263,3 +264,61 @@ def merge_upsert(
     out.schema  # forces footer resolution
     shutil.rmtree(retired, ignore_errors=True)
     return out
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    min_files: int = 2,
+) -> list[str]:
+    """Small-file compaction for a date-partitioned parquet table:
+    every partition holding ``min_files`` or more data files is
+    rewritten as ONE file; partitions already compact are not touched
+    (their files stay byte-identical — no churn for downstream
+    mtime/etag caches).  Returns the list of compacted partition
+    values.
+
+    Incremental micro-batch sinks accrete one file per write per
+    partition; at warehouse scale the resulting tiny-file population
+    dominates scan time (per-file open/footer cost) and executor
+    scheduling.  Compaction is the standard maintenance pass
+    (OPTIMIZE in lakehouse engines); on plain parquet it is
+    rewrite-by-partition:
+
+    - affected partitions are selected by LISTING (driver-side glob
+      over partition directories — metadata only, no data read);
+    - their rows are re-read with a partition-pruned scan (IN-list of
+      partition values → only those directories are touched);
+    - ``repartition(partition_col)`` hashes each partition's rows to
+      exactly one task, so the partitioned write emits exactly one
+      file per partition value;
+    - the write uses dynamic partition overwrite (session-pinned), so
+      ONLY the rewritten partitions are replaced — the swap is
+      per-partition-atomic the same way _insert_overwrite is.
+    """
+    import glob
+
+    victims: list[str] = []
+    for pdir in sorted(glob.glob(os.path.join(path, f"{partition_col}=*"))):
+        n = len(
+            [
+                f
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+        )
+        if n >= min_files:
+            victims.append(os.path.basename(pdir).split("=", 1)[1])
+    if not victims:
+        return []
+    df = spark.read.parquet(path).filter(
+        F.col(partition_col).cast("string").isin(victims)
+    )
+    (
+        df.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return victims

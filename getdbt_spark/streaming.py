@@ -391,3 +391,53 @@ def sliding_window_stats(events: DataFrame) -> DataFrame:
             E.round_to(F.col("total_cents") / 100.0, 2).alias("total_value"),
         )
     )
+
+
+def run_into_incremental_sink(
+    spark: SparkSession,
+    source_path: str,
+    schema_from: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    transform=daily_event_stats,
+    keys: tuple[str, ...] = ("evt_date", "event_type"),
+) -> DataFrame:
+    """Streaming ETL into an incremental warehouse table — the
+    production shape that connects the streaming layer to the batch
+    sink contract: the streaming aggregation runs in UPDATE mode (each
+    micro-batch emits only the groups it changed) and ``foreachBatch``
+    MERGEs those rows into the plain-parquet table by key via
+    ``runner.merge_upsert`` (the dbt ``merge`` strategy; on a
+    lakehouse this seam becomes ``MERGE INTO``).
+
+    The checkpoint carries BOTH source offsets and aggregation state,
+    so successive calls with new files in ``source_path`` resume — a
+    generation of late/new data re-emits its (day, type) groups and
+    the merge overwrites exactly those keys, which is how the
+    reference's trailing-window incremental contract behaves under
+    continuous arrival.  State is bounded by the 8-day watermark, not
+    stream history.  Returns the post-run table read-back.
+    """
+    from .runner import merge_upsert
+
+    stream = transform(stream_source(spark, source_path, schema_from))
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        rows = batch_df.persist()
+        try:
+            # merge_upsert consumes its input twice (key set + union);
+            # persist pins the micro-batch instead of recomputing it.
+            if rows.count():
+                merge_upsert(spark, table_path, rows, list(keys))
+        finally:
+            rows.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(table_path)

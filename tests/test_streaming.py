@@ -204,3 +204,31 @@ def test_sliding_window_stream_matches_batch(spark, events_dir):
     assert key(got.collect()) == key(want.collect())
     n_raw = spark.read.parquet(path).count()
     assert sum(r["n_events"] for r in want.collect()) == 2 * n_raw
+
+
+def test_incremental_sink_accretes_per_generation(spark, tmp_path):
+    """foreachBatch+merge streaming sink: after generation 1 the table
+    holds exactly generation-1 days; after generation 2 it equals the
+    full batch aggregate — updated keys overwritten, others kept."""
+    from getdbt_spark.streaming import run_into_incremental_sink
+
+    e = load_table(spark, SF, "events")
+    lo, hi = e.agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+    ).collect()[0]
+    mid = lo + (hi - lo) / 2
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "table")
+
+    gen1 = e.filter(F.to_date("ts") <= F.lit(mid))
+    gen2 = e.filter(F.to_date("ts") > F.lit(mid))
+    assert gen1.count() and gen2.count()
+
+    gen1.write.mode("append").parquet(src)
+    t1 = run_into_incremental_sink(spark, src, e, table, ckpt)
+    assert _key(t1.collect()) == _key(daily_event_stats(gen1).collect())
+
+    gen2.write.mode("append").parquet(src)
+    t2 = run_into_incremental_sink(spark, src, e, table, ckpt)
+    assert _key(t2.collect()) == _key(daily_event_stats(e).collect())
