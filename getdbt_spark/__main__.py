@@ -67,6 +67,14 @@ def _parser() -> argparse.ArgumentParser:
     sqlp.add_argument("query")
     sqlp.add_argument("--select", nargs="*", default=None,
                       help="models to materialize first (default: all)")
+
+    freshp = sub.add_parser(
+        "freshness", help="source freshness (dbt source freshness)"
+    )
+    freshp.add_argument("--warn-after", type=int, default=2,
+                        help="days of lag before warn")
+    freshp.add_argument("--error-after", type=int, default=7,
+                        help="days of lag before error")
     return p
 
 
@@ -184,6 +192,45 @@ def cmd_sql(args, out) -> int:
     return 0
 
 
+def cmd_freshness(args, out) -> int:
+    """``dbt source freshness``: per-stream max loaded date vs the run
+    anchor, pass/warn/error at the configured day thresholds; exits
+    nonzero when any stream is in error (same exit contract as
+    ``test``)."""
+    from pyspark.sql import functions as F
+
+    from .io import load_table
+
+    spark = _spark(args.cpus)
+    e = load_table(spark, args.sf_dir, "events")
+    anchor = e.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    lag = F.datediff(F.lit(anchor), F.col("max_loaded_date"))
+    rows = (
+        e.groupBy("event_type")
+        .agg(F.max(F.to_date("ts")).alias("max_loaded_date"))
+        .select(
+            "event_type",
+            "max_loaded_date",
+            lag.alias("lag_days"),
+            F.when(lag <= args.warn_after, "pass")
+            .when(lag <= args.error_after, "warn")
+            .otherwise("error")
+            .alias("status"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    n_err = 0
+    for r in rows:
+        n_err += int(r.status == "error")
+        out.write(
+            f"{r.status.upper():5s} {r.event_type:30s} "
+            f"loaded={r.max_loaded_date} lag={r.lag_days}d\n"
+        )
+    out.write(f"{len(rows) - n_err}/{len(rows)} sources fresh enough\n")
+    return 1 if n_err else 0
+
+
 def main(argv: list[str] | None = None, out=None) -> int:
     out = out or sys.stdout
     args = _parser().parse_args(argv)
@@ -194,6 +241,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
         "seed": cmd_seed,
         "snapshot": cmd_snapshot,
         "sql": cmd_sql,
+        "freshness": cmd_freshness,
     }[args.cmd](args, out)
 
 

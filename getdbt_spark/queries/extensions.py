@@ -3801,3 +3801,143 @@ def sink_compaction(spark, sf_dir):
         F.sum("event_id").alias("id_checksum"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle="""
+    WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    cells AS (
+      SELECT js.j,
+             ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':'
+                                 || CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 512 AS bucket,
+             count(*) AS n
+      FROM events, js
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT user_id, count(*) AS n_exact FROM events
+      GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 10
+    )
+    SELECT t.user_id, t.n_exact, CAST(min(c.n) AS BIGINT) AS n_cms
+    FROM top t, js, cells c
+    WHERE c.j = js.j
+      AND c.bucket = ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':'
+                                         || CAST(t.user_id AS VARCHAR)),
+                                     1, 15))::BIGINT % 512
+    GROUP BY 1, 2
+    """,
+)
+def agg_count_min_sketch(spark, sf_dir):
+    """Count-min sketch frequency estimation on the PORTABLE md5-60bit
+    hash — the heavy-hitter companion to agg_hll_sketch: d=4 hash
+    rows × w=512 buckets answer "how often does key x occur?" with a
+    fixed 2048-cell table regardless of key cardinality, and because
+    the hash is portable the sketch is bit-identical cross-engine
+    (CMS guarantees estimate ≥ exact; pinned by test).
+
+    Scale shape: the build is one map-combinable groupBy over (row,
+    bucket) — the shuffle carries ≤ d·w cells, not keys, THE property
+    that makes CMS the 100 TB hot-key detector (find skewed join keys
+    without paying an exact groupBy over every key).  The exact
+    top-10 column exists only to expose the sketch's error and would
+    be dropped in production.  Probe side: 10 keys × d cells joined
+    against the broadcast cell table, min per key (Cormode &
+    Muthukrishnan 2005).
+    """
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+
+    def _bucket(jcol, key):
+        return P.md5_long(
+            F.concat(jcol.cast("string"), F.lit(":"), key)
+        ) % 512
+
+    hashes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _bucket(F.lit(j), uid).alias("bucket"),
+                )
+                for j in range(4)
+            ]
+        )
+    )
+    cells = (
+        ev.select(hashes.alias("h"))
+        .select("h.j", "h.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(10)
+    )
+    probes = top.select(
+        "user_id",
+        "n_exact",
+        hashes.alias("h"),
+    ).select(
+        "user_id",
+        "n_exact",
+        F.col("h.j").alias("j"),
+        F.col("h.bucket").alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("n").cast("long").alias("n_cms"))
+    )
+
+
+@query(
+    "dq_freshness",
+    oracle="""
+    WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS run_d FROM events),
+    f AS (
+      SELECT event_type,
+             max(CAST(ts AS DATE)) AS max_loaded_date,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, max_loaded_date, n_rows,
+           CAST(run_d - max_loaded_date AS BIGINT) AS lag_days,
+           CASE WHEN run_d - max_loaded_date <= 2 THEN 'pass'
+                WHEN run_d - max_loaded_date <= 7 THEN 'warn'
+                ELSE 'error' END AS freshness_status
+    FROM f, anchor
+    """,
+)
+def dq_freshness(spark, sf_dir):
+    """Source-freshness check — dbt's ``source freshness`` lifecycle
+    verb over the event feed: per stream, the newest loaded date, its
+    lag behind the run anchor, and a pass/warn/error verdict at the
+    2-day / 7-day thresholds (the warn_after/error_after contract a
+    reference user declares in sources.yml).
+
+    Plan shape: the anchor is the usual two-phase scalar collect
+    injected as a literal; the freshness scan itself is ONE
+    map-combinable max/count per stream — at 100 TB this reads
+    parquet footer stats, not data, when the feed is date-partitioned
+    (max over a partition column prunes to metadata).
+    """
+    e = _t(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    f = e.groupBy("event_type").agg(
+        F.max(F.to_date("ts")).alias("max_loaded_date"),
+        F.count("*").alias("n_rows"),
+    )
+    lag = F.datediff(F.lit(anchor), F.col("max_loaded_date"))
+    return f.select(
+        "event_type",
+        "max_loaded_date",
+        "n_rows",
+        lag.cast("long").alias("lag_days"),
+        F.when(lag <= 2, "pass")
+        .when(lag <= 7, "warn")
+        .otherwise("error")
+        .alias("freshness_status"),
+    )

@@ -69,3 +69,19 @@ def test_snapshot_creates_and_evolves_scd2(spark, tmp_path):
     # second run over identical data: row count unchanged (no churn)
     rc2, text2 = _run(args)
     assert rc2 == 0 and text2.split("rows=")[1] == text.split("rows=")[1]
+
+
+def test_freshness_pass_and_error_thresholds(spark):
+    """Anchor == max loaded date, so everything passes at defaults; a
+    negative error-after forces every stream into error (nonzero exit,
+    dbt contract)."""
+    rc, text = _run(["--sf-dir", SF, "freshness"])
+    assert rc == 0
+    assert "5/5 sources fresh enough" in text
+
+    rc, text = _run(
+        ["--sf-dir", SF, "freshness", "--warn-after", "-2",
+         "--error-after", "-1"]
+    )
+    assert rc == 1
+    assert "ERROR" in text

@@ -421,3 +421,21 @@ def test_matryoshka_prefix_is_unit_and_retention_bounded(spark):
         assert comps and all(abs(c) <= 1_000_000 for c in comps)
         ss = sum((c / 1e6) ** 2 for c in comps)
         assert abs(ss - 1.0) < 1e-2  # q6 quantization error bound
+
+
+def test_count_min_sketch_overestimates_only(spark):
+    """CMS guarantees estimate ≥ exact for every key (no
+    underestimation, ever); estimates are bounded by the stream
+    length."""
+    from getdbt_spark.io import load_table
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["agg_count_min_sketch"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n_total = load_table(spark, "/root/testdata/sf0.001", "events").count()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.n_cms >= r.n_exact
+        assert r.n_cms <= n_total
