@@ -3941,3 +3941,81 @@ def dq_freshness(spark, sf_dir):
         .otherwise("error")
         .alias("freshness_status"),
     )
+
+
+def _z_sql(q0: str, q1: str) -> str:
+    """DuckDB bit-interleave of two 8-bit quantized BIGINT exprs —
+    textual twin of scale.zorder_key(bits=8, ncols=2)."""
+    terms = []
+    for b in range(8):
+        terms.append(f"((({q0} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({q1} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "sink_zorder_clustered",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(l_partkey) AS p0, max(l_partkey) AS p1,
+             min(l_suppkey) AS s0, max(l_suppkey) AS s1
+      FROM lineitem
+    ), q AS (
+      SELECT l_orderkey,
+             floor((l_partkey - p0) * 255 / greatest(p1 - p0, 1))::BIGINT
+               AS q0,
+             floor((l_suppkey - s0) * 255 / greatest(s1 - s0, 1))::BIGINT
+               AS q1
+      FROM lineitem, b
+    )
+    SELECT ({_z_sql('q0', 'q1')}) // 1024 AS zbucket,
+           count(*) AS n_rows,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_checksum
+    FROM q GROUP BY 1
+    """,
+)
+def sink_zorder_clustered(spark, sf_dir):
+    """Z-order clustered sink round-trip: lineitem is written
+    ``OPTIMIZE ZORDER BY (l_partkey, l_suppkey)``-style
+    (scale.write_zordered — Morton-key range partition + in-file
+    sort), read back, and rolled up per coarse Z-bucket with a key
+    checksum the oracle recomputes from the raw table with the same
+    integer bit-interleave — proving the clustering permuted bytes,
+    not data, and that the key arithmetic is engine-exact.  The
+    file-level payoff (every file narrow in BOTH dimensions → parquet
+    min/max stats prune on either predicate, which a single-column
+    sort cannot do) is pinned by tests/test_scale.py.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..scale import write_zordered, zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"getdbt_spark_zorder_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    back = write_zordered(
+        li, path, ["l_partkey", "l_suppkey"], n_files=8
+    )
+    row = back.agg(
+        F.min(F.col("l_partkey").cast("long")),
+        F.max(F.col("l_partkey").cast("long")),
+        F.min(F.col("l_suppkey").cast("long")),
+        F.max(F.col("l_suppkey").cast("long")),
+    ).collect()[0]
+    key = zorder_key(
+        ["l_partkey", "l_suppkey"], [row[0], row[2]], [row[1], row[3]]
+    )
+    return (
+        back.select(F.floor(key / 1024).cast("long").alias("zbucket"), "l_orderkey")
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_orderkey").cast("long").alias("key_checksum"),
+        )
+    )

@@ -145,3 +145,78 @@ def bucketed_join(
     return spark.table(left_table).join(
         spark.table(right_table), list(on), how
     )
+
+
+def zorder_key(
+    cols: Sequence[str],
+    mins: Sequence[int],
+    maxs: Sequence[int],
+    bits: int = 8,
+):
+    """Z-order (Morton) key over integer columns: each column is
+    min-max scaled to ``bits`` bits using the LITERAL bounds, then the
+    bits are interleaved — rows close in the multi-dimensional key
+    space get close keys.  Pure integer arithmetic (scale → floor →
+    shift/mask), so the key is deterministic and cross-engine
+    replicable.
+
+    Bounds come in as literals (the two-phase anchor pattern): at
+    100 TB the min/max pre-pass reads parquet footer stats, not data.
+    """
+    ncols = len(cols)
+    parts = []
+    for i, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        span = max(int(hi) - int(lo), 1)
+        q = F.floor(
+            (F.col(c).cast("long") - F.lit(int(lo)))
+            * F.lit((1 << bits) - 1)
+            / F.lit(span)
+        ).cast("long")
+        for b in range(bits):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)),
+                    b * ncols + i,
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 8,
+    bits: int = 8,
+) -> DataFrame:
+    """Multi-dimensional clustering writer — the lakehouse
+    ``OPTIMIZE ... ZORDER BY (a, b)`` on plain parquet: rows are
+    range-partitioned and sorted by their Z-order key, so every
+    output file covers a NARROW range of every clustered column and
+    parquet min/max stats prune files for predicates on ANY of them
+    (a single-column sort can only prune its leading column).
+    Returns the read-back.
+
+    Plan: one stats pre-pass (footer-only at scale), one range
+    exchange on the key, an in-partition sort, and the write — the
+    same cost as a plain sorted write.
+    """
+    spark = df.sparkSession
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("long")), F.max(F.col(c).cast("long"))]
+    row = df.agg(*aggs).collect()[0]
+    mins, maxs = list(row[0::2]), list(row[1::2])
+    key = zorder_key(cols, mins, maxs, bits=bits)
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)

@@ -111,3 +111,39 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zorder_files_narrow_in_both_dimensions(spark, tmp_path):
+    """Every Z-ordered file covers a narrow range of BOTH clustered
+    columns (parquet min/max stats prune on either predicate); a
+    hash-shuffled layout leaves every file covering ~the full range
+    of each."""
+    import glob
+    import os
+
+    from getdbt_spark.io import load_table
+    from getdbt_spark.scale import write_zordered
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    zpath, hpath = str(tmp_path / "z"), str(tmp_path / "h")
+    back = write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=8)
+    assert back.count() == li.count()
+    li.repartition(8).write.mode("overwrite").parquet(hpath)
+
+    def _avg_width(path, col):
+        widths = []
+        for f in glob.glob(os.path.join(path, "part-*.parquet")):
+            mm = (
+                spark.read.parquet(f)
+                .agg(F.min(col), F.max(col))
+                .collect()[0]
+            )
+            widths.append(mm[1] - mm[0])
+        assert widths
+        return sum(widths) / len(widths)
+
+    for col in ("l_partkey", "l_suppkey"):
+        z_w, h_w = _avg_width(zpath, col), _avg_width(hpath, col)
+        assert z_w < 0.7 * h_w, (col, z_w, h_w)
