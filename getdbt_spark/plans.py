@@ -41,6 +41,7 @@ JOIN_NODES = (
 BOUNDED_NLJ_ALLOW: dict[str, int] = {
     "sim_ann_ivf": 1,
     "emb_kmeans_train": 4,
+    "sim_ann_ivf_trained": 4,  # embeds the k-means rounds
 }
 
 

@@ -2628,3 +2628,153 @@ def emb_kmeans_train(spark, sf_dir):
     map-combinable update; no driver-side state).
     """
     return P.kmeans_quantized(_embs(spark, sf_dir), k=8, iters=2)
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE length(text) > 0
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, len(toks), 16)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           start // 16 AS win_idx,
+           start,
+           CAST(least(32, len(toks) - start) AS BIGINT) AS n_tokens,
+           array_to_string(toks[start + 1 : start + 32], ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking — the retrieval/pretraining
+    segmentation stage (split every document into 32-token windows at
+    stride 16, 50% overlap, so no sentence is lost to a hard
+    boundary; each chunk then feeds the embedding / packing stages).
+
+    Map-only 1→N fan-out via a per-row explode of the literal stride
+    sequence — no shuffle, no UDF; linear in corpus size, and at
+    100 TB it composes with emb_* / pack_token_budget downstream
+    exactly as a production RAG ingest does.
+    """
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    toks = F.split(F.col("text"), " ")
+    s = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.size(toks) - 1,
+                F.lit(16),
+            )
+        ).alias("start"),
+    )
+    return s.select(
+        "doc_id",
+        (F.col("start") / 16).cast("long").alias("win_idx"),
+        "start",
+        F.least(F.lit(32), F.size("toks") - F.col("start"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice("toks", F.col("start") + 1, 32), " "
+        ).alias("chunk_text"),
+    )
+
+
+@query(
+    "sim_ann_ivf_trained",
+    oracle=_COSINE_ORACLE_CORE
+    + f"""
+    , qe AS (
+      SELECT vec_id,
+             [CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cent_id, qv AS cvec FROM qe WHERE vec_id < 8
+    ),{_km_round_sql(1, 'c0')},{_km_round_sql(2, 'c1')},
+    sfin AS (
+      SELECT e2.vec_id, c.cent_id,
+             {_km_dist_sql('e2.qv', 'c.cvec')} AS dist
+      FROM qe e2, c2 c
+    ), af AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        FROM sfin) WHERE rn = 1
+    ), bucketed AS (
+      SELECT p.vec_id, p.neighbor_id, p.c
+      FROM p
+      JOIN af qa ON qa.vec_id = p.vec_id
+      JOIN af na ON na.vec_id = p.neighbor_id
+      WHERE qa.cent_id = na.cent_id
+    )
+    SELECT vec_id, rnk, neighbor_id, cos_sim FROM (
+      SELECT vec_id, neighbor_id, round(c, 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY c DESC, neighbor_id) AS rnk
+      FROM bucketed) WHERE rnk <= 5
+    """,
+)
+def sim_ann_ivf_trained(spark, sf_dir):
+    """IVF search over TRAINED centroids — the full ANN production
+    path composed from two independently-verified stages: the
+    integer-exact k-means trainer (emb_kmeans_train) produces the
+    codebook/assignment, and the bucketed cosine search (sim_ann_ivf's
+    shape) runs within each learned bucket.  Versus sim_ann_ivf's
+    first-16 codebook, the trained buckets follow the data
+    distribution, which is what keeps bucket sizes (and so per-bucket
+    quadratic search cost) balanced at 100 TB.  Every float cosine is
+    computed only WITHIN buckets; the assignment itself is integer
+    arithmetic end-to-end.
+    """
+    from pyspark.sql import Window
+
+    e = P.with_norm(_embs(spark, sf_dir))
+    assign = P.kmeans_quantized(e, k=8, iters=2).select(
+        "vec_id", F.col("cluster").alias("cent_id")
+    )
+    ea = e.join(assign, "vec_id").persist()
+    a = ea.select(
+        "cent_id",
+        "vec_id",
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = ea.select(
+        "cent_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            P.cosine(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("c"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "vec_id",
+            "rnk",
+            "neighbor_id",
+            E.round_to(F.col("c"), 6).alias("cos_sim"),
+        )
+    )

@@ -29,6 +29,7 @@ GUARDED = [
     "filter_partition_window",
     "text_paragraph_dedup",
     "emb_kmeans_train",
+    "sim_ann_ivf_trained",
 ]
 
 # The former vertaaltabel × week-spine crossJoins are now join-free
