@@ -1128,3 +1128,60 @@ def spread(df) -> "DataFrame":
     if df.rdd.getNumPartitions() < n_cores:
         return df.repartition(n_cores)
     return df
+
+
+PACK_SCHEMA = "doc_id long, shard long, bin_idx long, n_tokens long"
+
+
+def ffd_pack(
+    docs: DataFrame, capacity: int = 256, shards: int = 8
+) -> DataFrame:
+    """First-fit-decreasing sequence packing: assign each document to
+    a training bin of at most ``capacity`` tokens, minimizing wasted
+    bin space — the batch-construction step before writing packed
+    training shards (FFD is the standard heuristic: ≤ 11/9·OPT + 1
+    bins).
+
+    FFD is inherently sequential, so it cannot be a window expression
+    (pack_token_budget's running-sum NEXT-fit can; first-fit backtracks
+    into earlier bins).  The engine shape: documents are hashed into
+    ``shards`` deterministic buckets (even md5 split — each shard's
+    token mass is ~total/shards), and ``applyInPandas`` runs the exact
+    greedy per shard: sort by (tokens desc, doc_id), place each doc
+    into the first bin with room, open a new bin otherwise.  At 100 TB
+    the sequential region is one shard — sized by the shard count, not
+    the corpus — and shards pack concurrently; the output is
+    deterministic for any input partitioning (hash shard + stable
+    sort), which the tests pin by re-running under a different
+    partition count.
+    """
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        space: list[int] = []  # remaining capacity per open bin
+        out = []
+        for doc_id, shard, n in zip(
+            pdf["doc_id"], pdf["shard"], pdf["n_tokens"]
+        ):
+            placed = None
+            for i, free in enumerate(space):
+                if n <= free:
+                    placed, space[i] = i, free - n
+                    break
+            if placed is None:
+                placed = len(space)
+                # an oversized doc gets its own (over-full) bin
+                space.append(max(capacity - n, 0))
+            out.append((int(doc_id), int(shard), placed, int(n)))
+        return pd.DataFrame(
+            out, columns=["doc_id", "shard", "bin_idx", "n_tokens"]
+        )
+
+    sized = docs.select(
+        "doc_id",
+        (md5_long(F.col("doc_id").cast("string")) % shards).alias("shard"),
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return sized.groupBy("shard").applyInPandas(_pack, schema=PACK_SCHEMA)

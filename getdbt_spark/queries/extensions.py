@@ -4019,3 +4019,89 @@ def sink_zorder_clustered(spark, sf_dir):
             F.sum("l_orderkey").cast("long").alias("key_checksum"),
         )
     )
+
+
+@query(
+    "agg_hll_merge_days",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM events
+    ), daily AS (
+      SELECT event_type, d, hv % 256 AS bucket,
+             max(CASE WHEN hv // 256 = 0 THEN 53
+                 ELSE 53 - length(bin(hv // 256)) END) AS mj
+      FROM h GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT event_type, bucket, max(mj) AS mj
+      FROM daily GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             sum(power(2.0, -mj)) + (256 - count(*)) AS ssum,
+             256 - count(*) AS v
+      FROM merged GROUP BY 1
+    ), ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT s.event_type, ex.n_exact,
+           round(CASE
+             WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / ssum <= 640
+                  AND v > 0
+             THEN 256 * ln(256.0 / v)
+             ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / ssum
+           END, 3) AS n_hll
+    FROM s JOIN ex USING (event_type)
+    """,
+)
+def agg_hll_merge_days(spark, sf_dir):
+    """Sketch MERGEABILITY — the property that makes sketches the
+    100 TB incremental-analytics primitive: per-(stream, day) HLL
+    register tables are built independently (one per ingest
+    partition/day, storable as a tiny table), then UNIONed by
+    register-wise max into the all-time distinct estimate — no rescan
+    of history when a new day arrives, unlike exact COUNT(DISTINCT)
+    which must touch every historical row.  Register math identical
+    to agg_hll_sketch (portable md5-60bit, m=256, Flajolet bias
+    correction), so the merged estimate is bit-identical
+    cross-engine.  Shuffles carry ≤ streams × days × 256 and then
+    ≤ streams × 256 rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hv = P.md5_long(F.col("user_id").cast("string"))
+    w = F.floor(hv / 256).cast("long")
+    rho = F.when(w == 0, F.lit(53)).otherwise(53 - F.length(F.bin(w)))
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            (hv % 256).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "d", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.max("mj").alias("mj")
+    )
+    s = merged.groupBy("event_type").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("mj")))
+            + (256 - F.count("*"))
+        ).alias("ssum"),
+        (256 - F.count("*")).alias("v"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / 256)
+    raw = F.lit(alpha) * 256 * 256 / F.col("ssum")
+    est = F.when(
+        (raw <= 640) & (F.col("v") > 0),
+        256 * F.log(256.0 / F.col("v")),
+    ).otherwise(raw)
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return s.join(ex, "event_type").select(
+        "event_type", "n_exact", E.round_to(est, 3).alias("n_hll")
+    )

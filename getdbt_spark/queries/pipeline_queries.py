@@ -2778,3 +2778,23 @@ def sim_ann_ivf_trained(spark, sf_dir):
             E.round_to(F.col("c"), 6).alias("cos_sim"),
         )
     )
+
+
+@query("pack_ffd_bins")  # rows-only: FFD's first-fit backtracking is
+# inherently sequential — not expressible in set-oriented SQL, so the
+# driver records the weaker rows-only check; the exact-semantics proof
+# is the Python replay + partitioning-invariance tests in
+# tests/test_pipeline.py.
+def pack_ffd_bins(spark, sf_dir):
+    """First-fit-decreasing sequence packing into 256-token training
+    bins, sharded 8 ways (pipeline.ffd_pack) — the batch-construction
+    step that pack_token_budget's window-based next-fit approximates;
+    FFD recovers the space next-fit wastes (≤ 11/9·OPT + 1 bins).
+    applyInPandas runs the exact greedy per shard; the sequential
+    region is one shard (sized by shard count, not corpus), shards
+    pack concurrently, and the output is deterministic for any input
+    partitioning.
+    """
+    return P.ffd_pack(
+        _docs(spark, sf_dir), capacity=256, shards=8
+    ).orderBy("shard", "bin_idx", "doc_id")

@@ -552,3 +552,59 @@ def test_kmeans_quantized_matches_python_replay(spark):
     assert set(got) == set(vecs)
     for vid, (dist, cid) in final.items():
         assert got[vid] == (cid, dist), vid
+
+
+def test_ffd_pack_matches_python_replay_and_partition_invariant(spark, docs):
+    """The per-shard FFD assignment equals an independent Python
+    replay; no bin exceeds capacity (except a single oversized doc);
+    the result is identical under a different input partitioning."""
+    got = P.ffd_pack(docs, capacity=256, shards=8).collect()
+    got_set = {(r.doc_id, r.shard, r.bin_idx, r.n_tokens) for r in got}
+
+    sized = [
+        (r.doc_id, r.shard, r.n)
+        for r in docs.select(
+            "doc_id",
+            (P.md5_long(F.col("doc_id").cast("string")) % 8).alias(
+                "shard"
+            ),
+            F.size(P.ws_tokens(F.col("text"))).alias("n"),
+        ).collect()
+    ]
+    expect = set()
+    by_shard: dict[int, list] = {}
+    for doc_id, shard, n in sized:
+        by_shard.setdefault(shard, []).append((doc_id, n))
+    for shard, items in by_shard.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        space: list[int] = []
+        for doc_id, n in items:
+            placed = None
+            for i, free in enumerate(space):
+                if n <= free:
+                    placed, space[i] = i, free - n
+                    break
+            if placed is None:
+                placed = len(space)
+                space.append(max(256 - n, 0))
+            expect.add((doc_id, shard, placed, n))
+    assert got_set == expect
+
+    fill: dict[tuple, int] = {}
+    for doc_id, shard, b, n in got_set:
+        fill[(shard, b)] = fill.get((shard, b), 0) + n
+    singles = {
+        (r.shard, r.bin_idx)
+        for r in got
+        if r.n_tokens > 256
+    }
+    for key, tot in fill.items():
+        assert tot <= 256 or key in singles
+
+    re_got = {
+        (r.doc_id, r.shard, r.bin_idx, r.n_tokens)
+        for r in P.ffd_pack(
+            docs.repartition(17), capacity=256, shards=8
+        ).collect()
+    }
+    assert re_got == got_set
