@@ -4105,3 +4105,64 @@ def agg_hll_merge_days(spark, sf_dir):
     return s.join(ex, "event_type").select(
         "event_type", "n_exact", E.round_to(est, 3).alias("n_hll")
     )
+
+
+@query(
+    "sql_recursive_spine",
+    oracle="""
+    WITH RECURSIVE spine(d) AS (
+      SELECT DATE '1995-01-02'
+      UNION ALL
+      SELECT d + INTERVAL 7 DAY FROM spine
+      WHERE d + INTERVAL 7 DAY <= (SELECT max(o_orderdate) FROM orders)
+    ), w AS (
+      SELECT d, (d - DATE '1995-01-02') // 7 AS wk FROM spine
+    ), o AS (
+      SELECT (CAST(o_orderdate AS DATE) - DATE '1995-01-02') // 7 AS wk,
+             count(*) AS n
+      FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-02'
+      GROUP BY 1
+    )
+    SELECT w.d AS weekdate, CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+    FROM w LEFT JOIN o USING (wk)
+    """,
+)
+def sql_recursive_spine(spark, sf_dir):
+    """WITH RECURSIVE — the SQL-surface iteration primitive (Spark 4
+    recursive CTEs): the weekly reporting spine derived by recursion
+    instead of ``sequence()``/``GENERATE_DATE_ARRAY``, then an
+    EQUI-join (precomputed week ordinal, never a date-range theta
+    join) of per-week order counts.  The recursion horizon is the max
+    order date — a literal on the Spark side (two-phase anchor; the
+    prunable-predicate discipline), a scalar subquery in the oracle.
+    Recursion depth is #weeks (catalog-bounded); each step is a
+    one-row union — the plan is linear, not quadratic.
+    """
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate"))).collect()[0][0]
+    # the spine recurses one row per week (~350 levels for the fixture
+    # epoch) — above Spark's default 100-level guard rail
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
+    view = f"orders_rcte_{abs(hash(sf_dir)) % 10**8}"
+    o.createOrReplaceTempView(view)
+    return spark.sql(f"""
+      WITH RECURSIVE spine(d) AS (
+        SELECT DATE '1995-01-02'
+        UNION ALL
+        SELECT d + INTERVAL 7 DAYS FROM spine
+        WHERE d + INTERVAL 7 DAYS <= DATE '{anchor.isoformat()}'
+      ), w AS (
+        SELECT d, CAST(floor(datediff(d, DATE '1995-01-02') / 7) AS BIGINT)
+                 AS wk
+        FROM spine
+      ), o AS (
+        SELECT CAST(floor(datediff(to_date(o_orderdate),
+                                   DATE '1995-01-02') / 7) AS BIGINT) AS wk,
+               count(*) AS n
+        FROM {view}
+        WHERE to_date(o_orderdate) >= DATE '1995-01-02'
+        GROUP BY 1
+      )
+      SELECT w.d AS weekdate, CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+      FROM w LEFT JOIN o USING (wk)
+    """)
