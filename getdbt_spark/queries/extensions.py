@@ -4166,3 +4166,95 @@ def sql_recursive_spine(spark, sf_dir):
       SELECT w.d AS weekdate, CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
       FROM w LEFT JOIN o USING (wk)
     """)
+
+
+@query(
+    "fn_variant_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(count(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_variant_extract(spark, sf_dir):
+    """Semi-structured ingestion through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``try_variant_get`` path extraction — the modern engine's answer
+    to schemaless event properties (vs per-path ``get_json_object``
+    re-parsing the string for every path; fn_json_extract covers that
+    legacy form).  try_* semantics: a missing path or type mismatch
+    yields NULL, never an error — the contract loose event feeds
+    need.  Aggregated per stream so the hash check covers every row's
+    extraction.
+    """
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count("k").alias("n_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@query(
+    "fn_python_udtf",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id % 25 = 0
+    ), w AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos1, toks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(pos1 - 1 AS BIGINT) AS pos,
+           toks[pos1] AS word,
+           CAST(length(toks[pos1]) AS BIGINT) AS word_len
+    FROM w
+    """,
+)
+def fn_python_udtf(spark, sf_dir):
+    """User-defined TABLE function (Spark 4 Python UDTF): one input
+    row expands to N typed output rows through a user class — the
+    extension point for tokenizers/parsers that need imperative
+    per-row logic with a multi-row result (scalar UDFs can only
+    return one value; this is the ``LATERAL``-joinable form).
+
+    The demo UDTF is a positional tokenizer over a deterministic
+    1-in-25 document sample, Arrow-optimized
+    (``useArrow=True`` — batch transfer, not per-row pickling), and
+    the oracle replays it relationally (unnest with ordinality).  In
+    the hot path the engine still prefers pure Column explodes
+    (text_chunk_windows); the UDTF is the escape hatch for logic that
+    genuinely needs Python per row.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id long, pos long, word string, word_len long",
+          useArrow=True)
+    class _Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield doc_id, i, w, len(w)
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    view = f"docs_udtf_{abs(hash(sf_dir)) % 10**8}"
+    d.createOrReplaceTempView(view)
+    spark.udtf.register("tokenize_udtf", _Tokenize)
+    return spark.sql(
+        f"""
+        SELECT t.doc_id, t.pos, t.word, t.word_len
+        FROM {view} d,
+             LATERAL tokenize_udtf(d.doc_id, d.text) t
+        """
+    )
