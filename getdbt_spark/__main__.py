@@ -68,6 +68,14 @@ def _parser() -> argparse.ArgumentParser:
     sqlp.add_argument("--select", nargs="*", default=None,
                       help="models to materialize first (default: all)")
 
+    bfp = sub.add_parser(
+        "backfill", help="replay an incremental model over a date range"
+    )
+    bfp.add_argument("--select", required=True, help="incremental model")
+    bfp.add_argument("--start", required=True, help="YYYY-MM-DD")
+    bfp.add_argument("--end", required=True, help="YYYY-MM-DD")
+    bfp.add_argument("--warehouse", required=True)
+
     freshp = sub.add_parser(
         "freshness", help="source freshness (dbt source freshness)"
     )
@@ -192,6 +200,33 @@ def cmd_sql(args, out) -> int:
     return 0
 
 
+def cmd_backfill(args, out) -> int:
+    """Chunked historical replay of one incremental model
+    (runner.backfill): each chunk is a normal nightly-shaped run, so
+    backfill can never diverge from production logic."""
+    import datetime as dt
+
+    from . import models as M
+    from .fixtures import sources_map
+    from .runner import backfill
+
+    spark = _spark(args.cpus)
+    M.load_all()
+    anchors = backfill(
+        spark,
+        sources_map(spark, args.sf_dir),
+        args.select,
+        dt.date.fromisoformat(args.start),
+        dt.date.fromisoformat(args.end),
+        args.warehouse,
+    )
+    out.write(
+        f"OK: backfilled {args.select} over {len(anchors)} chunk(s) "
+        f"({anchors[0]} .. {anchors[-1]})\n"
+    )
+    return 0
+
+
 def cmd_freshness(args, out) -> int:
     """``dbt source freshness``: per-stream max loaded date vs the run
     anchor, pass/warn/error at the configured day thresholds; exits
@@ -242,6 +277,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
         "snapshot": cmd_snapshot,
         "sql": cmd_sql,
         "freshness": cmd_freshness,
+        "backfill": cmd_backfill,
     }[args.cmd](args, out)
 
 

@@ -322,3 +322,51 @@ def compact_partitions(
         .parquet(path)
     )
     return victims
+
+
+def backfill(
+    spark: SparkSession,
+    sources: Mapping[tuple[str, str], DataFrame],
+    name: str,
+    start: dt.date,
+    end: dt.date,
+    warehouse: str,
+    registry: dict[str, Model] | None = None,
+) -> list[dt.date]:
+    """Historical backfill of an incremental model: replay
+    ``[start, end]`` in replay-window-sized chunks, each chunk one
+    normal incremental run anchored so its partition window covers the
+    chunk — dbt's "rebuild the past N months" operation without a
+    special code path (the model builder sees the exact same
+    ``ctx.partition_window`` contract as a nightly run, so backfill
+    can never diverge from production logic).  Chunks are
+    idempotent partition overwrites; a crashed backfill is resumed by
+    re-running it (already-written chunks are simply rewritten).
+    Returns the anchor dates used, in order.
+
+    At warehouse scale each chunk is an independent bounded job
+    (scan pruned to replay_days partitions), so a years-long backfill
+    is a sequence of nightly-sized runs rather than one giant one —
+    bounded memory, bounded shuffle, restartable.
+    """
+    reg = MODELS if registry is None else registry
+    m = reg[name]
+    if m.config.materialized != "incremental":
+        raise ValueError(
+            f"backfill target {name!r} is not incremental "
+            f"(materialized={m.config.materialized!r})"
+        )
+    if start > end:
+        raise ValueError(f"backfill start {start} > end {end}")
+    step = m.config.replay_days
+    anchors: list[dt.date] = []
+    a = start + dt.timedelta(days=step - 1)
+    while True:
+        a = min(a, end)
+        anchors.append(a)
+        if a >= end:
+            break
+        a += dt.timedelta(days=step)
+    for anchor in anchors:
+        Runner(spark, sources, anchor, warehouse, reg).run([name], reuse=None)
+    return anchors

@@ -85,3 +85,23 @@ def test_freshness_pass_and_error_thresholds(spark):
     )
     assert rc == 1
     assert "ERROR" in text
+
+
+def test_backfill_replays_incremental_range(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    rc, text = _run(
+        ["--sf-dir", SF, "backfill",
+         "--select", "atinternet_smarttag_streams_daily_v4",
+         "--start", "2024-01-10", "--end", "2024-01-30",
+         "--warehouse", wh]
+    )
+    assert rc == 0
+    assert "backfilled atinternet_smarttag_streams_daily_v4" in text
+    import os
+
+    table = os.path.join(
+        wh, "atinternet_smarttag_streams_daily",
+        "atinternet_smarttag_streams_daily_v4",
+    )
+    parts = [p for p in os.listdir(table) if p.startswith("evt_date=")]
+    assert parts, "backfill wrote no partitions"

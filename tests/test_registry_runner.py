@@ -321,3 +321,57 @@ class TestMergeUpsertProperty:
             assert got == set(expect.items())
 
         run()
+
+
+class TestBackfill:
+    def test_chunked_backfill_equals_wide_window_run(self, spark, tmp_path):
+        """Backfilling 30 days in 9-day chunks produces the same table
+        as one run whose replay window spans the whole range."""
+        import dataclasses
+
+        from getdbt_spark.runner import backfill
+
+        reg = _incremental_registry()
+        day = lambda i: (D - dt.timedelta(days=i)).isoformat()  # noqa: E731
+        rows = [(day(i), "k", i + 1) for i in range(30)]
+        src = {("raw", "events"): _events(spark, rows)}
+
+        wh_a = str(tmp_path / "wide")
+        wide_reg = {
+            "daily": dataclasses.replace(
+                reg["daily"],
+                config=dataclasses.replace(
+                    reg["daily"].config, replay_days=30
+                ),
+            )
+        }
+        ra = Runner(spark, src, D, wh_a, wide_reg)
+        ra.run(["daily"])
+
+        wh_b = str(tmp_path / "chunked")
+        anchors = backfill(
+            spark, src, "daily",
+            D - dt.timedelta(days=29), D, wh_b, reg,
+        )
+        assert anchors[-1] == D and len(anchors) == 4
+
+        a = sorted(map(tuple, spark.read.parquet(ra.table_path("daily")).collect()))
+        rb = Runner(spark, src, D, wh_b, reg)
+        b = sorted(map(tuple, spark.read.parquet(rb.table_path("daily")).collect()))
+        assert a == b and len(a) == 30
+
+    def test_backfill_rejects_non_incremental(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from getdbt_spark.runner import backfill
+
+        reg = {
+            "v": Model(
+                "v", lambda ctx: ctx.spark.range(1), (), (),
+                ModelConfig(schema="s"),
+            )
+        }
+        with _pytest.raises(ValueError, match="not incremental"):
+            backfill(
+                spark, {}, "v", D, D, str(tmp_path / "wh"), reg
+            )
