@@ -43,7 +43,17 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("--cpus", type=int, default=8, help="local cores")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    sub.add_parser("ls", help="list models in dependency order")
+    lsp = sub.add_parser("ls", help="list models in dependency order")
+    lsp.add_argument(
+        "--modified", metavar="MANIFEST_DIR", default=None,
+        help="list only models changed vs a docs manifest "
+             "(state:modified+, with downstream closure)",
+    )
+
+    docsp = sub.add_parser(
+        "docs", help="write manifest.json + catalog.json (dbt docs generate)"
+    )
+    docsp.add_argument("--target", required=True, help="output directory")
 
     runp = sub.add_parser("run", help="materialize the model DAG")
     runp.add_argument("--select", nargs="*", default=None)
@@ -87,16 +97,46 @@ def _parser() -> argparse.ArgumentParser:
 
 
 def cmd_ls(args, out) -> int:
+    import json
+    import os
+
     from . import models as M
+    from .docs import modified_models
     from .registry import MODELS, topo_sort
 
     M.load_all()
+    keep = None
+    if getattr(args, "modified", None):
+        with open(os.path.join(args.modified, "manifest.json")) as fh:
+            keep = set(modified_models(MODELS, json.load(fh)))
     for m in topo_sort(None, MODELS):
+        if keep is not None and m.name not in keep:
+            continue
         cfg = m.config
         out.write(
             f"{m.name:55s} {cfg.materialized:12s} "
             f"{(cfg.schema or '-'):10s} refs={len(m.refs)}\n"
         )
+    return 0
+
+
+def cmd_docs(args, out) -> int:
+    from . import api, models as M
+    from .docs import write_docs
+    from .fixtures import sources_map
+    from .runner import Runner
+
+    spark = _spark(args.cpus)
+    M.load_all()
+    runner = Runner(
+        spark, sources_map(spark, args.sf_dir),
+        api._anchor(spark, args.sf_dir),
+    )
+    manifest = write_docs(runner, args.target)
+    out.write(
+        f"OK: wrote manifest.json + catalog.json for "
+        f"{len(manifest)} model(s) to {args.target}\n"
+    )
     return 0
 
 
@@ -278,6 +318,7 @@ def main(argv: list[str] | None = None, out=None) -> int:
         "sql": cmd_sql,
         "freshness": cmd_freshness,
         "backfill": cmd_backfill,
+        "docs": cmd_docs,
     }[args.cmd](args, out)
 
 

@@ -105,3 +105,44 @@ def test_backfill_replays_incremental_range(spark, tmp_path):
     )
     parts = [p for p in os.listdir(table) if p.startswith("evt_date=")]
     assert parts, "backfill wrote no partitions"
+
+
+def test_docs_and_state_modified_selector(spark, tmp_path):
+    """docs writes manifest+catalog for every model; an unchanged
+    registry yields an empty state:modified set; a touched builder
+    dirties itself plus its downstream closure."""
+    import dataclasses
+    import json
+
+    from getdbt_spark import models as M
+    from getdbt_spark.docs import modified_models
+    from getdbt_spark.registry import MODELS
+
+    target = str(tmp_path / "docs")
+    rc, text = _run(["--sf-dir", SF, "docs", "--target", target])
+    assert rc == 0 and "manifest.json" in text
+
+    manifest = json.load(open(f"{target}/manifest.json"))
+    M.load_all()
+    assert set(manifest) == set(MODELS)
+    for entry in manifest.values():
+        assert entry["columns"] and entry["fingerprint"]
+
+    assert modified_models(MODELS, manifest) == []
+
+    rc, text = _run(["ls", "--modified", target])
+    assert rc == 0 and text.strip() == ""
+
+    # touch one upstream model's config → it and its consumers are dirty
+    touched = dict(MODELS)
+    name = "atinternet_smarttag_streams_daily_v4"
+    touched[name] = dataclasses.replace(
+        touched[name],
+        config=dataclasses.replace(
+            touched[name].config, replay_days=11
+        ),
+    )
+    dirty = modified_models(touched, manifest)
+    assert name in dirty
+    assert "integral_reporting_vodstreaming" in dirty  # downstream
+    assert "poms_flattened" not in dirty  # unrelated
