@@ -332,6 +332,7 @@ def backfill(
     end: dt.date,
     warehouse: str,
     registry: dict[str, Model] | None = None,
+    parallelism: int = 1,
 ) -> list[dt.date]:
     """Historical backfill of an incremental model: replay
     ``[start, end]`` in replay-window-sized chunks, each chunk one
@@ -347,7 +348,11 @@ def backfill(
     At warehouse scale each chunk is an independent bounded job
     (scan pruned to replay_days partitions), so a years-long backfill
     is a sequence of nightly-sized runs rather than one giant one —
-    bounded memory, bounded shuffle, restartable.
+    bounded memory, bounded shuffle, restartable.  Chunks write
+    DISJOINT partition windows, so ``parallelism > 1`` submits them
+    concurrently (driver-side threads; Spark schedules the jobs onto
+    idle cores) — safe because dynamic partition overwrite commits
+    per-partition and no two chunks touch the same partition.
     """
     reg = MODELS if registry is None else registry
     m = reg[name]
@@ -367,6 +372,25 @@ def backfill(
         if a >= end:
             break
         a += dt.timedelta(days=step)
-    for anchor in anchors:
-        Runner(spark, sources, anchor, warehouse, reg).run([name], reuse=None)
+    def _one(anchor: dt.date) -> None:
+        Runner(spark, sources, anchor, warehouse, reg).run(
+            [name], reuse=None
+        )
+
+    if parallelism > 1 and len(anchors) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # The final anchor is clamped to ``end``: when the range isn't
+        # an exact multiple of the window its partitions OVERLAP the
+        # previous chunk's — run it alone afterwards so no two
+        # concurrent writers ever touch the same partition.
+        tail_overlaps = (anchors[-1] - anchors[-2]).days < step
+        pool = anchors[:-1] if tail_overlaps else anchors
+        with ThreadPoolExecutor(min(parallelism, len(pool))) as ex:
+            list(ex.map(_one, pool))
+        if tail_overlaps:
+            _one(anchors[-1])
+    else:
+        for anchor in anchors:
+            _one(anchor)
     return anchors

@@ -375,3 +375,26 @@ class TestBackfill:
             backfill(
                 spark, {}, "v", D, D, str(tmp_path / "wh"), reg
             )
+
+    def test_parallel_backfill_equals_sequential(self, spark, tmp_path):
+        """parallelism>1 (disjoint-window concurrent chunks + the
+        overlapping clamped tail run alone) produces the identical
+        table to a sequential backfill of the same range."""
+        from getdbt_spark.runner import backfill
+
+        reg = _incremental_registry()
+        day = lambda i: (D - dt.timedelta(days=i)).isoformat()  # noqa: E731
+        rows = [(day(i), "k", i + 1) for i in range(25)]  # 25 % 9 != 0
+        src = {("raw", "events"): _events(spark, rows)}
+        start = D - dt.timedelta(days=24)
+
+        wh_s = str(tmp_path / "seq")
+        backfill(spark, src, "daily", start, D, wh_s, reg)
+        wh_p = str(tmp_path / "par")
+        backfill(spark, src, "daily", start, D, wh_p, reg, parallelism=4)
+
+        rs = Runner(spark, src, D, wh_s, reg)
+        rp = Runner(spark, src, D, wh_p, reg)
+        a = sorted(map(tuple, spark.read.parquet(rs.table_path("daily")).collect()))
+        b = sorted(map(tuple, spark.read.parquet(rp.table_path("daily")).collect()))
+        assert a == b and len(a) == 25
