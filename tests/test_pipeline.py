@@ -553,6 +553,14 @@ def test_kmeans_quantized_matches_python_replay(spark):
     for vid, (dist, cid) in final.items():
         assert got[vid] == (cid, dist), vid
 
+    re_got = {
+        r.vec_id: (r.cluster, r.dist_q)
+        for r in P.kmeans_quantized(
+            embs.repartition(17), k=8, iters=2
+        ).collect()
+    }
+    assert re_got == got  # partitioning-invariant trajectory
+
 
 def test_ffd_pack_matches_python_replay_and_partition_invariant(spark, docs):
     """The per-shard FFD assignment equals an independent Python
