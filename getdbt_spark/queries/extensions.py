@@ -4258,3 +4258,63 @@ def fn_python_udtf(spark, sf_dir):
              LATERAL tokenize_udtf(d.doc_id, d.text) t
         """
     )
+
+
+@query(
+    "dq_row_count_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT event_type, d, n,
+             avg(n) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+             ) AS avg7
+      FROM daily
+    )
+    SELECT event_type, d, n,
+           round(avg7, 3) AS avg7,
+           round(n / avg7, 4) AS drift_ratio,
+           CAST(n < 0.5 * avg7 OR n > 2.0 * avg7 AS INT) AS is_anomalous
+    FROM base WHERE avg7 IS NOT NULL
+    """,
+)
+def dq_row_count_drift(spark, sf_dir):
+    """Volume-drift data-quality check: each stream-day's row count
+    against its own trailing-7-day mean — the freshness check's
+    volume twin (a feed that ARRIVES but half-empty passes freshness
+    and fails here; dbt operators pair both on every source).  A day
+    outside [0.5×, 2×] of its trailing mean is flagged.  One
+    map-combinable daily rollup + one window on the (tiny) per-day
+    table; the trailing frame excludes the current row so an anomaly
+    can't mask itself.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-7, -1)
+    )
+    avg7 = F.avg("n").over(w)
+    base = daily.withColumn("avg7", avg7).filter(F.col("avg7").isNotNull())
+    return base.select(
+        "event_type",
+        "d",
+        "n",
+        E.round_to(F.col("avg7"), 3).alias("avg7"),
+        E.round_to(F.col("n") / F.col("avg7"), 4).alias("drift_ratio"),
+        (
+            (F.col("n") < 0.5 * F.col("avg7"))
+            | (F.col("n") > 2.0 * F.col("avg7"))
+        )
+        .cast("int")
+        .alias("is_anomalous"),
+    )

@@ -2798,3 +2798,73 @@ def pack_ffd_bins(spark, sf_dir):
     return P.ffd_pack(
         _docs(spark, sf_dir), capacity=256, shards=8
     ).orderBy("shard", "bin_idx", "doc_id")
+
+
+@query(
+    "sample_hard_negatives",
+    oracle=_COSINE_ORACLE_CORE
+    + """
+    , lbl AS (SELECT vec_id, label FROM embeddings)
+    SELECT vec_id, neighbor_id AS hard_negative_id,
+           round(c, 6) AS cos_sim
+    FROM (
+      SELECT p.vec_id, p.neighbor_id, p.c,
+             -- rank on the 6-decimal score: the Spark side re-ranks
+             -- the blocked-kNN output whose cos_sim is already
+             -- quantized, so both engines must break near-ties the
+             -- same way (id asc at equal rounded score)
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY round(p.c, 6) DESC, p.neighbor_id
+             ) AS rn
+      FROM p
+      JOIN lbl a ON a.vec_id = p.vec_id
+      JOIN lbl b ON b.vec_id = p.neighbor_id
+      WHERE a.label <> b.label
+    ) WHERE rn = 1
+    """,
+)
+def sample_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for every
+    vector, the single most-similar vector with a DIFFERENT label —
+    the negatives that actually teach a metric-learning model (random
+    negatives are trivially separable; the near-miss neighbor defines
+    the decision boundary).
+
+    Composes the blocked exact-kNN machinery with a label filter: at
+    this scale the pair scoring is the distributed block product
+    (topk_cosine_blocked shape); at 100 TB the same label-filtered
+    top-1 runs over the ANN candidates (sim_ann_ivf_trained) instead
+    of the exact product — the plan swaps, the semantics don't.  A
+    cross-label rank-1 window per query vector, deterministic
+    tie-break on neighbor id.
+    """
+    from pyspark.sql import Window
+
+    e = P.with_norm(_embs(spark, sf_dir))
+    topk = P.topk_cosine_blocked(
+        _embs(spark, sf_dir), k=499
+    )  # all pairs, scored blockwise
+    lbl = e.select("vec_id", "label")
+    cand = (
+        topk.join(lbl.withColumnsRenamed({"label": "q_label"}), "vec_id")
+        .join(
+            lbl.withColumnsRenamed(
+                {"vec_id": "neighbor_id", "label": "n_label"}
+            ),
+            "neighbor_id",
+        )
+        .filter(F.col("q_label") != F.col("n_label"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("neighbor_id").alias("hard_negative_id"),
+            "cos_sim",
+        )
+    )
