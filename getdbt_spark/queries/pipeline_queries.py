@@ -2868,3 +2868,16 @@ def sample_hard_negatives(spark, sf_dir):
             "cos_sim",
         )
     )
+
+
+@query("text_compression_ratio")  # rows-only: no SQL engine exposes
+# zlib, so the exact-semantics proof is the stdlib replay test in
+# tests/test_pipeline.py (same codec, same level, integer ratio).
+def text_compression_ratio(spark, sf_dir):
+    """Per-document zlib compressibility (pipeline.compression_ratio)
+    — the C4/Gopher-lineage quality dial: ratios near 0 mean
+    boilerplate repetition, near (or above) 1 mean noise; pretraining
+    filters keep the middle band.  Deterministic: zlib level pinned,
+    ratio quantized to integer 1e-4 units.
+    """
+    return P.compression_ratio(_docs(spark, sf_dir))

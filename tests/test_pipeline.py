@@ -616,3 +616,22 @@ def test_ffd_pack_matches_python_replay_and_partition_invariant(spark, docs):
         ).collect()
     }
     assert re_got == got_set
+
+
+def test_compression_ratio_matches_stdlib_replay(spark, docs):
+    """The Arrow kernel's per-doc byte counts and quantized ratio
+    equal a direct zlib replay; ratios are sane (compressible ASCII
+    corpus ⇒ well below 1)."""
+    import zlib
+
+    got = {r.doc_id: r for r in P.compression_ratio(docs).collect()}
+    for d in docs.collect():
+        raw = d.text.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        r = got[d.doc_id]
+        assert r.n_bytes == len(raw)
+        assert r.n_compressed == comp
+        assert r.ratio_q4 == (comp * 10000) // len(raw)
+        # short docs can exceed 1.0 (zlib header overhead) — that's
+        # the "incompressible" end of the quality dial, not a bug
+        assert 0 < r.ratio_q4 < 20000
