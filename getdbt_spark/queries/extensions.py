@@ -4318,3 +4318,129 @@ def dq_row_count_drift(spark, sf_dir):
         .cast("int")
         .alias("is_anomalous"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, user_id // 63 AS word_idx,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct_bitmap,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM b GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmap aggregation — the
+    ClickHouse/Doris-style alternative to COUNT(DISTINCT)'s
+    expand-and-reshuffle when keys are dense integers: each user lands
+    in word ``id // 63`` at bit ``id % 63`` (63-bit words — the sign
+    bit stays clear so the arithmetic is portable), words OR together
+    map-side (bit_or is commutative/associative — a partial aggregate,
+    like sum), and the distinct count is the popcount sum.  The
+    shuffle carries one row per (group, occupied word) — bounded by
+    the id-space density, not the event count, and bitmap words merge
+    across partitions/days exactly like the HLL registers
+    (agg_hll_merge_days) but EXACTLY.  On sparse/string keys,
+    dictionary-encode first or fall back to HLL.
+    """
+    ev = _t(spark, sf_dir, "events")
+    # shiftleft()'s python wrapper takes only a literal bit count —
+    # the per-row shift needs the SQL form
+    word = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+    b = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") / 63).cast("long").alias("word_idx"),
+            word.alias("w"),
+        )
+        .groupBy("event_type", "word_idx")
+        .agg(F.expr("bit_or(w)").alias("word"))
+    )
+    return b.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("n_distinct_bitmap"),
+        F.count("*").alias("n_words"),
+    )
+
+
+@query(
+    "agg_session_bounce_rate",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM l
+    ), g AS (
+      SELECT user_id, sess_id, min(ts) AS session_start,
+             count(*) AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT CAST(isodow(session_start) AS BIGINT) AS dow,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / count(*), 4) AS bounce_rate,
+           round(avg(n_events), 4) AS avg_events_per_session
+    FROM g GROUP BY 1
+    """,
+)
+def agg_session_bounce_rate(spark, sf_dir):
+    """Bounce rate by day of week — the canonical product-analytics
+    KPI over gap-sessionized activity (30-min inactivity boundary,
+    the streaming_session_stats contract): a session with exactly one
+    event is a bounce.  Sessionization is the lag→flag→running-sum
+    idiom (one exchange on user_id; both window frames reuse it),
+    then two map-combinable aggregations.  The lag window orders by
+    (ts, event_id) so simultaneous events sessionize identically on
+    both engines.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                E.timestamp_diff_seconds(F.col("ts"), F.lag("ts").over(w))
+                >= 1800
+            ),
+            1,
+        ).otherwise(0)
+    )
+    s = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    g = s.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return g.groupBy(
+        # ISO weekday (Mon=1..Sun=7) — Spark's dayofweek() is
+        # Sun=1..Sat=7 while DuckDB's is Sun=0..Sat=6; weekday()+1
+        # matches DuckDB's isodow() exactly
+        (F.weekday("session_start") + 1).cast("long").alias("dow")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(bounce).alias("n_bounces"),
+        E.round_to(F.sum(bounce) / F.count("*"), 4).alias("bounce_rate"),
+        E.round_to(F.avg("n_events"), 4).alias("avg_events_per_session"),
+    )
