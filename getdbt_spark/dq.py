@@ -140,3 +140,82 @@ def run_dq(
     for r in rows[1:]:
         res = res.unionAll(r)
     return res
+
+
+def table_diff(
+    a: DataFrame, b: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Audit two relations keyed by ``keys`` (dbt audit-helper's
+    ``compare_relations``): one row per non-key column with the key
+    overlap counts and that column's value-mismatch count over common
+    keys — the validation report a backfill / migration / refactor
+    runs before cutover.
+
+    Columns: ``column, n_only_a, n_only_b, n_common, n_value_diff``
+    (overlap counts repeat on every row — the report is meant to be
+    read whole, at most #columns rows).  One full-outer join on the
+    keys + ONE aggregation computing every column's mismatch count
+    simultaneously (null-safe <=> so NULL==NULL); nothing is
+    collected, so it audits tables of any size — at warehouse scale
+    the join is the only shuffle and AQE sizes it.
+    """
+    shared = [
+        c for c in a.columns if c in set(b.columns) and c not in keys
+    ]
+    ja = a.select(
+        *keys,
+        F.lit(1).alias("_in_a"),
+        *[F.col(c).alias(f"_a_{c}") for c in shared],
+    )
+    jb = b.select(
+        *keys,
+        F.lit(1).alias("_in_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in shared],
+    )
+    j = ja.join(jb, keys, "full_outer")
+    both = F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull()
+    aggs = [
+        F.sum(
+            F.when(
+                F.col("_in_a").isNotNull() & F.col("_in_b").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_only_a"),
+        F.sum(
+            F.when(
+                F.col("_in_b").isNotNull() & F.col("_in_a").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_only_b"),
+        F.sum(F.when(both, 1).otherwise(0)).alias("n_common"),
+        *[
+            F.sum(
+                F.when(
+                    both
+                    & ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}")),
+                    1,
+                ).otherwise(0)
+            ).alias(f"_diff_{c}")
+            for c in shared
+        ],
+    ]
+    row = j.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_diff_{c}").alias("n_value_diff"),
+            )
+            for c in shared
+        ]
+    )
+    return row.select(
+        F.explode(per_col).alias("d"),
+        "n_only_a",
+        "n_only_b",
+        "n_common",
+    ).select(
+        F.col("d.column").alias("column"),
+        F.col("n_only_a").cast("long").alias("n_only_a"),
+        F.col("n_only_b").cast("long").alias("n_only_b"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("d.n_value_diff").cast("long").alias("n_value_diff"),
+    )

@@ -2881,3 +2881,76 @@ def text_compression_ratio(spark, sf_dir):
     ratio quantized to integer 1e-4 units.
     """
     return P.compression_ratio(_docs(spark, sf_dir))
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             text, octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ), v AS (
+      SELECT doc_id, text, n_bytes, 1 + n_bytes % 96 AS n_frames
+      FROM base WHERE modality = 'video'
+    ), fr AS (
+      SELECT doc_id, text, n_bytes, n_frames,
+             unnest(range(0, CAST(n_frames AS BIGINT))) AS frame_idx
+      FROM v
+    ), feat AS (
+      SELECT doc_id, frame_idx,
+             CAST(coalesce(list_sum(
+               [ascii(text[i + 1])
+                for i in range((frame_idx * n_bytes) // n_frames,
+                               ((frame_idx + 1) * n_bytes) // n_frames)]
+             ), 0) AS BIGINT) AS checksum
+      FROM fr
+    ), d AS (
+      SELECT doc_id, frame_idx, checksum,
+             abs(checksum - lag(checksum) OVER (
+               PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+      FROM feat
+    )
+    SELECT doc_id,
+           count(*) AS n_frames,
+           CAST(sum(CASE WHEN delta > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cuts,
+           CAST(coalesce(max(delta), 0) AS BIGINT) AS max_delta
+    FROM d GROUP BY doc_id
+    """,
+)
+def multimodal_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection over per-frame features: every video's
+    full frame grid is decoded to integer features by the
+    ``sample_frames`` Arrow kernel (stride 1 — every frame), and a cut
+    is a frame whose feature jumps more than a threshold from its
+    predecessor — the standard |Δfeature| scene-cut heuristic, with
+    the byte checksum standing in for a frame histogram at the
+    documented stub boundary.  Plan shape: map-only 1→N decode, ONE
+    window exchange on doc_id (frames of one video colocate — at
+    100 TB video count scales out, frames per video stay bounded),
+    and a map-combinable per-video rollup on the same key.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 2)
+    payload = d.select(
+        "doc_id",
+        F.lit("video").alias("modality"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    frames = P.sample_frames(payload, stride=1)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = F.abs(
+        F.col("frame_checksum") - F.lag("frame_checksum").over(w)
+    )
+    feat = frames.select("doc_id", "frame_idx", delta.alias("delta"))
+    return feat.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.when(F.col("delta") > 1000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cuts"),
+        F.coalesce(F.max("delta"), F.lit(0)).cast("long").alias("max_delta"),
+    )

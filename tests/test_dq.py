@@ -117,3 +117,28 @@ def test_empty_scope_raises(spark):
     r = Runner(spark, {}, D, registry=reg)
     with pytest.raises(ValueError, match="no dq tests"):
         run_dq(r)
+
+
+def test_table_diff_counts_adds_drops_and_value_changes(spark):
+    """Perturb a copy (2 updates, 1 delete, 2 adds) — the report must
+    localize exactly which column changed and by how many rows."""
+    from getdbt_spark.dq import table_diff
+
+    a = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(10)], ["k", "s", "n"]
+    )
+    b = spark.createDataFrame(
+        [
+            (i, "CHANGED" if i in (3, 5) else f"v{i}", i * 10)
+            for i in range(10)
+            if i != 7  # dropped
+        ]
+        + [(100, "new", 0), (101, "new", 0)],  # added
+        ["k", "s", "n"],
+    )
+    rows = {r.column: r for r in table_diff(a, b, ["k"]).collect()}
+    assert set(rows) == {"s", "n"}
+    for r in rows.values():
+        assert (r.n_only_a, r.n_only_b, r.n_common) == (1, 2, 9)
+    assert rows["s"].n_value_diff == 2
+    assert rows["n"].n_value_diff == 0
