@@ -62,11 +62,15 @@ def ensure_checkpoint_dir(spark: SparkSession) -> None:
 
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
+        # Prefer RAM-backed tmpfs for the single-host default: the
+        # checkpoint write is pure durability bookkeeping locally, and
+        # disk-backed /tmp adds seconds of IO variance to iterative
+        # operators (connected components writes one edge set per two
+        # rounds).  A cluster deployment sets its own durable dir
+        # (HDFS/object store) BEFORE calling in, which this respects.
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
         sc.setCheckpointDir(
-            os.path.join(
-                tempfile.gettempdir(),
-                f"getdbt_spark_ckpt_{sc.applicationId}",
-            )
+            os.path.join(base, f"getdbt_spark_ckpt_{sc.applicationId}")
         )
 
 
