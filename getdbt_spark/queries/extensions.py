@@ -4444,3 +4444,73 @@ def agg_session_bounce_rate(spark, sf_dir):
         E.round_to(F.sum(bounce) / F.count("*"), 4).alias("bounce_rate"),
         E.round_to(F.avg("n_events"), 4).alias("avg_events_per_session"),
     )
+
+
+@query(
+    "agg_new_vs_returning",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), daily AS (
+      SELECT a.d,
+             sum(CASE WHEN a.d = fs.first_day THEN 1 ELSE 0 END) AS n_new,
+             sum(CASE WHEN a.d > fs.first_day THEN 1 ELSE 0 END)
+               AS n_returning
+      FROM act a JOIN fs USING (user_id)
+      GROUP BY a.d
+    )
+    SELECT d,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_returning AS BIGINT) AS n_returning,
+           CAST(sum(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumulative_users,
+           round(n_returning / (n_new + n_returning), 4)
+             AS returning_share
+    FROM daily
+    """,
+)
+def agg_new_vs_returning(spark, sf_dir):
+    """New vs returning daily actives — the growth-accounting split
+    every product dashboard leads with: a user's first active day
+    classifies them "new" that day and "returning" on every later
+    active day; the running sum of new users is the cumulative
+    registered base.  Plan shape: one min-per-user aggregate (map-
+    combinable), one distinct user-day set, an equi join back on
+    user_id, a daily rollup, and a running-total window over the
+    (tiny) daily table — the single-partition window runs on
+    #days rows, never event-scale.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    fs = ev.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    act = ev.distinct()
+    daily = (
+        act.join(fs, "user_id")
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(F.col("d") == F.col("first_day"), 1).otherwise(0)
+            ).alias("n_new"),
+            F.sum(
+                F.when(F.col("d") > F.col("first_day"), 1).otherwise(0)
+            ).alias("n_returning"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("n_returning").cast("long").alias("n_returning"),
+        F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
+        E.round_to(
+            F.col("n_returning")
+            / (F.col("n_new") + F.col("n_returning")),
+            4,
+        ).alias("returning_share"),
+    )

@@ -2954,3 +2954,74 @@ def multimodal_scene_cuts(spark, sf_dir):
         .alias("n_cuts"),
         F.coalesce(F.max("delta"), F.lit(0)).cast("long").alias("max_delta"),
     )
+
+
+@query(
+    "emb_dim_variance_prune",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ), cell AS (
+      SELECT gs.i - 1 AS dim_idx, qv[gs.i] AS v
+      FROM q, generate_series(1, 64) AS gs(i)
+    ), s AS (
+      SELECT dim_idx,
+             count(*) AS n,
+             CAST(sum(v) AS BIGINT) AS sum_q,
+             CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT)
+               AS var_num
+      FROM cell GROUP BY dim_idx
+    )
+    SELECT dim_idx, n, sum_q, var_num,
+           CAST(row_number() OVER (ORDER BY var_num DESC, dim_idx)
+                AS BIGINT) AS var_rank,
+           CAST(row_number() OVER (ORDER BY var_num DESC, dim_idx) <= 16
+                AS INT) AS keep
+    FROM s
+    """,
+)
+def emb_dim_variance_prune(spark, sf_dir):
+    """Variance-based dimension pruning: rank embedding dimensions by
+    corpus variance and keep the top 16 — the data-driven cousin of
+    the matryoshka prefix (emb_matryoshka_truncate keeps dims 1-16 by
+    POSITION; this keeps whichever carry signal — near-constant
+    dimensions add storage and dot-product FLOPs but no separation).
+
+    Exactness: components quantize to micro-unit BIGINTs, and the
+    ranking key is the integer variance NUMERATOR n·Σv² − (Σv)² —
+    no division, no float, so the rank (and hash) cannot drift
+    between engines.  Plan shape: posexplode to (dim, value) cells →
+    ONE map-combinable groupBy of d groups → a d-row window; the
+    corpus-sized stage is map-only.
+    """
+    from pyspark.sql import Window
+
+    q = _embs(spark, sf_dir).select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1e6).cast("long"),
+            )
+        ).alias("dim_idx", "v")
+    )
+    s = q.groupBy("dim_idx").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sum_q"),
+        (
+            F.count("*") * F.sum(F.col("v") * F.col("v"))
+            - F.sum("v") * F.sum("v")
+        ).alias("var_num"),
+    )
+    w = Window.orderBy(F.desc("var_num"), F.asc("dim_idx"))
+    rnk = F.row_number().over(w)
+    return s.select(
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        "n",
+        F.col("sum_q").cast("long").alias("sum_q"),
+        F.col("var_num").cast("long").alias("var_num"),
+        rnk.cast("long").alias("var_rank"),
+        (rnk <= 16).cast("int").alias("keep"),
+    )
