@@ -4514,3 +4514,89 @@ def agg_new_vs_returning(spark, sf_dir):
             4,
         ).alias("returning_share"),
     )
+
+
+@query(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id,
+             date_trunc('week', min(CAST(ts AS DATE))) AS cohort_week
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT e.user_id, fs.cohort_week,
+             CAST((date_trunc('week', CAST(e.ts AS DATE))
+                   - fs.cohort_week) / 7 AS BIGINT) AS age_weeks,
+             CAST(floor(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN fs USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ), wk AS (
+      SELECT cohort_week, age_weeks, sum(cents) AS cents
+      FROM act GROUP BY 1, 2
+    ), sz AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM fs GROUP BY 1
+    )
+    SELECT CAST(wk.cohort_week AS DATE) AS cohort_week,
+           wk.age_weeks,
+           sz.cohort_size,
+           round(sum(wk.cents) OVER (
+             PARTITION BY wk.cohort_week ORDER BY wk.age_weeks
+             ROWS UNBOUNDED PRECEDING) / 100.0, 2) AS cum_value,
+           round(sum(wk.cents) OVER (
+             PARTITION BY wk.cohort_week ORDER BY wk.age_weeks
+             ROWS UNBOUNDED PRECEDING) / 100.0 / sz.cohort_size, 4)
+             AS ltv_per_user
+    FROM wk JOIN sz USING (cohort_week)
+    """,
+)
+def agg_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime value: users grouped by signup week (first
+    activity), purchase value accumulated by cohort age in weeks —
+    the LTV curve that prices acquisition (retention_cohorts counts
+    who comes back; this weighs what they spend).  Money stays exact
+    integer cents until the final display division; the running-sum
+    window runs over the cohort×age matrix (weeks², tiny), never
+    event scale.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.to_date("ts")))
+        .cast("date")
+        .alias("cohort_week")
+    )
+    act = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fs, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.to_date("ts")).cast("date"),
+                    "cohort_week",
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("age_weeks"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    wk = act.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("cents").alias("cents")
+    )
+    sz = fs.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("cents").over(w) / 100.0
+    return wk.join(sz, "cohort_week").select(
+        "cohort_week",
+        "age_weeks",
+        "cohort_size",
+        E.round_to(cum, 2).alias("cum_value"),
+        E.round_to(cum / F.col("cohort_size"), 4).alias("ltv_per_user"),
+    )

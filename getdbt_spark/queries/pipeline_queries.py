@@ -3025,3 +3025,72 @@ def emb_dim_variance_prune(spark, sf_dir):
         rnk.cast("long").alias("var_rank"),
         (rnk <= 16).cast("int").alias("keep"),
     )
+
+
+@query(
+    "text_source_divergence",
+    oracle="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), sw AS (
+      SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2
+    ), st AS (
+      SELECT source, sum(n) AS n_src FROM sw GROUP BY 1
+    ), ct AS (
+      SELECT word, sum(n) AS n_corpus FROM sw GROUP BY 1
+    ), tot AS (SELECT sum(n) AS n_all FROM sw),
+    terms AS (
+      SELECT sw.source,
+             sw.n / st.n_src AS p,
+             ct.n_corpus / tot.n_all AS q
+      FROM sw
+      JOIN st USING (source)
+      JOIN ct USING (word), tot
+    )
+    SELECT source,
+           CAST(sum(CAST(floor(
+             (p * ln(2 * p / (p + q))) * 1000000000
+           ) AS BIGINT)) AS BIGINT) AS kl_p_m_nano,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM terms GROUP BY source
+    """,
+)
+def text_source_divergence(spark, sf_dir):
+    """Per-source vocabulary drift: each source's unigram distribution
+    P against the corpus mixture Q, scored by the P-side half of
+    Jensen-Shannon divergence Σ p·ln(2p/(p+q)) — the curation signal
+    for "this crawl slice reads differently from the rest" (domain
+    drift, template floods, language leaks).
+
+    Determinism: each term's contribution is quantized to integer
+    nano-nats BEFORE the per-source sum, so the aggregate is an
+    order-free integer sum (the perplexity-proxy discipline); same
+    ``floor(·ln·)`` last-ulp boundary caveat as there.  Plan shape:
+    one map-combinable (source, word) count, two tiny rollups joined
+    back (vocabulary-sized — broadcast), one final rollup per source.
+    """
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        "source", F.explode(P.ws_tokens(F.col("text"))).alias("word")
+    )
+    sw = w.groupBy("source", "word").agg(F.count("*").alias("n"))
+    st = sw.groupBy("source").agg(F.sum("n").alias("n_src"))
+    ct = sw.groupBy("word").agg(F.sum("n").alias("n_corpus"))
+    n_all = float(
+        sw.agg(F.sum("n")).collect()[0][0]
+    )  # scalar anchor (two-phase literal)
+    p = F.col("n").cast("double") / F.col("n_src").cast("double")
+    q = F.col("n_corpus").cast("double") / F.lit(n_all)
+    contrib = F.floor(
+        (p * F.log(2 * p / (p + q))) * F.lit(1e9)
+    ).cast("long")
+    terms = (
+        sw.join(st, "source")
+        .join(F.broadcast(ct), "word")
+        .select("source", contrib.alias("c"))
+    )
+    return terms.groupBy("source").agg(
+        F.sum("c").cast("long").alias("kl_p_m_nano"),
+        F.count("*").alias("n_terms"),
+    )
