@@ -4600,3 +4600,94 @@ def agg_cohort_ltv(spark, sf_dir):
         E.round_to(cum, 2).alias("cum_value"),
         E.round_to(cum / F.col("cohort_size"), 4).alias("ltv_per_user"),
     )
+
+
+@query(
+    "fn_fuzzy_match",
+    oracle="""
+    WITH a AS (SELECT p_partkey, p_name FROM part),
+    pr AS (
+      SELECT a.p_partkey,
+             a.p_name AS name_a,
+             b.p_name AS name_b,
+             levenshtein(a.p_name, b.p_name) AS lev
+      FROM a JOIN a b ON b.p_partkey = a.p_partkey + 1
+    )
+    SELECT p_partkey, name_a, name_b, CAST(lev AS BIGINT) AS lev,
+           round(1.0 - lev / greatest(length(name_a), length(name_b)),
+                 4) AS sim,
+           CAST(lev <= 10 AS INT) AS is_match
+    FROM pr
+    """,
+)
+def fn_fuzzy_match(spark, sf_dir):
+    """Edit-distance fuzzy matching — the entity-resolution scoring
+    primitive (names, addresses, titles), verified to agree with the
+    oracle engine's levenshtein character for character.  The pairing
+    here is the adjacent-key self-join (an EQUI join — at scale real
+    fuzzy dedup pairs via blocking keys exactly like dedup_containment
+    pairs via rare grams, then scores candidates with this function;
+    never all-pairs).  Similarity = 1 − lev/max(len) with a
+    ≤10-edits match flag.
+    """
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    b = p.select(
+        (F.col("p_partkey") - 1).alias("p_partkey"),
+        F.col("p_name").alias("name_b"),
+    )
+    pr = p.withColumnRenamed("p_name", "name_a").join(b, "p_partkey")
+    lev = F.levenshtein("name_a", "name_b")
+    return pr.select(
+        "p_partkey",
+        "name_a",
+        "name_b",
+        lev.cast("long").alias("lev"),
+        E.round_to(
+            1.0
+            - lev / F.greatest(F.length("name_a"), F.length("name_b")),
+            4,
+        ).alias("sim"),
+        (lev <= 10).cast("int").alias("is_match"),
+    )
+
+
+@query(
+    "streaming_topk_trending",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d, event_type, n, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT d, event_type, n,
+             row_number() OVER (
+               PARTITION BY d ORDER BY n DESC, event_type) AS rnk
+      FROM daily
+    ) WHERE rnk <= 3
+    """,
+)
+def streaming_topk_trending(spark, sf_dir):
+    """Daily top-3 trending streams — the windowed-rank leaderboard
+    every realtime dashboard shows.  Batch twin of the streaming
+    shape: under readStream this is the tumbling-window aggregate in
+    update mode with the rank applied per closed window downstream
+    (rank itself is not incrementally maintainable, so production
+    ranks in the foreachBatch sink exactly as the batch form does
+    here — same code path discipline as the other streaming twins).
+    Plan: one map-combinable daily rollup, one window over the tiny
+    (day, type) table, deterministic tie-break on the type name.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("d").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        daily.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("d", "event_type", "n", F.col("rnk").cast("long").alias("rnk"))
+    )
