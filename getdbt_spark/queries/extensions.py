@@ -4691,3 +4691,112 @@ def streaming_topk_trending(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("d", "event_type", "n", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@query(
+    "agg_path_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT prev_type, sum(n) AS n_from FROM t GROUP BY 1
+    )
+    SELECT t.prev_type, t.next_type,
+           CAST(t.n AS BIGINT) AS n,
+           round(t.n / tot.n_from, 4) AS p_transition
+    FROM t JOIN tot USING (prev_type)
+    """,
+)
+def agg_path_transitions(spark, sf_dir):
+    """First-order user-journey transition matrix: for each ordered
+    pair of consecutive events within a user's stream, the transition
+    count and conditional probability — the Markov-chain input behind
+    next-action prediction and funnel-drop diagnosis.  One lag window
+    per user (single exchange on user_id, (ts, event_id) ordering so
+    simultaneous events sequence identically cross-engine), then a
+    map-combinable rollup over the #types² transition matrix.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    t = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return t.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        E.round_to(F.col("n") / F.col("n_from"), 4).alias("p_transition"),
+    )
+
+
+@query(
+    "win_forward_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT)
+               AS cents
+      FROM events WHERE user_id % 20 = 0
+      GROUP BY 1, 2
+    )
+    SELECT user_id, d, cents,
+           CAST(last_value(cents IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cents_filled
+    FROM daily
+    """,
+)
+def win_forward_fill(spark, sf_dir):
+    """Forward fill — the time-series gap-fill primitive (carry the
+    last observed value across days with no observation; sparse
+    sensor/price/balance series all need it).  ``last(col,
+    ignorenulls=True)`` over an unbounded-preceding frame — one
+    exchange on the entity key, no self-join, no driver loop; days
+    before the first observation stay NULL by design.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100).cast("long"),
+                )
+            ).alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "user_id",
+        "d",
+        "cents",
+        F.last("cents", ignorenulls=True)
+        .over(w)
+        .cast("long")
+        .alias("cents_filled"),
+    )
