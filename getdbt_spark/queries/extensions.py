@@ -4800,3 +4800,95 @@ def win_forward_fill(spark, sf_dir):
         .cast("long")
         .alias("cents_filled"),
     )
+
+
+@query(
+    "join_pit_scd2",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY user_id
+    ), versions AS (
+      SELECT user_id, first_day + 14 * v.v AS valid_from, v.v AS tier
+      FROM fs, (SELECT unnest([0, 1, 2]) AS v) v
+    ), u AS (
+      SELECT user_id, valid_from AS d, 0 AS is_event, tier,
+             CAST(NULL AS BIGINT) AS event_id
+      FROM versions
+      UNION ALL
+      SELECT user_id, CAST(ts AS DATE) AS d, 1 AS is_event,
+             CAST(NULL AS INT) AS tier, event_id
+      FROM events
+    ), filled AS (
+      SELECT user_id, d, is_event, event_id,
+             last_value(tier IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY d, is_event, coalesce(event_id, -1)
+               ROWS UNBOUNDED PRECEDING) AS tier_at_event
+      FROM u
+    )
+    SELECT tier_at_event,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM filled WHERE is_event = 1
+    GROUP BY tier_at_event
+    """,
+)
+def join_pit_scd2(spark, sf_dir):
+    """Point-in-time SCD2 join — the feature-store correctness join:
+    every event must see the dimension version valid AT ITS OWN
+    TIMESTAMP (joining today's version onto yesterday's events leaks
+    the future into training labels).  The demo dimension versions
+    each user's tier every 14 days from first activity.
+
+    Engine shape: the UNION-ASOF trick — version rows and event rows
+    union into one stream per key, version-before-event tie order,
+    and ``last(tier, ignorenulls)`` over an unbounded-preceding frame
+    stamps each event with the version in force.  ONE exchange on the
+    entity key, no range/theta join, no per-version fan-out — the
+    scalable form of ``BETWEEN valid_from AND valid_to`` (which plans
+    a nested loop); events before the first version stay NULL by
+    design.  sink_snapshot_scd2 builds real validity tables; this is
+    how consumers read them at scale.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    versions = fs.select(
+        "user_id",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("tier"),
+        "first_day",
+    ).select(
+        "user_id",
+        F.date_add("first_day", F.col("tier") * 14).alias("d"),
+        F.lit(0).alias("is_event"),
+        "tier",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    events = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("int").alias("tier"),
+        "event_id",
+    )
+    u = versions.unionByName(events)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d", "is_event", F.coalesce("event_id", F.lit(-1)))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn(
+        "tier_at_event", F.last("tier", ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter(F.col("is_event") == 1)
+        .groupBy("tier_at_event")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
