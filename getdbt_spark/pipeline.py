@@ -1224,3 +1224,85 @@ def compression_ratio(docs: DataFrame, level: int = 6) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         _ratios, schema=COMPRESS_SCHEMA
     )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame, index_docs: DataFrame
+) -> DataFrame:
+    """Incremental near-dup detection: candidates are generated ONLY
+    between the new batch and the existing corpus index — the daily
+    ingestion shape, where history is never re-deduped against itself
+    (that was yesterday's job) and the per-day cost is
+    O(batch × collision rate), independent of corpus age.
+
+    Output: ``(new_id, match_id, jaccard)`` for every new doc whose
+    Jaccard with an indexed doc reaches the threshold.  Same kernel,
+    banding, and exact-verify contract as ``minhash_lsh_pairs``; at
+    warehouse scale the index side's band table is a MATERIALIZED
+    table keyed by band hash that each day's batch shuffles against —
+    here both sides derive from their input frames directly.
+    """
+    from pyspark import StorageLevel
+
+    n_cores = new_docs.sparkSession.sparkContext.defaultParallelism
+
+    def _sh(docs):
+        return (
+            docs.select("doc_id", "text")
+            .repartition(n_cores)
+            .select("doc_id", _shingles_and_sig(3)("text").alias("ss"))
+            .filter(F.col("ss.shingles").isNotNull())
+            .select(
+                "doc_id",
+                F.col("ss.shingles").alias("shingles"),
+                F.col("ss.sig").alias("sig"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    def _bands(sh):
+        return sh.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        *[
+                            F.element_at(
+                                "sig", b * LSH_ROWS + r + 1
+                            ).alias(f"h{r}")
+                            for r in range(LSH_ROWS)
+                        ],
+                    ),
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.*")
+
+    sh_new, sh_idx = _sh(new_docs), _sh(index_docs)
+    band_keys = ["band"] + [f"h{r}" for r in range(LSH_ROWS)]
+    candidates = (
+        _bands(sh_new)
+        .withColumnRenamed("doc_id", "new_id")
+        .join(
+            _bands(sh_idx).withColumnRenamed("doc_id", "match_id"),
+            band_keys,
+        )
+        .select("new_id", "match_id")
+        .distinct()
+    )
+    a = sh_new.select(
+        F.col("doc_id").alias("new_id"), F.col("shingles").alias("sa")
+    )
+    b = sh_idx.select(
+        F.col("doc_id").alias("match_id"), F.col("shingles").alias("sb")
+    )
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(
+        F.array_union("sa", "sb")
+    )
+    return (
+        candidates.join(a, "new_id")
+        .join(b, "match_id")
+        .select("new_id", "match_id", E.round_to(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

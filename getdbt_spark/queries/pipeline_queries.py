@@ -3094,3 +3094,41 @@ def text_source_divergence(spark, sf_dir):
         F.sum("c").cast("long").alias("kl_p_m_nano"),
         F.count("*").alias("n_terms"),
     )
+
+
+@query(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS s
+      FROM toks WHERE len(w) >= 3
+    )
+    SELECT n.doc_id AS new_id, i.doc_id AS match_id,
+           round(len(list_intersect(n.s, i.s))::DOUBLE
+                 / len(list_distinct(list_concat(n.s, i.s))), 6)
+             AS jaccard
+    FROM sh n JOIN sh i
+      ON n.doc_id % 5 = 0 AND i.doc_id % 5 <> 0
+    WHERE round(len(list_intersect(n.s, i.s))::DOUBLE
+                / len(list_distinct(list_concat(n.s, i.s))), 6)
+          >= {P.JACCARD_THRESHOLD}
+    """,
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    """Incremental ingestion dedup: today's batch (``doc_id % 5 = 0``)
+    screened against the existing corpus index — candidates are
+    generated ONLY new × index (pipeline.minhash_lsh_pairs_incremental),
+    never history × history, so the daily cost tracks batch size and
+    collision rate regardless of corpus age.  The oracle is the
+    brute-force new × index Jaccard (exact at this SF); the plan's
+    banded join is the scale path.
+    """
+    d = _docs(spark, sf_dir)
+    return P.minhash_lsh_pairs_incremental(
+        d.filter(F.col("doc_id") % 5 == 0),
+        d.filter(F.col("doc_id") % 5 != 0),
+    )
