@@ -399,3 +399,43 @@ def backfill(
         for anchor in anchors:
             _one(anchor)
     return anchors
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    audits: Mapping[str, "object"],
+) -> tuple[bool, dict[str, bool]]:
+    """Write-Audit-Publish: materialize ``df`` to a STAGING directory,
+    run every audit against the staged read-back, and only on
+    all-green swap staging into place — consumers never observe a
+    table that failed its checks (the lakehouse WAP pattern; on
+    Iceberg/Delta the publish is a snapshot commit, on plain parquet
+    it is the same two-rename swap as merge_upsert, with the retired
+    copy kept until the published table proves readable).
+
+    ``audits``: ``{name: callable(DataFrame) -> bool}`` over the
+    STAGED data — row thresholds, null guards, dq.run_dq wrappers.
+    Returns ``(published, {audit: passed})``.  On any failure the
+    staging dir is kept for inspection at ``path + '.staging'`` and
+    the live table (if any) is untouched.
+    """
+    import shutil
+
+    staging = path.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    results = {name: bool(fn(staged)) for name, fn in audits.items()}
+    if not all(results.values()):
+        return False, results
+    retired = path.rstrip("/") + ".retired"
+    shutil.rmtree(retired, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, retired)
+    os.rename(staging, path)
+    out = spark.read.parquet(path)
+    out.schema  # footer read: publish verified before dropping retired
+    shutil.rmtree(retired, ignore_errors=True)
+    return True, results

@@ -398,3 +398,35 @@ class TestBackfill:
         a = sorted(map(tuple, spark.read.parquet(rs.table_path("daily")).collect()))
         b = sorted(map(tuple, spark.read.parquet(rp.table_path("daily")).collect()))
         assert a == b and len(a) == 25
+
+
+class TestWriteAuditPublish:
+    def test_publish_on_green_and_refusal_on_red(self, spark, tmp_path):
+        """Green audits publish atomically; a red audit leaves the
+        previously published table untouched and keeps staging for
+        inspection."""
+        import os
+
+        from getdbt_spark.runner import write_audit_publish
+
+        path = str(tmp_path / "t")
+        v1 = spark.range(10).withColumnRenamed("id", "k")
+        ok, res = write_audit_publish(
+            spark, v1, path,
+            {"nonempty": lambda d: d.count() > 0,
+             "no_null_k": lambda d: d.filter("k IS NULL").count() == 0},
+        )
+        assert ok and all(res.values())
+        assert spark.read.parquet(path).count() == 10
+
+        v2 = spark.range(3).withColumnRenamed("id", "k")
+        ok, res = write_audit_publish(
+            spark, v2, path,
+            {"nonempty": lambda d: d.count() > 0,
+             "min_rows": lambda d: d.count() >= 5},
+        )
+        assert not ok and res["nonempty"] and not res["min_rows"]
+        # live table untouched; staging kept for inspection
+        assert spark.read.parquet(path).count() == 10
+        assert os.path.isdir(path + ".staging")
+        assert spark.read.parquet(path + ".staging").count() == 3
