@@ -4892,3 +4892,83 @@ def join_pit_scd2(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "dq_mad_outliers",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, arr[CAST(floor((len(arr) + 1) / 2) AS BIGINT)]
+               AS med_lo,
+             arr[CAST(floor(len(arr) / 2) AS BIGINT) + 1] AS med_hi
+      FROM (SELECT event_type, list_sort(list(n)) AS arr
+            FROM daily GROUP BY 1)
+    ), dev AS (
+      SELECT daily.event_type, d, n,
+             (med_lo + med_hi) / 2.0 AS med,
+             abs(n - (med_lo + med_hi) / 2.0) AS ad
+      FROM daily JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type,
+             (arr[CAST(floor((len(arr) + 1) / 2) AS BIGINT)]
+              + arr[CAST(floor(len(arr) / 2) AS BIGINT) + 1]) / 2.0
+               AS mad
+      FROM (SELECT event_type, list_sort(list(ad)) AS arr
+            FROM dev GROUP BY 1)
+    )
+    SELECT dev.event_type, d, n,
+           round(dev.med, 1) AS median_n,
+           round(mad.mad, 1) AS mad_n,
+           CAST(abs(n - dev.med) > 3.5 * mad.mad AS INT) AS is_outlier
+    FROM dev JOIN mad USING (event_type)
+    """,
+)
+def dq_mad_outliers(spark, sf_dir):
+    """Robust volume anomaly detection: median absolute deviation —
+    unlike dq_anomaly_zscore's mean/stddev, MAD's breakdown point is
+    50%, so a burst of bad days cannot drag the baseline toward
+    itself and mask the anomaly.  A day is an outlier beyond 3.5 MADs
+    from the median (the standard robust threshold).
+
+    Exactness: medians use the positional (lo+hi)/2 formula over
+    sorted integer daily counts (and over |deviation| values, which
+    are exact halves) — the rolling-median discipline, no percentile
+    interpolation ambiguity between engines.  All collection happens
+    on the per-stream DAILY table (#days rows per group), never event
+    scale.
+    """
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+
+    def _median(df, val, out):
+        grp = df.groupBy("event_type").agg(
+            F.array_sort(F.collect_list(val)).alias("arr")
+        )
+        k = F.size("arr")
+        lo = F.element_at("arr", F.floor((k + 1) / 2).cast("int"))
+        hi = F.element_at("arr", (F.floor(k / 2) + 1).cast("int"))
+        return grp.select(
+            "event_type", ((lo + hi) / 2.0).alias(out)
+        )
+
+    med = _median(daily, "n", "med")
+    dev = daily.join(med, "event_type").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = _median(dev, "ad", "mad")
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        E.round_to(F.col("med"), 1).alias("median_n"),
+        E.round_to(F.col("mad"), 1).alias("mad_n"),
+        (F.abs(F.col("n") - F.col("med")) > 3.5 * F.col("mad"))
+        .cast("int")
+        .alias("is_outlier"),
+    )
