@@ -3132,3 +3132,250 @@ def dedup_incremental_lsh(spark, sf_dir):
         d.filter(F.col("doc_id") % 5 == 0),
         d.filter(F.col("doc_id") % 5 != 0),
     )
+
+
+@query(
+    "emb_cluster_purity",
+    oracle=f"""
+    WITH qe AS (
+      SELECT vec_id,
+             [CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cent_id, qv AS cvec FROM qe WHERE vec_id < 8
+    ),{_km_round_sql(1, 'c0')},{_km_round_sql(2, 'c1')},
+    sfin AS (
+      SELECT e2.vec_id, c.cent_id,
+             {_km_dist_sql('e2.qv', 'c.cvec')} AS dist
+      FROM qe e2, c2 c
+    ), af AS (
+      SELECT vec_id, cent_id AS cluster FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        FROM sfin) WHERE rn = 1
+    ), joined AS (
+      SELECT af.cluster, e.label FROM af
+      JOIN embeddings e USING (vec_id)
+    ), cl AS (
+      SELECT cluster, label, count(*) AS n FROM joined GROUP BY 1, 2
+    ), ranked AS (
+      SELECT cluster, label, n,
+             row_number() OVER (
+               PARTITION BY cluster ORDER BY n DESC, label) AS rn,
+             sum(n) OVER (PARTITION BY cluster) AS n_total
+      FROM cl
+    ), top AS (
+      SELECT cluster, label AS majority_label, n AS n_majority, n_total
+      FROM ranked WHERE rn = 1
+    )
+    SELECT cluster, majority_label,
+           CAST(n_majority AS BIGINT) AS n_majority,
+           CAST(n_total AS BIGINT) AS n_total,
+           round(n_majority / n_total, 4) AS purity
+    FROM top
+    """,
+)
+def emb_cluster_purity(spark, sf_dir):
+    """Clustering evaluation: per-cluster label purity of the trained
+    k-means assignment — the standard unsupervised-quality readout
+    (majority label share per cluster) that decides whether learned
+    IVF buckets align with semantics.  Composes emb_kmeans_train's
+    bit-reproducible assignment with the label column; everything
+    after the trainer is two tiny rollups and a k-row window.
+    """
+    from pyspark.sql import Window
+
+    assign = P.kmeans_quantized(_embs(spark, sf_dir), k=8, iters=2)
+    joined = assign.join(
+        _embs(spark, sf_dir).select("vec_id", "label"), "vec_id"
+    )
+    cl = joined.groupBy("cluster", "label").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    tot = Window.partitionBy("cluster")
+    top = (
+        cl.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_total", F.sum("n").over(tot))
+        .filter(F.col("rn") == 1)
+    )
+    return top.select(
+        "cluster",
+        F.col("label").alias("majority_label"),
+        F.col("n").cast("long").alias("n_majority"),
+        F.col("n_total").cast("long").alias("n_total"),
+        E.round_to(F.col("n") / F.col("n_total"), 4).alias("purity"),
+    )
+
+
+@query(
+    "pipeline_curation_v2",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE length(text) > 0
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)))
+               AS pos
+      FROM t
+    ), sp AS (
+      SELECT doc_id, pos,
+             array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ')
+               AS span
+      FROM s
+    ), dfc AS (
+      SELECT span, count(DISTINCT doc_id) AS span_df FROM sp GROUP BY span
+    ), ratio AS (
+      SELECT sp.doc_id,
+             sum(CASE WHEN dfc.span_df > 1 THEN 1 ELSE 0 END)
+               / count(*) AS dup_ratio
+      FROM sp JOIN dfc USING (span) GROUP BY sp.doc_id
+    ), s1 AS (
+      SELECT t.doc_id, t.toks FROM t
+      JOIN ratio USING (doc_id) WHERE ratio.dup_ratio <= 0.5
+    ), g AS (
+      SELECT doc_id, toks,
+             len(toks) AS n_words,
+             list_sum([length(x) for x in toks]) AS sum_len,
+             len(list_filter(toks,
+                             x -> regexp_matches(x, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_intersect(
+               list_distinct(toks),
+               {list(_GOPHER_STOPWORDS)!r})) AS n_stop
+      FROM s1
+    ), s2 AS (
+      SELECT doc_id, toks, n_words FROM g
+      WHERE n_words BETWEEN 50 AND 100000
+        AND sum_len / n_words BETWEEN 3 AND 10
+        AND n_alpha / n_words >= 0.8 AND n_stop >= 2
+    ), ch AS (
+      SELECT doc_id,
+             least(32, n_words - start) AS win_tokens
+      FROM (SELECT doc_id, n_words,
+                   unnest(range(0, n_words, 16)) AS start FROM s2)
+    )
+    SELECT * FROM (
+      SELECT 0 AS ord, 'raw' AS stage,
+             CAST(count(*) AS BIGINT) AS n FROM t
+      UNION ALL SELECT 1, 'span_dedup', count(*) FROM s1
+      UNION ALL SELECT 2, 'gopher_rules', count(*) FROM s2
+      UNION ALL SELECT 3, 'chunk_windows', count(*) FROM ch
+      UNION ALL SELECT 4, 'packed_bins_lb',
+        CAST(ceil(coalesce(sum(win_tokens), 0) / 256.0) AS BIGINT)
+        FROM ch
+    ) ORDER BY ord
+    """,
+)
+def pipeline_curation_v2(spark, sf_dir):
+    """The round-4 curation funnel COMPOSED: span-level boilerplate
+    dedup (drop docs more than half made of cross-document spans) →
+    Gopher-style rule filter → 32/16 overlapping chunk windows →
+    packing lower bound (⌈Σ window tokens / 256⌉ bins) — survivors
+    per stage, proving the new operators compose as one lazy plan
+    exactly as pipeline_end_to_end proved for the round-2 set.
+    Same per-stage count idiom; the only exchanges are the span-df
+    groupBy/join and the per-doc rollup.
+    """
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    toks = F.split(F.col("text"), " ")
+    t = d.select("doc_id", toks.alias("toks"))
+    n_spans = F.ceil(F.size("toks") / F.lit(10.0)).cast("int")
+    sp = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", i * 10 + 1, 10), " "
+                ),
+            )
+        ).alias("pos", "span"),
+    )
+    dfc = sp.groupBy("span").agg(
+        F.count_distinct("doc_id").alias("span_df")
+    )
+    ratio = (
+        sp.join(dfc, "span")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("span_df") > 1, 1).otherwise(0))
+                / F.count("*")
+            ).alias("dup_ratio")
+        )
+    )
+    s1 = t.join(ratio, "doc_id").filter(F.col("dup_ratio") <= 0.5)
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    g = s1.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_words"),
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("sum_len"),
+        F.size(
+            F.filter("toks", lambda x: x.rlike("[A-Za-z]"))
+        ).alias("n_alpha"),
+        F.size(
+            F.array_intersect(F.array_distinct("toks"), stops)
+        ).alias("n_stop"),
+    )
+    s2 = g.filter(
+        F.col("n_words").between(50, 100000)
+        & (F.col("sum_len") / F.col("n_words")).between(3, 10)
+        & (F.col("n_alpha") / F.col("n_words") >= 0.8)
+        & (F.col("n_stop") >= 2)
+    ).select("doc_id", "n_words")
+    ch = s2.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_words") - 1, F.lit(16))
+        ).alias("start"),
+        "n_words",
+    ).select(
+        F.least(F.lit(32), F.col("n_words") - F.col("start")).alias(
+            "win_tokens"
+        )
+    )
+
+    def _row(o, name, df_count):
+        return spark.range(1).select(
+            F.lit(o).alias("ord"),
+            F.lit(name).alias("stage"),
+            df_count.alias("n"),
+        )
+
+    counts = ch.agg(
+        F.count("*").alias("n_ch"),
+        F.ceil(F.coalesce(F.sum("win_tokens"), F.lit(0)) / 256.0)
+        .cast("long")
+        .alias("n_bins"),
+    )
+    from functools import reduce
+
+    rows = [
+        t.agg(F.count("*").cast("long").alias("n")).select(
+            F.lit(0).alias("ord"), F.lit("raw").alias("stage"), "n"
+        ),
+        s1.agg(F.count("*").cast("long").alias("n")).select(
+            F.lit(1).alias("ord"), F.lit("span_dedup").alias("stage"), "n"
+        ),
+        s2.agg(F.count("*").cast("long").alias("n")).select(
+            F.lit(2).alias("ord"),
+            F.lit("gopher_rules").alias("stage"),
+            "n",
+        ),
+        counts.select(
+            F.lit(3).alias("ord"),
+            F.lit("chunk_windows").alias("stage"),
+            F.col("n_ch").cast("long").alias("n"),
+        ),
+        counts.select(
+            F.lit(4).alias("ord"),
+            F.lit("packed_bins_lb").alias("stage"),
+            F.col("n_bins").alias("n"),
+        ),
+    ]
+    return reduce(lambda a, b: a.unionAll(b), rows).orderBy("ord")
