@@ -51,6 +51,7 @@ PIPELINE_HEADLINE = [
     "text_perplexity_proxy",    # unigram surprisal (broadcast vocab join)
     "agg_hll_sketch",           # portable HLL (bounded-shuffle distinct)
     "pipeline_end_to_end",      # composed corpus funnel (one lazy plan)
+    "pipeline_curation_v2",     # round-4 funnel (span dedup→rules→chunks)
 ]
 # End-to-end model-DAG shapes (round 2+): the incremental stream model
 # and the full dashboard (builds the whole 22-model DAG under one action).

@@ -1,0 +1,57 @@
+"""Driver-contract guards: every oracle must at least BIND in DuckDB
+(catches SQL typos at test speed instead of sweep speed), and the
+window ordering must put unproven ids first."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def test_every_oracle_binds_in_duckdb(con):
+    from getdbt_spark.queries import ORACLES, load_all
+
+    load_all()
+    bad = []
+    for qid, sql in ORACLES.items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as ex:  # noqa: BLE001 — collecting all failures
+            bad.append(f"{qid}: {str(ex).splitlines()[0]}")
+    assert not bad, "oracles failed to bind:\n" + "\n".join(bad)
+
+
+def test_window_orders_unproven_ids_first():
+    import __spark_entry__ as e
+
+    ids = list(e.queries())
+    verified = e._driver_verified_ids()
+    head = ids[:50]
+    # the 8 CORRECTNESS_r03-red ids re-enter the window
+    for qid in (
+        "model_streams_daily_v4",
+        "emb_l2_normalize",
+        "pack_shard_manifest",
+    ):
+        assert qid in head
+    # no proven id may occupy a window slot while unproven ids wait
+    n_unproven = sum(1 for q in ids if q not in verified)
+    if n_unproven >= 50:
+        assert all(q not in verified for q in head)
