@@ -26,6 +26,7 @@ differs between Spark and DuckDB and a grand-total double rounded to
 
 from __future__ import annotations
 
+import datetime as dt
 from uuid import uuid4
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -4971,4 +4972,67 @@ def dq_mad_outliers(spark, sf_dir):
         (F.abs(F.col("n") - F.col("med")) > 3.5 * F.col("mad"))
         .cast("int")
         .alias("is_outlier"),
+    )
+
+
+@query(
+    "agg_dau_mau_stickiness",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), bounds AS (
+      SELECT min(d) AS d0, max(d) AS d1 FROM act
+    ), anchors AS (
+      SELECT act.user_id, act.d + CAST(a.a AS INT) AS anchor
+      FROM act, generate_series(0, 27) AS a(a), bounds
+      WHERE act.d + CAST(a.a AS INT) BETWEEN bounds.d0 + 27 AND bounds.d1
+    ), mau AS (
+      SELECT anchor AS d, count(DISTINCT user_id) AS mau
+      FROM anchors GROUP BY 1
+    ), dau AS (
+      SELECT d, count(*) AS dau FROM act GROUP BY d
+    )
+    SELECT mau.d,
+           CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           round(coalesce(dau.dau, 0) / mau.mau, 4) AS stickiness
+    FROM mau LEFT JOIN dau USING (d)
+    """,
+)
+def agg_dau_mau_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness: daily actives over trailing-28-day actives
+    — THE engagement ratio.  The rolling distinct uses the
+    explode-anchor idiom (each active (user, day) emits its 28 future
+    anchor days; distinct per anchor) — an EQUI-shaped aggregation,
+    never a per-day range self-join, and the fan-out is a flat ×28 on
+    the already-deduplicated user-day table (agg_rolling_wau's
+    pattern at the monthly window).  Anchors clamp to days with a
+    full window so every MAU is a true 28-day count.
+    """
+    act = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    d0, d1 = act.agg(F.min("d"), F.max("d")).collect()[0]
+    anchors = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add("d", 27))
+        ).alias("anchor"),
+    ).filter(
+        (F.col("anchor") >= F.lit(d0 + dt.timedelta(days=27)))
+        & (F.col("anchor") <= F.lit(d1))
+    )
+    mau = anchors.groupBy(F.col("anchor").alias("d")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    dau = act.groupBy("d").agg(F.count("*").alias("dau"))
+    return mau.join(dau, "d", "left").select(
+        "d",
+        F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+        F.col("mau").cast("long").alias("mau"),
+        E.round_to(
+            F.coalesce("dau", F.lit(0)) / F.col("mau"), 4
+        ).alias("stickiness"),
     )
