@@ -5036,3 +5036,180 @@ def agg_dau_mau_stickiness(spark, sf_dir):
             F.coalesce("dau", F.lit(0)) / F.col("mau"), 4
         ).alias("stickiness"),
     )
+
+
+@query(
+    "win_rolling_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, d, n,
+             sum(n) OVER w AS sx,
+             sum(n * n) OVER w AS sxx,
+             count(*) OVER w AS k
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, d, n,
+           round((n - sx / k)
+                 / sqrt((sxx - sx * sx / k) / (k - 1)), 4) AS zscore
+    FROM s WHERE k >= 3
+    """,
+)
+def win_rolling_zscore(spark, sf_dir):
+    """Rolling z-score of daily volume against the trailing week —
+    the streaming-anomaly form of dq_anomaly_zscore (whose baseline
+    is the whole history): each day scored against only the 7 days
+    before it, trailing frame excluding the current row so a spike
+    cannot normalize itself.  Determinism: mean and sample variance
+    derive from INTEGER window sums (Σx, Σx², k — order-free), so the
+    one sqrt/divide chain is identical IEEE arithmetic on both
+    engines; frames shorter than 3 days are suppressed (variance of
+    nothing).  One exchange on the stream key.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-7, -1)
+    )
+    s = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.sum("n").over(w).alias("sx"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sxx"),
+        F.count("*").over(w).alias("k"),
+    ).filter(F.col("k") >= 3)
+    mean = F.col("sx") / F.col("k")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k")) / (
+        F.col("k") - 1
+    )
+    return s.select(
+        "event_type",
+        "d",
+        "n",
+        E.round_to((F.col("n") - mean) / F.sqrt(var), 4).alias("zscore"),
+    )
+
+
+@query(
+    "agg_benford_first_digit",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM events WHERE value >= 0.01
+    ), obs AS (
+      SELECT digit, count(*) AS n FROM v GROUP BY digit
+    ), tot AS (SELECT sum(n) AS n_all FROM obs)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           round(n / tot.n_all, 4) AS observed_p,
+           round(ln((digit + 1.0) / digit) / ln(10.0), 4)
+             AS benford_p,
+           round(abs(n / tot.n_all
+                     - ln((digit + 1.0) / digit) / ln(10.0)), 4)
+             AS abs_dev
+    FROM obs, tot
+    """,
+)
+def agg_benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit audit over transaction values — the
+    classic fabricated-data screen (organic multiplicative quantities
+    lead with 1 about 30% of the time; fabricated or truncated feeds
+    flatten the curve).  The first significant digit comes from the
+    integer-cents string (exact — no float formatting ambiguity);
+    observed shares sit next to the log10(1+1/d) expectation with the
+    absolute deviation per digit.  One map-combinable 9-group rollup.
+    """
+    v = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") >= 0.01)
+        .select(
+            F.substring(
+                F.floor(F.col("value") * 100).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    obs = v.groupBy("digit").agg(F.count("*").alias("n"))
+    n_all = float(obs.agg(F.sum("n")).collect()[0][0])
+    benford = F.log(
+        (F.col("digit") + 1.0) / F.col("digit")
+    ) / F.log(F.lit(10.0))
+    p = F.col("n") / F.lit(n_all)
+    return obs.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        E.round_to(p, 4).alias("observed_p"),
+        E.round_to(benford, 4).alias("benford_p"),
+        E.round_to(F.abs(p - benford), 4).alias("abs_dev"),
+    )
+
+
+@query(
+    "agg_weekday_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1
+    ), byday AS (
+      SELECT CAST(isodow(d) AS BIGINT) AS dow,
+             sum(n) AS n_events, count(*) AS n_days
+      FROM daily GROUP BY 1
+    ), base AS (
+      SELECT sum(n_events) / sum(n_days) AS overall_daily FROM byday
+    )
+    SELECT dow,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_days AS BIGINT) AS n_days,
+           round(n_events / n_days, 3) AS avg_daily,
+           round((n_events / n_days) / base.overall_daily, 4)
+             AS seasonality_index
+    FROM byday, base
+    """,
+)
+def agg_weekday_seasonality(spark, sf_dir):
+    """Weekday seasonality index: each ISO weekday's average daily
+    volume relative to the overall daily average — the
+    capacity-planning/forecast-deseasonalization primitive (index 1.3
+    on Mondays means Mondays run 30% hot).  Two tiny rollups from the
+    per-day table; integer sums divided once at the end, identical
+    IEEE chains on both engines.
+    """
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    byday = daily.groupBy(
+        (F.weekday("d") + 1).cast("long").alias("dow")
+    ).agg(
+        F.sum("n").alias("n_events"), F.count("*").alias("n_days")
+    )
+    tot = byday.agg(
+        (F.sum("n_events") / F.sum("n_days")).alias("overall_daily")
+    ).collect()[0][0]
+    avg = F.col("n_events") / F.col("n_days")
+    return byday.select(
+        "dow",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_days").cast("long").alias("n_days"),
+        E.round_to(avg, 3).alias("avg_daily"),
+        E.round_to(avg / F.lit(float(tot)), 4).alias(
+            "seasonality_index"
+        ),
+    )
