@@ -3379,3 +3379,97 @@ def pipeline_curation_v2(spark, sf_dir):
         ),
     ]
     return reduce(lambda a, b: a.unionAll(b), rows).orderBy("ord")
+
+
+@query(
+    "dedup_simhash_radius",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(w) AS t FROM toks
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok
+    ), votes AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN range(60) r(j)
+      GROUP BY 1, 2
+    ), sh AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT
+               AS simhash
+      FROM votes GROUP BY 1
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+             AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_radius(spark, sf_dir):
+    """Hamming-radius near-dup pairs over SimHash fingerprints — the
+    fixed-width alternative to shingle-set Jaccard: two documents are
+    near-dups when their 60-bit fingerprints differ in ≤ 3 bits.
+
+    The scale mechanism is PIGEONHOLE BLOCKING, provably complete:
+    the fingerprint splits into 4 disjoint 15-bit blocks, and any
+    pair within Hamming distance 3 must agree EXACTLY on at least one
+    block (3 flipped bits can touch at most 3 of 4 blocks) — so
+    candidates come from four equality self-joins on (block_idx,
+    block_value), never all-pairs, and the exact popcount(xor) verify
+    touches only candidates.  The oracle is the brute-force all-pairs
+    check over the identical md5-vote fingerprint.
+    """
+    d = _docs(spark, sf_dir)
+    n_cores = spark.sparkContext.defaultParallelism
+    sh = (
+        d.select("doc_id", "text")
+        .repartition(n_cores)
+        .select(
+            "doc_id", P.simhash60_kernel()(F.col("text")).alias("simhash")
+        )
+        .persist()
+    )
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk_idx"),
+                        F.shiftright(F.col("simhash"), i * 15)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("blk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.blk_idx", "b.blk")
+    a = blocks.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("simhash").alias("sim_a"),
+        "blk_idx",
+        "blk",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("simhash").alias("sim_b"),
+        "blk_idx",
+        "blk",
+    )
+    hamming = F.expr("bit_count(sim_a ^ sim_b)")
+    return (
+        a.join(b, ["blk_idx", "blk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sim_a", "sim_b")
+        .distinct()
+        .filter(hamming <= 3)
+        .select(
+            "a_id", "b_id", hamming.cast("long").alias("hamming")
+        )
+    )
