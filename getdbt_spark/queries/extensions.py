@@ -5213,3 +5213,159 @@ def agg_weekday_seasonality(spark, sf_dir):
             "seasonality_index"
         ),
     )
+
+
+@query(
+    "agg_interarrival_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(date_diff('second',
+                  date_trunc('second',
+                    lag(ts) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)),
+                  date_trunc('second', ts)) AS BIGINT) AS gap_s
+      FROM events
+    ), g AS (
+      SELECT event_type, gap_s FROM seq WHERE gap_s IS NOT NULL
+    ), arrs AS (
+      SELECT event_type, list_sort(list(gap_s)) AS arr,
+             count(*) AS n_gaps,
+             CAST(sum(gap_s) AS BIGINT) AS total_s
+      FROM g GROUP BY 1
+    )
+    SELECT event_type, n_gaps,
+           round(total_s / n_gaps, 2) AS mean_gap_s,
+           (arr[CAST(floor((len(arr) + 1) / 2) AS BIGINT)]
+            + arr[CAST(floor(len(arr) / 2) AS BIGINT) + 1]) / 2.0
+             AS median_gap_s,
+           arr[CAST(ceil(len(arr) * 0.9) AS BIGINT)] AS p90_gap_s
+    FROM arrs
+    """,
+)
+def agg_interarrival_stats(spark, sf_dir):
+    """Inter-arrival time distribution per stream: mean, exact median,
+    and p90 of the gaps between consecutive events — the queueing-
+    theory readout behind capacity planning and liveness alerting
+    (a p90 gap trending up is a dying feed long before volume
+    collapses).  Gaps are integer seconds from one lag window ordered
+    by (ts, event_id); quantiles are positional over the sorted
+    integer gap array (p90 = ceiling-rank order statistic, no
+    interpolation ambiguity).  Per-stream collection is #events-sized
+    — at 100 TB swap the exact arrays for the sampled-quantile
+    operator (agg_quantile_sampled) per the documented dial.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # whole-second truncation on BOTH sides: Spark's timestampdiff
+    # truncates the interval while DuckDB's date_diff counts boundary
+    # crossings — they disagree on sub-second components unless the
+    # inputs are already whole seconds
+    ts_s = F.date_trunc("second", F.col("ts"))
+    seq = _t(spark, sf_dir, "events").select(
+        "event_type",
+        E.timestamp_diff_seconds(ts_s, F.date_trunc("second", F.lag("ts").over(w)))
+        .cast("long")
+        .alias("gap_s"),
+    )
+    g = seq.filter(F.col("gap_s").isNotNull())
+    arrs = g.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("gap_s")).alias("arr"),
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_s").alias("total_s"),
+    )
+    k = F.size("arr")
+    lo = F.element_at("arr", F.floor((k + 1) / 2).cast("int"))
+    hi = F.element_at("arr", (F.floor(k / 2) + 1).cast("int"))
+    p90 = F.element_at("arr", F.ceil(k * 0.9).cast("int"))
+    return arrs.select(
+        "event_type",
+        "n_gaps",
+        E.round_to(F.col("total_s") / F.col("n_gaps"), 2).alias(
+            "mean_gap_s"
+        ),
+        ((lo + hi) / 2.0).alias("median_gap_s"),
+        p90.alias("p90_gap_s"),
+    )
+
+
+@query(
+    "agg_power_law_fit",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+      FROM cnt
+    ), pts AS (
+      SELECT CAST(floor(ln(rnk) * 1000000) AS BIGINT) AS x,
+             CAST(floor(ln(n) * 1000000) AS BIGINT) AS y
+      FROM ranked
+    ), s AS (
+      SELECT count(*) AS k,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pts
+    )
+    SELECT CAST(k AS BIGINT) AS n_points,
+           round((k * sxy - sx * sy)
+                 / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 4) AS zipf_slope,
+           round((sy - sx * ((k * sxy - sx * sy)
+                  / (CAST(k AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx))) / k / 1000000.0,
+                 4) AS intercept_ln
+    FROM s
+    """,
+)
+def agg_power_law_fit(spark, sf_dir):
+    """Zipf/power-law fit of the user-activity distribution: OLS slope
+    of ln(count) against ln(rank) — the heavy-tail diagnostic for any
+    key distribution (a slope near −1 is classic Zipf; a flat slope
+    means no skew problem, a steep one predicts hot-key pain that
+    agg_salted_skew/salting must absorb).
+
+    Exactness discipline: each point's ln() is quantized to integer
+    micro-units FIRST, so every OLS sum (Σx, Σy, Σx², Σxy) is an
+    order-free BIGINT — the final slope division is one identical
+    IEEE chain on both engines (same floor(·ln·) boundary caveat as
+    text_perplexity_proxy).  Σx² of micro-lns stays well inside
+    BIGINT at any corpus size that fits a rank (ln ≤ 40 ⇒ x ≤ 4e7 ⇒
+    x² ≤ 1.6e15 per term).
+    """
+    from pyspark.sql import Window
+
+    cnt = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("n")
+    )
+    ranked = cnt.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("user_id")))
+        .alias("rnk"),
+    )
+    pts = ranked.select(
+        F.floor(F.log("rnk") * 1e6).cast("long").alias("x"),
+        F.floor(F.log("n") * 1e6).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    kd = F.col("k").cast("double")
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        kd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return s.select(
+        F.col("k").cast("long").alias("n_points"),
+        E.round_to(slope, 4).alias("zipf_slope"),
+        E.round_to(
+            (F.col("sy") - F.col("sx") * slope) / F.col("k") / 1e6, 4
+        ).alias("intercept_ln"),
+    )
