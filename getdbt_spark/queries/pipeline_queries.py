@@ -1655,19 +1655,32 @@ def dedup_containment(spark, sf_dir):
     at 100 TB the df cap is the standard recall/cost dial (suffix
     blocking in dedup literature).  Verification ships the two
     (distinct-gram) arrays per candidate and intersects them JVM-side.
+
+    Shingles come from the Arrow ``_shingles_and_sig`` kernel as
+    64-bit HASHED grams (the interpreted ``word_shingles`` HOF was
+    the query's hot spot at sf0.1) — df counts, blocking, and
+    intersection sizes over hashed grams equal the oracle's textual
+    grams up to ~n²/2^64 collisions, the same equivalence the
+    minhash verify is driver-green on.
     """
     from pyspark import StorageLevel
 
-    d = P.spread(_docs(spark, sf_dir))
-    w = P.ws_tokens(F.col("text"))
+    d = _docs(spark, sf_dir)
+    n_cores = spark.sparkContext.defaultParallelism
     # The shingle table feeds FIVE consumers (df counts, both sides of
     # the candidate self-join, both sides of the verify join) — persist
     # it once rather than re-shingling the corpus per branch (the same
     # policy as the minhash/ngram builders; the sweep harness clears
     # cache post-action).
     sh = (
-        d.filter(F.size(w) >= 3)
-        .select("doc_id", P.word_shingles(w, 3).alias("s"))
+        d.select("doc_id", "text")
+        .repartition(n_cores)
+        .select(
+            "doc_id",
+            P._shingles_and_sig(3, with_sig=False)("text").alias("ss"),
+        )
+        .filter(F.col("ss.shingles").isNotNull())
+        .select("doc_id", F.col("ss.shingles").alias("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     g = sh.select("doc_id", F.explode("s").alias("gram"))
