@@ -5369,3 +5369,37 @@ def agg_power_law_fit(spark, sf_dir):
             (F.col("sy") - F.col("sx") * slope) / F.col("k") / 1e6, 4
         ).alias("intercept_ln"),
     )
+
+
+@query(
+    "agg_histogram_2d",
+    oracle="""
+    SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           CAST(least(floor(value / 100), 9) AS BIGINT) AS value_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram_2d(spark, sf_dir):
+    """Two-dimensional density grid: hour-of-day × value bucket — the
+    heat-map primitive behind load/price dashboards (when do the big
+    transactions happen?).  A single map-combinable groupBy over the
+    24×10 cell grid; the top bucket clamps (least(…, 9)) so outliers
+    land in a closed cell instead of minting unbounded group keys —
+    the cardinality discipline any 2-D rollup needs at event scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        F.least(F.floor(F.col("value") / 100), F.lit(9))
+        .cast("long")
+        .alias("value_bucket"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
