@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _driver_verified_ids() -> set[str]:
+def _driver_verified_ids(report_dir: str | None = None) -> set[str]:
     """Ids with a green row in any prior CORRECTNESS_r*.json.
 
     The driver's correctness gate only checks the FIRST 50 entries of
@@ -29,9 +29,14 @@ def _driver_verified_ids() -> set[str]:
     first.  Reading the accumulated round reports makes the ordering
     self-rotating — once an id is proven it yields its slot to a
     still-unproven one next round.
+
+    ``report_dir`` overrides the report location (tests point it at a
+    tmpdir of synthetic reports; production always uses the repo root).
+    Malformed files/rows are skipped — a corrupt report must degrade to
+    "unproven", never crash the driver's import of this module.
     """
     verified: set[str] = set()
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = report_dir or os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
             with open(path) as fh:
@@ -81,12 +86,17 @@ _WINDOW_FIRST = [
 ]
 
 
-def _priority_order(ids: list[str]) -> list[str]:
+def _priority_order(
+    ids: list[str], verified: set[str] | None = None
+) -> list[str]:
     """Never-verified ids first — hand-prioritized high-value ids, then
     the rest in registration order, fixture scans last within the
     class (lowest-value rows) — then already-proven ids.  The sort is
-    stable, so registration order is preserved within each class."""
-    verified = _driver_verified_ids()
+    stable, so registration order is preserved within each class.
+    ``verified`` is injectable for property tests; production derives
+    it from the accumulated driver reports."""
+    if verified is None:
+        verified = _driver_verified_ids()
     first = {qid: i for i, qid in enumerate(_WINDOW_FIRST)}
 
     def rank(qid: str) -> tuple[int, int]:

@@ -39,19 +39,23 @@ def test_every_oracle_binds_in_duckdb(con):
 
 
 def test_window_orders_unproven_ids_first():
+    """Invariant only — never pin a specific round's artifact content.
+
+    Round-4 lesson (VERDICT.md): a hard-coded id list here was correct
+    when written and became false the moment the driver dropped the next
+    CORRECTNESS_r*.json.  The ordering is *self-rotating* on those
+    artifacts, so the only stable assertion is the derived one: while
+    >=50 unproven ids are waiting, no already-proven id may occupy a
+    head-window slot.
+    """
     import __spark_entry__ as e
 
     ids = list(e.queries())
     verified = e._driver_verified_ids()
     head = ids[:50]
-    # the 8 CORRECTNESS_r03-red ids re-enter the window
-    for qid in (
-        "model_streams_daily_v4",
-        "emb_l2_normalize",
-        "pack_shard_manifest",
-    ):
-        assert qid in head
-    # no proven id may occupy a window slot while unproven ids wait
     n_unproven = sum(1 for q in ids if q not in verified)
     if n_unproven >= 50:
         assert all(q not in verified for q in head)
+    else:
+        # tail case: every unproven id must be in the head window
+        assert all(q in head for q in ids if q not in verified)

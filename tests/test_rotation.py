@@ -1,0 +1,126 @@
+"""Property tests for the driver-window rotation machinery.
+
+The whole remaining verification debt drains through
+``__spark_entry__._driver_verified_ids`` + ``_priority_order``: if that
+pair ever mis-reads a CORRECTNESS report or lets a proven id camp in the
+50-slot head window, the rotation silently stalls and never-windowed ids
+never get their driver row.  These tests drive both functions with
+randomized synthetic reports — green / red / rows-only / ``no_oracle`` /
+malformed — so the invariants hold for ANY artifact set a future round
+might drop, not just the ones that exist today (the round-4 failure mode
+was a test pinned to one round's artifact content).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import __spark_entry__ as e
+
+IDS = [f"q{i:03d}" for i in range(12)]
+
+
+def _green_row():
+    return {"rows_match": True, "schema_match": True, "hash_match": True}
+
+
+def _red_row():
+    return {"rows_match": True, "schema_match": True, "hash_match": False}
+
+
+def _rows_only_row():
+    # oracle-less id: driver records a weaker rows+schema check
+    return {"rows_match": True, "schema_match": True, "hash_match": None}
+
+
+def _no_oracle_row():
+    # r4-style: driver could not compare at all (err="no_oracle")
+    return {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "err": "no_oracle",
+    }
+
+
+ROW_KINDS = {
+    "green": _green_row,
+    "red": _red_row,
+    "rows_only": _rows_only_row,
+    "no_oracle": _no_oracle_row,
+    "malformed": lambda: "not-a-dict",
+}
+
+report_strategy = st.dictionaries(
+    st.sampled_from(IDS),
+    st.sampled_from(sorted(ROW_KINDS)),
+    max_size=len(IDS),
+)
+
+
+def _write_reports(tmpdir: str, reports: list[dict[str, str]]) -> None:
+    for rnd, rep in enumerate(reports, start=1):
+        body = {qid: ROW_KINDS[kind]() for qid, kind in rep.items()}
+        path = os.path.join(tmpdir, f"CORRECTNESS_r{rnd:02d}.json")
+        with open(path, "w") as fh:
+            json.dump(body, fh)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(report_strategy, min_size=0, max_size=4))
+def test_verified_semantics(reports):
+    # fresh dir per hypothesis example
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        _write_reports(tmpdir, reports)
+        verified = e._driver_verified_ids(report_dir=tmpdir)
+        # an id is verified iff ANY round gave it a green or rows-only row
+        expect = {
+            qid
+            for rep in reports
+            for qid, kind in rep.items()
+            if kind in ("green", "rows_only")
+        }
+        assert verified == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sets(st.sampled_from(IDS), max_size=len(IDS)),
+    st.permutations(IDS),
+)
+def test_priority_order_invariants(verified, order):
+    out = e._priority_order(list(order), verified=verified)
+    assert sorted(out) == sorted(order), "ordering must be a permutation"
+    # every unproven id precedes every proven id — a proven id can never
+    # occupy a window slot while an unproven one waits
+    ranks = {qid: i for i, qid in enumerate(out)}
+    unproven = [q for q in order if q not in verified]
+    proven = [q for q in order if q in verified]
+    if unproven and proven:
+        assert max(ranks[q] for q in unproven) < min(ranks[q] for q in proven)
+    # stability: registration order preserved within the proven class
+    assert proven == [q for q in out if q in verified]
+
+
+def test_malformed_reports_never_crash(tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{broken json")
+    (tmp_path / "CORRECTNESS_r02.json").write_text('["a", "list"]')
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"q001": "string-row", "q002": _green_row()})
+    )
+    assert e._driver_verified_ids(report_dir=str(tmp_path)) == {"q002"}
+
+
+def test_no_oracle_rows_stay_unproven(tmp_path):
+    """r4 regression shape: err=no_oracle rows have all-null matches and
+    must NOT count as proven — they still need an invariant oracle."""
+    (tmp_path / "CORRECTNESS_r04.json").write_text(
+        json.dumps({"q001": _no_oracle_row(), "q002": _green_row()})
+    )
+    assert e._driver_verified_ids(report_dir=str(tmp_path)) == {"q002"}

@@ -33,9 +33,15 @@ END = "<!-- AUTO-STATUS:END -->"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def load_status() -> dict[str, tuple[str, int]]:
-    """id -> (status, round). Later rounds override earlier ones."""
+def load_status() -> tuple[dict[str, tuple[str, int]], list[str]]:
+    """(id -> (status, round), consumed-report basenames).
+
+    Later rounds override earlier ones.  A row whose ``err`` is
+    ``no_oracle`` (all matches null) is NOT red — the driver had nothing
+    to compare against; it stays distinct so the gap is visible without
+    masquerading as a failure."""
     status: dict[str, tuple[str, int]] = {}
+    consumed: list[str] = []
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -46,16 +52,23 @@ def load_status() -> dict[str, tuple[str, int]]:
             continue
         if not isinstance(data, dict):
             continue
+        consumed.append(os.path.basename(path))
         for qid, row in data.items():
             if not isinstance(row, dict):
                 continue
             green = row.get("hash_match")
             if green is None:
-                green = bool(row.get("rows_match") and row.get("schema_match"))
+                green = row.get("rows_match") and row.get("schema_match")
+            if green:
+                st = "green"
+            elif row.get("err") == "no_oracle":
+                st = "no-oracle"
+            else:
+                st = "RED"
             prev = status.get(qid)
             if prev is None or rnd >= prev[1]:
-                status[qid] = ("green" if green else "RED", rnd)
-    return status
+                status[qid] = (st, rnd)
+    return status, consumed
 
 
 def main() -> int:
@@ -63,16 +76,18 @@ def main() -> int:
     from getdbt_spark.queries import ORACLES, QUERIES, load_all
 
     load_all()
-    driver = load_status()
+    driver, consumed = load_status()
 
     lines = [BEGIN, ""]
     greens = sum(1 for q in QUERIES if driver.get(q, ("", 0))[0] == "green")
     reds = sum(1 for q in QUERIES if driver.get(q, ("", 0))[0] == "RED")
-    never = len(QUERIES) - greens - reds
+    noracle = sum(1 for q in QUERIES if driver.get(q, ("", 0))[0] == "no-oracle")
+    never = len(QUERIES) - greens - reds - noracle
     lines += [
-        f"**Driver status, derived from CORRECTNESS_r*.json "
+        f"**Driver status, derived from {', '.join(consumed) or '(none)'} "
         f"({len(QUERIES)} registered ids): "
-        f"{greens} green, {reds} red, {never} never-windowed.** "
+        f"{greens} green, {reds} red, {noracle} no-oracle, "
+        f"{never} never-windowed.** "
         f"The driver checks 50 ids per round; `__spark_entry__."
         f"_priority_order` rotates never-windowed (and red) ids to the "
         f"front. Ids without an oracle entry get the weaker rows+schema "
