@@ -1241,6 +1241,14 @@ def minhash_lsh_pairs_incremental(
     warehouse scale the index side's band table is a MATERIALIZED
     table keyed by band hash that each day's batch shuffles against —
     here both sides derive from their input frames directly.
+
+    Cache ownership: both shingle tables stay persisted after the
+    lazy result is returned (they back two consumers each — the band
+    join and the exact-verify join — and unpersisting before the
+    caller's action would recompute the Arrow kernel).  The caller
+    owns cleanup via ``spark.catalog.clearCache()`` between queries —
+    the same ownership rule as sim_ann_lsh / dedup_containment; the
+    bench/sweep/verify harnesses all do this.
     """
     from pyspark import StorageLevel
 

@@ -448,20 +448,41 @@ def fn_current_date(spark, sf_dir):
     )
 
 
-@query("agg_approx_count_distinct")  # rows-only: approx values have no oracle
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           true AS approx_within_5pct
+    FROM orders GROUP BY 1
+    """,
+)
 def agg_approx_count_distinct(spark, sf_dir):
     """The engine's scale substitute for exact COUNT(DISTINCT) (SURVEY
     §4.2: the expand+two-phase exact distinct is the 100 TB pain point;
-    HLL++ is one pass, mergeable, fixed memory).  Driver check is
-    rows-only by design; tests/test_functions.py bounds the relative
-    error against the exact count."""
+    HLL++ is one pass, mergeable, fixed memory).
+
+    The HLL estimate itself has no cross-engine twin, so the oracle
+    checks the ERROR-BOUND INVARIANT instead (VERDICT r4 #5): the
+    output carries the exact per-month distinct (hash-checked against
+    DuckDB's COUNT(DISTINCT)) plus a boolean asserting the rsd=0.02
+    estimate landed within ±5% (≥2.5σ; HLL++ is deterministic on a
+    given dataset, so the boolean is stable across runs).  A wrong
+    estimate now FAILS the hash instead of sailing through a
+    rows-only check.  tests/test_functions.py still bounds the raw
+    error magnitude."""
     orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
-        .agg(
-            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-            F.countDistinct("o_custkey").alias("exact_customers"),
-        )
+    agg = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+    within = F.abs(F.col("approx") - F.col("exact_customers")) <= F.greatest(
+        F.lit(2.0), F.col("exact_customers") * 0.05
+    )
+    return agg.select(
+        "month", "exact_customers", within.alias("approx_within_5pct")
     )
 
 

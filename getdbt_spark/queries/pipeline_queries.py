@@ -2793,11 +2793,25 @@ def sim_ann_ivf_trained(spark, sf_dir):
     )
 
 
-@query("pack_ffd_bins")  # rows-only: FFD's first-fit backtracking is
-# inherently sequential — not expressible in set-oriented SQL, so the
-# driver records the weaker rows-only check; the exact-semantics proof
-# is the Python replay + partitioning-invariance tests in
-# tests/test_pipeline.py.
+@query(
+    "pack_ffd_bins",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 8 AS shard,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           true AS no_overfull_bins,
+           true AS bins_within_ffd_bounds
+    FROM t GROUP BY shard
+    """,
+)
 def pack_ffd_bins(spark, sf_dir):
     """First-fit-decreasing sequence packing into 256-token training
     bins, sharded 8 ways (pipeline.ffd_pack) — the batch-construction
@@ -2807,10 +2821,69 @@ def pack_ffd_bins(spark, sf_dir):
     region is one shard (sized by shard count, not corpus), shards
     pack concurrently, and the output is deterministic for any input
     partitioning.
+
+    FFD's backtracking greedy has no set-oriented SQL twin, so the
+    registered form emits the per-shard INVARIANT SUMMARY of the
+    packing (VERDICT r4 #5) and the oracle recomputes the exact parts
+    from the raw corpus: doc/distinct counts (equality proves every
+    document placed exactly once — FFD dropping or duplicating a doc
+    shifts the count vs DuckDB's ground truth), token-mass
+    conservation, plus two booleans the oracle pins to true:
+
+    - ``no_overfull_bins``: every bin over capacity holds exactly one
+      (oversized) document — a multi-doc bin may never exceed 256;
+    - ``bins_within_ffd_bounds``: per shard, ``n_oversized +
+      ceil(rest/cap) <= n_bins <= n_oversized + floor(2*rest/cap) + 1``
+      — the lower bound is volume, the upper is the first-fit theorem
+      (at most one open bin is at most half full).
+
+    The full per-document assignment stays pinned by the Python replay
+    + partitioning-invariance tests in tests/test_pipeline.py.
     """
-    return P.ffd_pack(
-        _docs(spark, sf_dir), capacity=256, shards=8
-    ).orderBy("shard", "bin_idx", "doc_id")
+    cap = 256
+    packed = P.ffd_pack(_docs(spark, sf_dir), capacity=cap, shards=8)
+    bins = packed.groupBy("shard", "bin_idx").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.count("*").alias("bin_docs"),
+    )
+    bin_stats = bins.groupBy("shard").agg(
+        F.count("*").alias("n_bins"),
+        F.max(
+            F.when(
+                (F.col("bin_tokens") > cap) & (F.col("bin_docs") > 1), 1
+            ).otherwise(0)
+        ).alias("overfull_flag"),
+    )
+    doc_stats = packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_distinct_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.when(F.col("n_tokens") > cap, 1).otherwise(0)).alias(
+            "n_oversized"
+        ),
+        F.sum(
+            F.when(F.col("n_tokens") <= cap, F.col("n_tokens")).otherwise(0)
+        ).alias("rest_tokens"),
+    )
+    lb = F.col("n_oversized") + F.ceil(F.col("rest_tokens") / F.lit(cap))
+    ub = (
+        F.col("n_oversized")
+        + F.floor(F.col("rest_tokens") * 2 / F.lit(cap))
+        + 1
+    )
+    return (
+        doc_stats.join(bin_stats, "shard")
+        .select(
+            "shard",
+            "n_docs",
+            "n_distinct_docs",
+            "total_tokens",
+            (F.col("overfull_flag") == 0).alias("no_overfull_bins"),
+            (F.col("n_bins").between(lb, ub)).alias(
+                "bins_within_ffd_bounds"
+            ),
+        )
+    )
 
 
 @query(
@@ -2855,9 +2928,16 @@ def sample_hard_negatives(spark, sf_dir):
     from pyspark.sql import Window
 
     e = P.with_norm(_embs(spark, sf_dir))
-    topk = P.topk_cosine_blocked(
-        _embs(spark, sf_dir), k=499
-    )  # all pairs, scored blockwise
+    # k must guarantee a cross-label neighbor survives the top-k cut:
+    # the worst case is a query whose entire label cohort outranks every
+    # other label, so k = (largest label cohort) + 1 is sufficient and
+    # exact for ANY fixture (a fixed k=499 silently diverged from the
+    # all-pairs oracle once a label exceeded ~500 members).  One tiny
+    # scalar aggregate, same anchor pattern as the max-date literals.
+    k_needed = (
+        e.groupBy("label").count().agg(F.max("count")).first()[0] or 0
+    ) + 1
+    topk = P.topk_cosine_blocked(_embs(spark, sf_dir), k=k_needed)
     lbl = e.select("vec_id", "label")
     cand = (
         topk.join(lbl.withColumnsRenamed({"label": "q_label"}), "vec_id")
@@ -2883,17 +2963,53 @@ def sample_hard_negatives(spark, sf_dir):
     )
 
 
-@query("text_compression_ratio")  # rows-only: no SQL engine exposes
-# zlib, so the exact-semantics proof is the stdlib replay test in
-# tests/test_pipeline.py (same codec, same level, integer ratio).
+@query(
+    "text_compression_ratio",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           true AS compressed_in_codec_bounds,
+           true AS ratio_consistent
+    FROM documents
+    """,
+)
 def text_compression_ratio(spark, sf_dir):
     """Per-document zlib compressibility (pipeline.compression_ratio)
     — the C4/Gopher-lineage quality dial: ratios near 0 mean
     boilerplate repetition, near (or above) 1 mean noise; pretraining
     filters keep the middle band.  Deterministic: zlib level pinned,
     ratio quantized to integer 1e-4 units.
+
+    No SQL engine exposes zlib, so the registered form carries the
+    CODEC-INVARIANT columns (VERDICT r4 #5) and the oracle pins them:
+    exact UTF-8 byte length per doc (hash-checked vs DuckDB
+    ``octet_length``; proves the kernel saw the full text), plus two
+    booleans — the compressed size sits inside zlib's hard bounds
+    (>= 8-byte minimum stream; <= input + 2+4 stream overhead + 5 per
+    16383-byte stored block, the RFC-1950/1951 worst case), and the
+    reported ``ratio_q4`` is exactly ``n_compressed*1e4 // n_bytes``.
+    The raw ratio values stay pinned by the stdlib replay test in
+    tests/test_pipeline.py (same codec, same level).
     """
-    return P.compression_ratio(_docs(spark, sf_dir))
+    r = P.compression_ratio(_docs(spark, sf_dir))
+    worst_case = (
+        F.col("n_bytes")
+        + F.lit(6)
+        + (F.floor(F.col("n_bytes") / F.lit(16383)) + 1) * 5
+    )
+    in_bounds = (F.col("n_compressed") >= 8) & (
+        F.col("n_compressed") <= worst_case
+    )
+    consistent = F.col("ratio_q4") == F.when(
+        F.col("n_bytes") > 0,
+        F.floor(F.col("n_compressed") * 10000 / F.col("n_bytes")),
+    ).otherwise(0)
+    return r.select(
+        "doc_id",
+        "n_bytes",
+        in_bounds.alias("compressed_in_codec_bounds"),
+        consistent.alias("ratio_consistent"),
+    )
 
 
 @query(
@@ -3435,6 +3551,11 @@ def dedup_simhash_radius(spark, sf_dir):
     block_value), never all-pairs, and the exact popcount(xor) verify
     touches only candidates.  The oracle is the brute-force all-pairs
     check over the identical md5-vote fingerprint.
+
+    Cache ownership: the fingerprint table stays persisted after the
+    lazy result is returned (blocking + verify both read it); the
+    caller owns cleanup via ``spark.catalog.clearCache()`` between
+    queries — same rule as sim_ann_lsh / dedup_containment.
     """
     d = _docs(spark, sf_dir)
     n_cores = spark.sparkContext.defaultParallelism

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import urllib.parse
 from collections.abc import Iterable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -314,7 +315,11 @@ def compact_partitions(
             ]
         )
         if n >= min_files:
-            victims.append(os.path.basename(pdir).split("=", 1)[1])
+            # Spark URI-escapes special chars (space, ':', '%') in
+            # partition directory names; unquote so the IN-list below
+            # matches the actual column values, not the escaped form.
+            raw = os.path.basename(pdir).split("=", 1)[1]
+            victims.append(urllib.parse.unquote(raw))
     if not victims:
         return []
     df = spark.read.parquet(path).filter(

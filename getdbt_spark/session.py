@@ -68,7 +68,19 @@ def ensure_checkpoint_dir(spark: SparkSession) -> None:
         # operators (connected components writes one edge set per two
         # rounds).  A cluster deployment sets its own durable dir
         # (HDFS/object store) BEFORE calling in, which this respects.
-        base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        # tmpfs is often size-capped in containers (64 MB mounts are
+        # common), so only use it with >=2 GiB free; GETDBT_SPARK_CKPT_DIR
+        # overrides everything.
+        base = os.environ.get("GETDBT_SPARK_CKPT_DIR")
+        if base is None:
+            base = tempfile.gettempdir()
+            if os.path.isdir("/dev/shm"):
+                try:
+                    vfs = os.statvfs("/dev/shm")
+                    if vfs.f_bavail * vfs.f_frsize >= 2 << 30:
+                        base = "/dev/shm"
+                except OSError:
+                    pass
         sc.setCheckpointDir(
             os.path.join(base, f"getdbt_spark_ckpt_{sc.applicationId}")
         )

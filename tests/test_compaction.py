@@ -71,3 +71,31 @@ def test_compaction_single_file_and_untouched_partitions(spark):
     # idempotent: second pass finds nothing to do
     assert compact_partitions(spark, path, "evt_date") == []
     shutil.rmtree(path, ignore_errors=True)
+
+def test_compaction_uri_escaped_partition_values(spark):
+    """Partition values Spark URI-escapes in directory names (space,
+    ':') must still be matched by victim selection AND included in the
+    rewrite scan — the pre-fix bug listed them as victims but silently
+    dropped their rows from the compacted output."""
+    path = os.path.join(tempfile.gettempdir(), "getdbt_spark_compact_esc")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(i, v) for i in range(20) for v in ("a b", "c:d", "plain")],
+        "n int, part string",
+    )
+    df.repartition(4, "n").write.mode("overwrite").partitionBy(
+        "part"
+    ).parquet(path)
+    # escaped directory names exist on disk
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("part="))
+    assert any("%20" in d or "%3A" in d for d in dirs), dirs
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    victims = compact_partitions(spark, path, "part", min_files=2)
+
+    assert sorted(victims) == ["a b", "c:d", "plain"]
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+    for d in dirs:
+        assert len(_files(path, d)) == 1
+    shutil.rmtree(path, ignore_errors=True)

@@ -248,17 +248,30 @@ def test_query_registry_rejects_duplicate_ids():
 
 def test_approx_count_distinct_relative_error(spark):
     """HLL++ rsd=0.02 stays within a conservative 6% of exact on the
-    corpus grouping used by agg_approx_count_distinct."""
+    corpus grouping used by agg_approx_count_distinct, and the
+    registered query's invariant boolean is true for every month
+    (the oracle hashes that boolean, so a false here means the driver
+    row would go red too)."""
+    from getdbt_spark.io import load_table
     from getdbt_spark.queries import QUERIES, load_all
 
     load_all()
+    raw = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
+        .collect()
+    )
+    assert raw
+    for r in raw:
+        assert abs(r["approx"] - r["exact"]) <= max(1, 0.06 * r["exact"])
     rows = QUERIES["agg_approx_count_distinct"](
         spark, "/root/testdata/sf0.001"
     ).collect()
-    assert rows
-    for r in rows:
-        exact = r["exact_customers"]
-        assert abs(r["approx_customers"] - exact) <= max(1, 0.06 * exact)
+    assert rows and all(r["approx_within_5pct"] for r in rows)
 
 
 def test_round_to_matches_duckdb_round_on_random_doubles(spark):
