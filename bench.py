@@ -101,25 +101,30 @@ def _warmup(spark, sf_dir: str) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _host_canary() -> float:
-    """Fixed single-core CPU workload (sha256 over 64 MiB), timed.
+def _host_canary(scale: float = 1.0) -> float:
+    """Fixed single-core CPU workload (sha256 + interpreter loop), timed.
 
     Round-over-round bench comparisons cross VM boots, and measured
     host speed varies 20-30% between boots (frequency/migration).
     The canary is identical work every round, so readers can divide
     per-query timings by (canary / reference-canary) to separate
-    plan regressions from host drift."""
+    plan regressions from host drift.
+
+    ``scale`` shrinks the workload for the PER-QUERY canaries (round-4
+    lesson: six adjacent queries came back 2-4x slow with flat tails —
+    a mid-suite load spike is indistinguishable from a plan regression
+    unless each timing carries its own host-speed sample)."""
     import hashlib
 
     t0 = time.perf_counter()
     block = b"\x5a" * (1 << 20)
     h = hashlib.sha256()
-    for _ in range(256):
+    for _ in range(max(1, int(256 * scale))):
         h.update(block)
     h.hexdigest()
     # interpreter-speed component (hash units are often HW-offloaded)
     acc = 0
-    for i in range(2_000_000):
+    for i in range(max(1, int(2_000_000 * scale))):
         acc = (acc * 31 + i) & 0xFFFFFFFF
     return round(time.perf_counter() - t0, 4)
 
@@ -142,6 +147,7 @@ def main() -> None:
     from getdbt_spark.queries.model_queries import _MODEL_QUERIES, _run_model
 
     timings: dict[str, float] = {}
+    canaries: dict[str, float] = {}
     for name in names:
         # Time build + execute: two-phase queries do real work at build
         # time (the literal-anchor collect, connected-components rounds
@@ -172,6 +178,10 @@ def main() -> None:
         # DataFrames are garbage-collected, so some residual block
         # churn between timings is expected.)
         spark.catalog.clearCache()
+        # ~40 ms host-speed sample adjacent to THIS query's timing:
+        # a load spike shows up as a correlated canary bump, a plan
+        # regression doesn't.
+        canaries[name] = _host_canary(scale=0.125)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -186,6 +196,10 @@ def main() -> None:
                 # normalize cross-round query deltas by the canary
                 # ratio before reading them as plan changes.
                 "canary_cpu_sec": _host_canary(),
+                # Per-query 1/8-scale canaries (compare to
+                # canary_cpu_sec/8): a correlated bump marks the
+                # adjacent query timing as host-noise, not plan.
+                "canary_cpu_per_query": canaries,
             }
         )
     )
