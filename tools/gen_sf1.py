@@ -17,10 +17,24 @@ growth law (TESTDATA.md cardinalities 0.01 → 0.1):
   denser with SF, which is the corpus's own documented growth law,
   not an artifact of the replication.
 - ``region/nation`` are scale-fixed in TPC-H → copied.
-- ``documents/embeddings`` are copied unscaled: byte-identical text
-  replicas would quadratically inflate every dedup family's candidate
-  sets in a way natural corpus growth does not — the model DAG reads
-  neither, so the models' sf1 measurement is unaffected.
+- ``documents`` grow 10× (matching 0.01 → 0.1: 500 → 5000) by
+  key-shifted replication with a PER-COPY TOKEN PREFIX (``c3tok``):
+  byte-identical replicas would make every copy a near-dup of every
+  other — the dedup families' candidate sets would inflate
+  quadratically in a way natural corpus growth does not.  Prefixing
+  every token gives each copy its own disjoint vocabulary: the
+  WITHIN-copy duplicate structure replicates sf0.1's exactly (so
+  cluster shapes and hit rates stay representative) while cross-copy
+  shingle/minhash/simhash collisions stay at hash-accident level —
+  the linear-growth corpus model a real ingestion sees.  ``n_chars``
+  is recomputed from the rewritten text.
+- ``embeddings`` grow 5× (matching 0.1's ×4 step: 500 → 2000 → 10000)
+  by vec_id-shifted copies with seeded deterministic Gaussian noise
+  (σ=0.05 per dim, seed = copy index): identical or merely scaled
+  copies would collapse into the same LSH buckets / IVF cells and
+  quadratically inflate per-bucket work; independent noise keeps the
+  label structure while spreading copies across cells like real new
+  data.
 
 Output: ``<repo>/.scale_data/sf1/*.parquet`` (gitignored; ~150 MB).
 Deterministic — same input produces byte-stable rows (file order may
@@ -55,8 +69,10 @@ KEYED = {
     },
     "events": {"event_id": "event", "user_id": "user"},
 }
-COPIED = ["region", "nation", "documents", "embeddings"]
+COPIED = ["region", "nation"]
 N_COPIES = 10
+N_DOC_COPIES = 10
+N_EMB_COPIES = 5
 
 
 def main() -> None:
@@ -114,6 +130,125 @@ def main() -> None:
             f"SELECT count(*) FROM read_parquet('{OUT}/{table}.parquet')"
         ).fetchone()[0]
         print(f"{table}: {n} rows")
+
+    _gen_documents(con)
+    _gen_embeddings()
+    _check(con)
+
+
+def _check(con) -> None:
+    """Integrity gate: replication must preserve keys and FK closure —
+    a silent key collision would corrupt every sf1 measurement."""
+
+    def one(sql: str) -> int:
+        return con.execute(sql).fetchone()[0]
+
+    p = lambda t: f"read_parquet('{OUT}/{t}.parquet')"  # noqa: E731
+    checks = {
+        "orders pk unique": one(
+            f"SELECT count(*) - count(DISTINCT o_orderkey) FROM {p('orders')}"
+        ),
+        "customer pk unique": one(
+            f"SELECT count(*) - count(DISTINCT c_custkey) FROM {p('customer')}"
+        ),
+        "docs pk unique": one(
+            f"SELECT count(*) - count(DISTINCT doc_id) FROM {p('documents')}"
+        ),
+        "embs pk unique": one(
+            f"SELECT count(*) - count(DISTINCT vec_id) FROM {p('embeddings')}"
+        ),
+        "lineitem->orders fk": one(
+            f"SELECT count(*) FROM {p('lineitem')} l LEFT JOIN {p('orders')} o "
+            "ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL"
+        ),
+        "orders->customer fk": one(
+            f"SELECT count(*) FROM {p('orders')} o LEFT JOIN {p('customer')} c "
+            "ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL"
+        ),
+        # cross-copy vocabulary disjointness: tokens of copy 0 never
+        # appear in copy 1 (prefixing would have failed otherwise)
+        "doc vocab disjoint": one(
+            f"""
+            SELECT count(*) FROM (
+              SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+              FROM {p('documents')} WHERE doc_id < 5000
+            ) a JOIN (
+              SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+              FROM {p('documents')}
+              WHERE doc_id >= 5000 AND doc_id < 10000
+            ) b USING (tok)
+            """
+        ),
+    }
+    bad = {k: v for k, v in checks.items() if v != 0}
+    if bad:
+        raise SystemExit(f"sf1 integrity check FAILED: {bad}")
+    print("integrity checks: all OK")
+
+
+def _gen_documents(con) -> None:
+    doc_off = (
+        con.execute(
+            f"SELECT max(doc_id) FROM read_parquet('{SRC}/documents.parquet')"
+        ).fetchone()[0]
+        + 1
+    )
+    branches = []
+    for i in range(N_DOC_COPIES):
+        if i == 0:
+            text = "text"
+        else:
+            # disjoint per-copy vocabulary; single-space corpus
+            text = (
+                "array_to_string(list_transform("
+                f"string_split(text, ' '), x -> 'c{i}' || x), ' ')"
+            )
+        branches.append(
+            f"SELECT doc_id + {i * doc_off} AS doc_id, {text} AS text, "
+            f"lang, source, CAST(length({text}) AS BIGINT) AS n_chars "
+            f"FROM read_parquet('{SRC}/documents.parquet')"
+        )
+    sql = " UNION ALL ".join(branches)
+    con.execute(
+        f"COPY ({sql}) TO '{OUT}/documents.parquet' (FORMAT PARQUET)"
+    )
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{OUT}/documents.parquet')"
+    ).fetchone()[0]
+    print(f"documents: {n} rows")
+
+
+def _gen_embeddings() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    vec_ids = t.column("vec_id").to_numpy()
+    labels = t.column("label").to_numpy()
+    embs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    off = int(vec_ids.max()) + 1
+    parts = []
+    for i in range(N_EMB_COPIES):
+        if i == 0:
+            e = embs
+        else:
+            rng = np.random.default_rng(i)  # deterministic per copy
+            e = embs + rng.normal(0.0, 0.05, embs.shape).astype(np.float32)
+        parts.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(vec_ids + i * off, pa.int64()),
+                    "embedding": pa.array(
+                        e.tolist(), pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(labels, pa.int32()),
+                }
+            )
+        )
+    out = pa.concat_tables(parts)
+    pq.write_table(out, f"{OUT}/embeddings.parquet")
+    print(f"embeddings: {out.num_rows} rows")
 
 
 if __name__ == "__main__":
