@@ -5056,7 +5056,7 @@ def agg_dau_mau_stickiness(spark, sf_dir):
     SELECT event_type, d, n,
            round((n - sx / k)
                  / sqrt((sxx - sx * sx / k) / (k - 1)), 4) AS zscore
-    FROM s WHERE k >= 3
+    FROM s WHERE k >= 3 AND sxx * k > sx * sx
     """,
 )
 def win_rolling_zscore(spark, sf_dir):
@@ -5068,7 +5068,12 @@ def win_rolling_zscore(spark, sf_dir):
     derive from INTEGER window sums (Σx, Σx², k — order-free), so the
     one sqrt/divide chain is identical IEEE arithmetic on both
     engines; frames shorter than 3 days are suppressed (variance of
-    nothing).  One exchange on the stream key.
+    nothing), and so are ZERO-variance frames — a constant trailing
+    week has no defined z-score, and the integer guard
+    ``k·Σx² > (Σx)²`` keeps the filter exact on both engines (at tiny
+    SFs constant weeks actually occur: the sf0.001 cross-scale sweep
+    caught this as an ANSI DIVIDE_BY_ZERO).  One exchange on the
+    stream key.
     """
     from pyspark.sql import Window
 
@@ -5089,7 +5094,10 @@ def win_rolling_zscore(spark, sf_dir):
         F.sum("n").over(w).alias("sx"),
         F.sum(F.col("n") * F.col("n")).over(w).alias("sxx"),
         F.count("*").over(w).alias("k"),
-    ).filter(F.col("k") >= 3)
+    ).filter(
+        (F.col("k") >= 3)
+        & (F.col("sxx") * F.col("k") > F.col("sx") * F.col("sx"))
+    )
     mean = F.col("sx") / F.col("k")
     var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k")) / (
         F.col("k") - 1

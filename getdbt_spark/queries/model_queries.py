@@ -885,6 +885,36 @@ def streaming_sliding_stats(spark, sf_dir):
 
 
 @query(
+    "streaming_attribution_join",
+    oracle="""
+    SELECT i.user_id,
+           i.event_id AS imp_id,
+           c.event_id AS conv_id,
+           i.ts AS imp_ts,
+           c.ts AS conv_ts,
+           c.value AS conv_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') i
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') c
+      ON i.user_id = c.user_id
+     AND c.ts >= i.ts
+     AND c.ts <= i.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_attribution_join(spark, sf_dir):
+    """Batch twin of the stream-stream interval join
+    (streaming.attributed_conversions): every purchase attributed to
+    each preceding same-user view within 30 minutes.  In streaming
+    both sides are watermarked and the event-time range constraint
+    bounds the join state (state ∝ one 30-min horizon per user, never
+    stream length); in batch the watermarks are no-ops and the oracle
+    replays the identical range equi-join.  availableNow stream/batch
+    parity in tests/test_streaming.py."""
+    from ..streaming import attributed_conversions
+
+    return attributed_conversions(_t(spark, sf_dir, "events"))
+
+
+@query(
     "sink_snapshot_time_travel",
     oracle="""
     WITH t1 AS (

@@ -393,6 +393,84 @@ def sliding_window_stats(events: DataFrame) -> DataFrame:
     )
 
 
+ATTRIBUTION_GAP = "30 minutes"
+
+
+def attributed_conversions(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: every ``purchase`` attributed to
+    each preceding ``view`` by the same user within 30 minutes — the
+    canonical two-stream correlation (impression→conversion) that only
+    a genuine stream-stream join can maintain online.
+
+    The one STRUCTURED-STREAMING join shape the surface lacked: both
+    sides derive from the event stream (a streaming SELF-join — each
+    side keeps its own join state), both are watermarked, and the join
+    condition carries the event-time range constraint
+    ``imp_evt <= conv_evt <= imp_evt + 30 min`` — which is what lets
+    Spark expire buffered rows: a view older than
+    (watermark − 30 min) can never match a future purchase, a purchase
+    older than the watermark can never match a late view, so state is
+    bounded by watermark + gap, never by stream length.
+
+    Unified API as everywhere in this module: on a static input the
+    watermarks are no-ops and the plan is a plain range equi-join the
+    DuckDB oracle replays (``streaming_attribution_join``); the
+    availableNow parity run is in tests/test_streaming.py.  Output
+    keeps the original NTZ wall-clock timestamps (the shifted instants
+    exist only for watermark legality; differences are identical).
+
+    Scale: one shuffle of each filtered side on ``user_id``; per-key
+    state = the views/purchases inside one 30-minute horizon per user.
+    Multi-view attribution semantics (every qualifying view matches —
+    set semantics, no arbitrary "first touch" pick) keep the result
+    deterministic and oracle-checkable.
+    """
+    shifted = events.withColumn(
+        "ts_evt",
+        F.from_utc_timestamp(
+            F.col("ts").cast("timestamp"), F.expr("current_timezone()")
+        ),
+    )
+    imps = (
+        shifted.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("imp_user"),
+            F.col("event_id").alias("imp_id"),
+            F.col("ts").alias("imp_ts"),
+            F.col("ts_evt").alias("imp_evt"),
+        )
+        .withWatermark("imp_evt", WATERMARK)
+    )
+    convs = (
+        shifted.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("conv_user"),
+            F.col("event_id").alias("conv_id"),
+            F.col("ts").alias("conv_ts"),
+            F.col("ts_evt").alias("conv_evt"),
+            F.col("value").alias("conv_value"),
+        )
+        .withWatermark("conv_evt", WATERMARK)
+    )
+    return imps.join(
+        convs,
+        (F.col("imp_user") == F.col("conv_user"))
+        & (F.col("conv_evt") >= F.col("imp_evt"))
+        & (
+            F.col("conv_evt")
+            <= F.col("imp_evt") + F.expr(f"INTERVAL {ATTRIBUTION_GAP}")
+        ),
+        "inner",
+    ).select(
+        F.col("imp_user").alias("user_id"),
+        "imp_id",
+        "conv_id",
+        "imp_ts",
+        "conv_ts",
+        "conv_value",
+    )
+
+
 def run_into_incremental_sink(
     spark: SparkSession,
     source_path: str,

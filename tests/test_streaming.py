@@ -232,3 +232,32 @@ def test_incremental_sink_accretes_per_generation(spark, tmp_path):
     gen2.write.mode("append").parquet(src)
     t2 = run_into_incremental_sink(spark, src, e, table, ckpt)
     assert _key(t2.collect()) == _key(daily_event_stats(e).collect())
+
+def test_attribution_join_stream_matches_batch(spark, events_dir):
+    """Stream-stream interval self-join (view -> purchase within 30
+    min): the availableNow run over the file source must equal the
+    static-path join row for row, and the streaming plan must carry
+    watermarks on BOTH sides (that is what bounds the join state)."""
+    from getdbt_spark.streaming import attributed_conversions
+
+    path, src = events_dir
+    stream = attributed_conversions(stream_source(spark, path, src))
+    assert stream.isStreaming
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") >= 2
+    got = run_available_now(
+        spark,
+        path,
+        src,
+        "t_attr",
+        transform=attributed_conversions,
+        output_mode="append",
+    )
+    want = attributed_conversions(spark.read.parquet(path))
+    key = lambda rows: sorted(  # noqa: E731
+        (r["imp_id"], r["conv_id"], str(r["imp_ts"]), str(r["conv_ts"]))
+        for r in rows
+    )
+    got_rows, want_rows = got.collect(), want.collect()
+    assert len(got_rows) > 0
+    assert key(got_rows) == key(want_rows)
