@@ -56,34 +56,12 @@ def _driver_verified_ids(report_dir: str | None = None) -> set[str]:
     return verified
 
 
-# Unverified ids the next window must prove first: the 8 ids repaired
-# after CORRECTNESS_r03 (oracle dtype / array serialization — re-enter
-# red ids), then the reference's core incremental/snapshot contracts
-# (atinternet_smarttag_streams_daily_v4.sql:1-22), the stateful
-# streaming twins, and the user-visible never-windowed operators
-# VERDICT.md round 3 called out.
-_WINDOW_FIRST = [
-    "model_streams_daily_v4",
-    "model_quintly_youtube_latest",
-    "model_dashboard_channel_weekly",
-    "multimodal_frame_sample",
-    "emb_l2_normalize",
-    "emb_quantize_int8",
-    "emb_centroid_per_label",
-    "pack_shard_manifest",
-    "sink_incremental_insert_overwrite",
-    "sink_incremental_replay",
-    "sink_snapshot_scd2",
-    "streaming_first_seen",
-    "streaming_sliding_stats",
-    "streaming_dedup_replays",
-    "fn_current_date",
-    "sort_in_cte",
-    "join_left_semi",
-    "join_left_anti",
-    "text_pii_flags",
-    "sample_weighted",
-]
+# Hand-priority escape hatch: ids listed here jump to the very front of
+# the unproven class.  Empty since round 6 — every previously-listed id
+# is driver-green, and the self-deriving rotation (never-verified first,
+# fixture scans last, registration order otherwise) is the whole policy.
+# Repopulate only if a specific unproven id must pre-empt the rotation.
+_WINDOW_FIRST: list[str] = []
 
 
 def _priority_order(
