@@ -40,6 +40,32 @@ from .session import configure
 WATERMARK = "8 days"  # == the reference's replay window minus the current day
 
 
+def _ntz_instant(col: str = "ts") -> F.Column:
+    """Wall-clock → watermarkable instant, DST-free.
+
+    Streaming watermarks require TIMESTAMP (with-timezone) event time;
+    the corpus event time is TIMESTAMP_NTZ wall clock.  A session-TZ
+    cast or ``from_utc_timestamp(cast(ts), current_timezone())`` is
+    DST-dependent: around a Europe/Amsterdam transition the shifted
+    gap between two events differs by ±60 min from the wall-clock gap
+    (spring-forward wall times don't exist and get bumped), so an
+    interval join or session gap evaluated on shifted instants would
+    diverge from the batch twin / DuckDB oracle, which both use raw
+    NTZ arithmetic (round-5 ADVICE on ``attributed_conversions``).
+
+    ``make_timestamp(..., 'UTC')`` instead reinterprets the wall-clock
+    FIELDS in a fixed zero-offset zone: the instant's UTC face equals
+    the NTZ wall clock exactly for every timestamp (transitions
+    included), so instant differences == wall-clock differences and
+    ``F.window`` day/minute buckets align with NTZ day boundaries.
+    """
+    return F.expr(
+        f"make_timestamp(year({col}), month({col}), day({col}), "
+        f"hour({col}), minute({col}), "
+        f"cast(date_part('SECOND', {col}) as decimal(16,6)), 'UTC')"
+    )
+
+
 def daily_event_stats(events: DataFrame) -> DataFrame:
     """Per-(day, event_type) rollup of the corpus event stream.
 
@@ -51,16 +77,11 @@ def daily_event_stats(events: DataFrame) -> DataFrame:
     # rejected.  But ``F.window`` aligns day buckets to UTC *instants*,
     # so a bare cast (wall-clock → Amsterdam instant) would put
     # 00:00-00:59 CET events into the previous UTC day.  The
-    # ``from_utc_timestamp`` shift manufactures an instant whose UTC
-    # face equals the CET wall clock (DST-aware per timestamp), keeping
+    # ``_ntz_instant`` shift manufactures an instant whose UTC face
+    # equals the CET wall clock (fixed zero offset, DST-free), keeping
     # day buckets and the final ``cast(date)`` aligned with the batch
     # layer's NTZ wall-clock discipline.
-    events = events.withColumn(
-        "ts",
-        F.from_utc_timestamp(
-            F.col("ts").cast("timestamp"), F.expr("current_timezone()")
-        ),
-    )
+    events = events.withColumn("ts", _ntz_instant("ts"))
     return (
         events.withWatermark("ts", WATERMARK)
         .groupBy(
@@ -115,9 +136,7 @@ def session_stats(events: DataFrame) -> DataFrame:
     """
     shifted = events.withColumn(
         "ts_evt",
-        F.from_utc_timestamp(
-            F.col("ts").cast("timestamp"), F.expr("current_timezone()")
-        ),
+        _ntz_instant("ts"),
     )
     return (
         shifted.withWatermark("ts_evt", WATERMARK)
@@ -188,9 +207,7 @@ def first_seen_stream(events: DataFrame) -> DataFrame:
     ev = (
         events.withColumn(
             "ts_evt",
-            F.from_utc_timestamp(
-                F.col("ts").cast("timestamp"), F.expr("current_timezone()")
-            ),
+            _ntz_instant("ts"),
         )
         .withColumn("fp", _fingerprint())
         .withWatermark("ts_evt", WATERMARK)
@@ -327,9 +344,7 @@ def dedup_replays(events: DataFrame) -> DataFrame:
     """
     shifted = events.withColumn(
         "ts_evt",
-        F.from_utc_timestamp(
-            F.col("ts").cast("timestamp"), F.expr("current_timezone()")
-        ),
+        _ntz_instant("ts"),
     )
     wm = shifted.withWatermark("ts_evt", WATERMARK)
     deduped = (
@@ -359,9 +374,7 @@ def sliding_window_stats(events: DataFrame) -> DataFrame:
     """
     shifted = events.withColumn(
         "ts_evt",
-        F.from_utc_timestamp(
-            F.col("ts").cast("timestamp"), F.expr("current_timezone()")
-        ),
+        _ntz_instant("ts"),
     )
     return (
         shifted.withWatermark("ts_evt", WATERMARK)
@@ -427,9 +440,7 @@ def attributed_conversions(events: DataFrame) -> DataFrame:
     """
     shifted = events.withColumn(
         "ts_evt",
-        F.from_utc_timestamp(
-            F.col("ts").cast("timestamp"), F.expr("current_timezone()")
-        ),
+        _ntz_instant("ts"),
     )
     imps = (
         shifted.filter(F.col("event_type") == "view")

@@ -261,3 +261,40 @@ def test_attribution_join_stream_matches_batch(spark, events_dir):
     got_rows, want_rows = got.collect(), want.collect()
     assert len(got_rows) > 0
     assert key(got_rows) == key(want_rows)
+
+
+def test_attribution_gap_is_dst_invariant(spark):
+    """Round-5 ADVICE: the interval constraint must be evaluated on a
+    DST-free instant mapping.  Events straddling the Europe/Amsterdam
+    spring-forward (2024-03-31 02:00→03:00, skipped hour): a session-TZ
+    shift bumps the nonexistent 02:xx wall times forward an hour,
+    turning a 30-min raw gap into 90 min and dropping the pair.  The
+    fixed-offset mapping must keep every raw-gap<=30min pair and reject
+    every raw-gap>30min pair, exactly like the NTZ oracle arithmetic."""
+    from getdbt_spark.streaming import attributed_conversions
+
+    rows = [
+        # raw gap 30:00 -> match (spring-forward: 02:20 doesn't exist locally)
+        (1, 10, "view", "2024-03-31 01:50:00", 0.0),
+        (2, 10, "purchase", "2024-03-31 02:20:00", 5.0),
+        # raw gap 31:00 -> no match even though both sides exist locally
+        (3, 11, "view", "2024-03-31 01:40:00", 0.0),
+        (4, 11, "purchase", "2024-03-31 02:11:00", 7.0),
+        # fall-back (2024-10-27 03:00->02:00): raw gap 25:00 -> match
+        (5, 12, "view", "2024-10-27 02:45:00", 0.0),
+        (6, 12, "purchase", "2024-10-27 03:10:00", 9.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, s string, value double"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("s").cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
+    got = sorted(
+        (r["imp_id"], r["conv_id"])
+        for r in attributed_conversions(ev).collect()
+    )
+    assert got == [(1, 2), (5, 6)]

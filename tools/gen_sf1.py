@@ -165,17 +165,26 @@ def _check(con) -> None:
             f"SELECT count(*) FROM {p('orders')} o LEFT JOIN {p('customer')} c "
             "ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL"
         ),
-        # cross-copy vocabulary disjointness: tokens of copy 0 never
-        # appear in copy 1 (prefixing would have failed otherwise)
+        # cross-copy vocabulary disjointness.  Copies 1..9 are mutually
+        # disjoint BY CONSTRUCTION (equal-length prefixes 'c1'..'c9'
+        # differ in their second char), so the only collision surface is
+        # copy 0's unprefixed tokens vs the union of ALL prefixed copies
+        # — an original token that itself starts with 'c1'..'c9' (r5
+        # ADVICE: the old copy-0-vs-copy-1 check missed 'c2'..'c9'
+        # collisions).  Copy boundary derived from the source corpus,
+        # not hard-coded.
         "doc vocab disjoint": one(
             f"""
+            WITH off AS (
+              SELECT max(doc_id) + 1 AS doc_off
+              FROM read_parquet('{SRC}/documents.parquet')
+            )
             SELECT count(*) FROM (
               SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
-              FROM {p('documents')} WHERE doc_id < 5000
+              FROM {p('documents')}, off WHERE doc_id < doc_off
             ) a JOIN (
               SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
-              FROM {p('documents')}
-              WHERE doc_id >= 5000 AND doc_id < 10000
+              FROM {p('documents')}, off WHERE doc_id >= doc_off
             ) b USING (tok)
             """
         ),
