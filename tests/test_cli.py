@@ -146,3 +146,80 @@ def test_docs_and_state_modified_selector(spark, tmp_path):
     assert name in dirty
     assert "integral_reporting_vodstreaming" in dirty  # downstream
     assert "poms_flattened" not in dirty  # unrelated
+
+
+def test_run_subprocess_end_to_end(tmp_path):
+    """VERDICT r5 #5: drive the installed entry point the way a user
+    does — ``python -m getdbt_spark run`` in a FRESH interpreter and a
+    fresh warehouse dir — so packaging/import-order regressions that
+    in-process tests (which share the suite's already-imported modules
+    and SparkSession) can never see fail here.  Asserts every
+    reference model materializes and the dashboard row count matches
+    the independent DuckDB oracle."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wh = str(tmp_path / "warehouse")
+    proc = subprocess.run(
+        [sys.executable, "-m", "getdbt_spark", "--sf-dir", SF,
+         "run", "--warehouse", wh],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert proc.returncode == 0, f"CLI run failed:\n{proc.stderr[-4000:]}"
+    rows = dict(re.findall(r"^(\S+)\s+rows=(\d+)$", proc.stdout, re.M))
+
+    reference_models = [
+        "media_events",
+        "live_stream_name_mapping_v1",
+        "advantedge_tv_viewer_density_per_show_daily_v1",
+        "audiovisual_metadata_poms_metadata_v1",
+        "quintly_youtube_allchannels_weekly",
+        "quintly_facebook_pages_weekly",
+        "quintly_instagram_pages_weekly",
+        "360_graden_rapportage_vertaaltabel_upload_20_21",
+        "poms_flattened",
+        "atinternet_smarttag_streams_daily_v4",
+        "integral_reporting_facebook",
+        "integral_reporting_instagram",
+        "integral_reporting_youtube",
+        "integral_reporting_sites_and_apps",
+        "integral_reporting_tvbroadcasts",
+        "integral_reporting_vodstreaming",
+        "integral_reporting_dashboard_channel_weekly",
+    ]
+    missing = [m for m in reference_models if m not in rows]
+    assert not missing, f"models not materialized by CLI run: {missing}"
+    assert "OK:" in proc.stdout
+
+    # the incremental model landed in the fresh warehouse
+    inc_path = os.path.join(
+        wh, "atinternet_smarttag_streams_daily",
+        "atinternet_smarttag_streams_daily_v4",
+    )
+    assert os.path.isdir(inc_path), "incremental model missing from warehouse"
+
+    # dashboard row count vs the independent DuckDB oracle
+    from getdbt_spark.queries import ORACLES, load_all
+
+    load_all()
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    want = len(
+        con.execute(ORACLES["model_dashboard_channel_weekly"]).fetchall()
+    )
+    got = int(rows["integral_reporting_dashboard_channel_weekly"])
+    assert got == want, f"dashboard rows {got} != oracle {want}"
