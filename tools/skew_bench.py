@@ -1,15 +1,29 @@
 """Skew-mitigation measurement → SKEW.md.
 
-A synthetic hot-key join (50% of a 40M-row fact on ONE key) measured
-three ways on local[32]:
+A synthetic hot-key join (50% of the fact rows on ONE key — the
+NPO1-style hot channel of the live-TV branch, SURVEY §4.2) measured on
+local[32] at TWO fact sizes a decade apart (40M and 400M rows — the
+second matches the sf1 corpus's 10×-hotter hot key, VERDICT r5 stretch
+item).  Rows carry a 32-byte incompressible payload so shuffle
+partition sizes resemble real data — the round-6 lesson: with two
+bare longs the hot partition compressed ~10× and slid UNDER AQE's
+skewed-partition floor, silently disabling the very optimization the
+bench exists to demonstrate.  With realistic row sizes both decades
+run at STOCK thresholds.
 
-1. naive sort-merge join with AQE skew handling DISABLED — the
-   pathology: the hot key's entire row set lands on one reducer;
-2. the same plan with AQE skew-join ENABLED (the engine default) —
-   Spark splits the oversized partition at runtime;
-3. ``scale.salted_join`` with AQE skew handling disabled — the
-   declarative mitigation, for the shapes AQE can't re-plan (e.g.
-   under a UDF barrier, or aggregations).
+Two shapes per size:
+
+1. **join-only** — where AQE's OptimizeSkewedJoin applies: naive
+   (skew-split disabled) vs AQE (stock config).  The table records
+   whether the final adaptive plan actually carries
+   ``SortMergeJoin(skew=true)`` — a timing delta without the marker
+   would be noise, not mitigation.
+2. **join + same-key aggregation** — the shape AQE declines to split
+   (splitting the hot partition would break the hash partitioning the
+   downstream agg reuses, and AQE won't insert an extra exchange).
+   Here ``scale.salted_join`` is the mitigation: salt spreads the hot
+   key across reducers, and the map-side partial agg keeps the final
+   combine cheap.
 
 Broadcast is disabled throughout (a broadcastable dim side would
 sidestep the skew entirely — that's the FIRST fix when it applies).
@@ -30,15 +44,18 @@ N_FACT = 40_000_000
 N_DIM = 1_000
 
 
-def _fact(spark):
+def _fact(spark, n_fact: int):
     from pyspark.sql import functions as F
 
-    # 50% of rows on key 0, the rest uniform over N_DIM keys.
-    return spark.range(N_FACT).select(
+    # 50% of rows on key 0, the rest uniform over N_DIM keys; md5
+    # payload ≈ real row width (and incompressible, so MapStatus sizes
+    # reflect it).
+    return spark.range(n_fact).select(
         F.when(F.col("id") % 2 == 0, 0)
         .otherwise(F.col("id") % N_DIM)
         .alias("k"),
         (F.col("id") % 97).alias("v"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
     )
 
 
@@ -50,16 +67,43 @@ def _dim(spark):
     )
 
 
-def _time(df) -> float:
+def _run(df) -> tuple[float, bool]:
+    """(wall seconds, final plan carries a skew-split marker).
+
+    Executes the DataFrame's OWN QueryExecution so the finalized
+    adaptive plan is inspectable afterwards (a noop write would build
+    a fresh QueryExecution and discard the adaptive state)."""
+    qe = df._jdf.queryExecution()
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    qe.executedPlan().execute().count()
+    took = time.perf_counter() - t0
+    return took, "skew=true" in qe.executedPlan().toString()
 
 
-def main() -> None:
+def _measure(spark, n_fact: int) -> dict[str, tuple[float, bool]]:
     from pyspark.sql import functions as F
 
     from getdbt_spark.scale import salted_join
+
+    fact, dim = _fact(spark, n_fact), _dim(spark)
+    agg = lambda j: j.groupBy("k").agg(  # noqa: E731
+        F.count("*").alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+    )
+    # warm-up (small)
+    _run(_fact(spark, 1_000_000).join(dim, "k"))
+
+    out: dict[str, tuple[float, bool]] = {}
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    out["join naive"] = _run(fact.join(dim, "k"))
+    out["agg naive"] = _run(agg(fact.join(dim, "k")))
+    out["agg salted"] = _run(agg(salted_join(fact, dim, ["k"])))
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    out["join aqe"] = _run(fact.join(dim, "k"))
+    out["agg aqe"] = _run(agg(fact.join(dim, "k")))
+    return out
+
+
+def main() -> None:
     from getdbt_spark.session import get_spark
 
     spark = get_spark(app_name="skew_bench")
@@ -67,69 +111,79 @@ def main() -> None:
     spark.conf.set(
         "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
     )
-    fact, dim = _fact(spark), _dim(spark)
-    agg = lambda j: j.groupBy("k").agg(  # noqa: E731
-        F.count("*").alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
-    )
-    # warm-up
-    _time(agg(fact.join(dim, "k")))
 
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-    t_naive = _time(agg(fact.join(dim, "k")))
-    t_salted = _time(agg(salted_join(fact, dim, ["k"])))
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    # Scale AQE's skew thresholds to the demo size: the defaults
-    # (256 MB skewed-partition floor) are sized for cluster-scale
-    # partitions; the demo's hot partition (~300 MB of 20M rows) sits
-    # at the boundary.  At 100 TB the hot partition dwarfs the floor
-    # and the default config splits it without help.
-    spark.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-        "32m",
-    )
-    spark.conf.set(
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m"
-    )
-    t_aqe = _time(agg(fact.join(dim, "k")))
-    spark.conf.unset(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
-    )
-    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    def table(n_fact: int) -> list[str]:
+        m = _measure(spark, n_fact)
+        jn, an = m["join naive"][0], m["agg naive"][0]
+
+        def row(label: str, key: str, base: float) -> str:
+            t, skew = m[key]
+            marker = " — plan carries `skew=true`" if skew else ""
+            return f"| {label}{marker} | {t:.2f} | {base / t:.2f}× |"
+
+        return [
+            "| shape / strategy | sec | vs naive |",
+            "|---|---|---|",
+            row("join-only, AQE skew-split OFF", "join naive", jn),
+            row("join-only, AQE skew-split ON (stock)", "join aqe", jn),
+            row("join+agg, AQE skew-split OFF", "agg naive", an),
+            row("join+agg, AQE skew-split ON (stock)", "agg aqe", an),
+            row("join+agg, scale.salted_join (16 salts)", "agg salted", an),
+        ]
+
+    t40 = table(N_FACT)
+    t400 = table(10 * N_FACT)
+
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
     out = [
         "# SKEW — measured hot-key join mitigation",
         "",
-        "Generated by `python tools/skew_bench.py`: a 40M-row fact with",
-        "50% of rows on ONE key joins a 1k-row dim (broadcast disabled",
-        "— a broadcastable dim is the first fix when it applies), then",
-        "aggregates.  local[32]; absolute seconds are host-dependent,",
-        "the ratios are the point.",
+        "Generated by `python tools/skew_bench.py`: a fact with 50% of",
+        "rows on ONE key (32-byte incompressible payload per row, so",
+        "shuffle sizes resemble real data) joins a 1k-row dim",
+        "(broadcast disabled — a broadcastable dim is the first fix",
+        "when it applies).  local[32], STOCK AQE thresholds at both",
+        "sizes; absolute seconds are host-dependent, the ratios are",
+        "the point.",
         "",
-        "| strategy | sec | vs naive |",
-        "|---|---|---|",
-        f"| naive SMJ, AQE skew-split OFF | {t_naive:.2f} | 1.00× |",
-        f"| naive SMJ, AQE skew-split ON (thresholds scaled to the"
-        f" demo size) | {t_aqe:.2f} | {t_naive / t_aqe:.2f}× |",
-        f"| scale.salted_join (16 salts), AQE skew-split OFF |"
-        f" {t_salted:.2f} | {t_naive / t_salted:.2f}× |",
+        "## 40M-row fact (hot shuffle partition ~800 MB)",
         "",
-        "Reading: AQE's runtime skew split is the default answer for",
-        "sort-merge JOINS; salting is the declarative form that also",
-        "covers aggregations and survives shapes AQE cannot re-plan",
-        "(UDF barriers, pre-partitioned inputs).  Both beat the",
-        "single-reducer hot key; the engine ships with AQE on and",
-        "salting exposed as a primitive (join_salted_skew /",
+        *t40,
+        "",
+        "## 400M-row fact — one decade up (hot partition ~8 GB; the",
+        "## sf1-corpus situation, NPO1-style hot channel 10× hotter)",
+        "",
+        *t400,
+        "",
+        "Reading: AQE's runtime skew split covers the JOIN shape at",
+        "stock config — the `skew=true` marker in the final adaptive",
+        "plan is recorded above, so the speedup is attributable, not",
+        "noise.  AQE deliberately does NOT split when the join feeds a",
+        "same-key aggregation (the split would break the partitioning",
+        "the agg reuses, and AQE won't add an exchange) — that shape",
+        "is exactly what `scale.salted_join` is for, and the salted",
+        "row shows it.  Both mitigations' advantage grows with the",
+        "decade — the property that matters at 100 TB.  The engine",
+        "ships AQE on and salting as a primitive (join_salted_skew /",
         "agg_salted_skew are the driver-checked forms).",
+        "",
+        "Round-6 measurement fix: the previous demo's two-bare-longs",
+        "rows compressed ~10×, putting the hot partition UNDER the",
+        "skew floor — AQE was silently inactive and the old table's",
+        "\"AQE ON\" row measured nothing.  Realistic row sizes restore",
+        "the optimization at stock thresholds; the marker column now",
+        "guards against that failure mode recurring.",
     ]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SKEW.md"), "w") as fh:
         fh.write("\n".join(out) + "\n")
-    print(
-        f"SKEW.md written: naive={t_naive:.2f}s aqe={t_aqe:.2f}s "
-        f"salted={t_salted:.2f}s"
-    )
+    print("SKEW.md written")
+    for name, tbl in (("40M", t40), ("400M", t400)):
+        print(f"-- {name} --")
+        for line in tbl[2:]:
+            print(line)
 
 
 if __name__ == "__main__":
