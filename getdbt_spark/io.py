@@ -66,6 +66,37 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Dat
 _VIEWS_MARKER = "spark.getdbt_spark.registered_sf_dir"
 
 
+def scalar_anchor(df: DataFrame, expr: F.Column, default):
+    """Driver-side one-row literal anchor (the two-phase pattern),
+    empty-input-safe.
+
+    Every anchor site collects a tiny scalar (max date, total count)
+    and injects it as a LITERAL so the derived predicate stays
+    prunable.  On an EMPTY input the aggregate is NULL, and raw
+    ``.collect()[0][0]`` then crashes downstream Python arithmetic
+    (``None - timedelta``, ``float(None)``) — the empty-partition /
+    new-tenant case a 1000-executor deployment hits routinely.
+    Substituting ``default`` keeps the query's output schema and lets
+    it return zero rows naturally (the source is empty, so any anchor
+    yields no matches).  Pinned by tests/test_empty_corpus.py.
+    """
+    v = df.agg(expr).collect()[0][0]
+    return default if v is None else v
+
+
+def read_parquet_like(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
+    """Parquet read-back that survives an empty write.
+
+    Writing a zero-row DataFrame produces a directory with only
+    ``_SUCCESS`` — a schema-less read then fails with
+    UNABLE_TO_INFER_SCHEMA.  Supplying the writer's schema makes the
+    round-trip total: zero files ⇒ zero rows, same schema.  (Partition
+    columns may appear in the supplied schema; Spark resolves them
+    against the directory layout as usual.)
+    """
+    return spark.read.schema(like.schema).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table; normalize types to engine conventions."""
     configure(spark)

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .. import functions as E
 from .. import pipeline as P
-from ..io import load_table
+from ..io import load_table, scalar_anchor
 from . import query
 
 
@@ -1236,21 +1236,23 @@ def sink_partitioned_read_pruned(spark, sf_dir):
     import shutil
     import tempfile
 
+    from ..io import read_parquet_like
+
     e = _t(spark, sf_dir, "events")
-    anchor = e.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    anchor = scalar_anchor(e, F.max(F.to_date("ts")), _dt.date(1970, 1, 1))
     path = os.path.join(
         tempfile.gettempdir(),
         f"getdbt_spark_part_{os.path.basename(sf_dir.rstrip('/'))}"
         f"_{os.getpid()}",
     )
     shutil.rmtree(path, ignore_errors=True)
+    written = e.withColumn("evt_date", F.to_date("ts"))
     (
-        e.withColumn("evt_date", F.to_date("ts"))
-        .write.mode("overwrite")
+        written.write.mode("overwrite")
         .partitionBy("evt_date")
         .parquet(path)
     )
-    back = spark.read.parquet(path)
+    back = read_parquet_like(spark, path, written)
     return (
         back.filter(F.col("evt_date") >= F.lit(anchor - _dt.timedelta(days=1)))
         .groupBy("evt_date", "event_type")
@@ -1893,7 +1895,7 @@ def sink_incremental_merge(spark, sf_dir):
         F.col("ts").cast("date").alias("d"),
         _cents("value").alias("cents"),
     )
-    anchor = ev.agg(F.max("d")).collect()[0][0]
+    anchor = scalar_anchor(ev, F.max("d"), _dt.date(1970, 1, 1))
 
     def _agg(frame):
         return frame.groupBy("user_id").agg(
@@ -3795,8 +3797,10 @@ def sink_compaction(spark, sf_dir):
         .partitionBy("evt_date")
         .parquet(path)
     )
+    from ..io import read_parquet_like
+
     compact_partitions(spark, path, "evt_date")
-    back = spark.read.parquet(path)
+    back = read_parquet_like(spark, path, e)
     return back.groupBy("evt_date").agg(
         F.count("*").alias("n_events"),
         F.sum("event_id").alias("id_checksum"),
@@ -3926,7 +3930,7 @@ def dq_freshness(spark, sf_dir):
     (max over a partition column prunes to metadata).
     """
     e = _t(spark, sf_dir, "events")
-    anchor = e.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    anchor = scalar_anchor(e, F.max(F.to_date("ts")), dt.date(1970, 1, 1))
     f = e.groupBy("event_type").agg(
         F.max(F.to_date("ts")).alias("max_loaded_date"),
         F.count("*").alias("n_rows"),
@@ -4009,9 +4013,12 @@ def sink_zorder_clustered(spark, sf_dir):
         F.min(F.col("l_suppkey").cast("long")),
         F.max(F.col("l_suppkey").cast("long")),
     ).collect()[0]
-    key = zorder_key(
-        ["l_partkey", "l_suppkey"], [row[0], row[2]], [row[1], row[3]]
-    )
+    # empty-input-safe bounds (None min/max on a zero-row table)
+    lo = [row[0] if row[0] is not None else 0,
+          row[2] if row[2] is not None else 0]
+    hi = [row[1] if row[1] is not None else 0,
+          row[3] if row[3] is not None else 0]
+    key = zorder_key(["l_partkey", "l_suppkey"], lo, hi)
     return (
         back.select(F.floor(key / 1024).cast("long").alias("zbucket"), "l_orderkey")
         .groupBy("zbucket")
@@ -4140,7 +4147,9 @@ def sql_recursive_spine(spark, sf_dir):
     one-row union — the plan is linear, not quadratic.
     """
     o = _t(spark, sf_dir, "orders")
-    anchor = o.agg(F.max(F.to_date("o_orderdate"))).collect()[0][0]
+    anchor = scalar_anchor(
+        o, F.max(F.to_date("o_orderdate")), dt.date(1995, 1, 2)
+    )
     # the spine recurses one row per week (~350 levels for the fixture
     # epoch) — above Spark's default 100-level guard rail
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
@@ -5015,6 +5024,8 @@ def agg_dau_mau_stickiness(spark, sf_dir):
         .distinct()
     )
     d0, d1 = act.agg(F.min("d"), F.max("d")).collect()[0]
+    if d0 is None:  # empty corpus: any anchor yields zero rows
+        d0 = d1 = dt.date(1970, 1, 1)
     anchors = act.select(
         "user_id",
         F.explode(
@@ -5154,7 +5165,7 @@ def agg_benford_first_digit(spark, sf_dir):
         )
     )
     obs = v.groupBy("digit").agg(F.count("*").alias("n"))
-    n_all = float(obs.agg(F.sum("n")).collect()[0][0])
+    n_all = float(scalar_anchor(obs, F.sum("n"), 1))
     benford = F.log(
         (F.col("digit") + 1.0) / F.col("digit")
     ) / F.log(F.lit(10.0))
@@ -5208,9 +5219,9 @@ def agg_weekday_seasonality(spark, sf_dir):
     ).agg(
         F.sum("n").alias("n_events"), F.count("*").alias("n_days")
     )
-    tot = byday.agg(
-        (F.sum("n_events") / F.sum("n_days")).alias("overall_daily")
-    ).collect()[0][0]
+    tot = scalar_anchor(
+        byday, (F.sum("n_events") / F.sum("n_days")).alias("overall_daily"), 1.0
+    )
     avg = F.col("n_events") / F.col("n_days")
     return byday.select(
         "dow",

@@ -26,6 +26,7 @@ from .. import fixtures as FX
 from .. import functions as E
 from ..functions import safe_offset
 from ..io import load_table as _lt
+from ..io import scalar_anchor
 from . import query
 
 
@@ -351,10 +352,10 @@ def sink_incremental_insert_overwrite(spark, sf_dir):
     from ..runner import Runner
 
     M.load_all()
-    anchor = (
-        load_table(spark, sf_dir, "events")
-        .agg(F.max(F.to_date("ts")))
-        .collect()[0][0]
+    anchor = scalar_anchor(
+        load_table(spark, sf_dir, "events"),
+        F.max(F.to_date("ts")),
+        dt.date(2024, 1, 30),
     )
     # Deterministic scratch path, wiped per invocation: mkdtemp would
     # orphan a full materialized model per driver round.
@@ -430,7 +431,7 @@ def fn_current_date(spark, sf_dir):
     per-partition predicate reaches the scan as a prunable filter
     instead of a correlated subquery."""
     ev = _t(spark, sf_dir, "events")
-    anchor = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    anchor = scalar_anchor(ev, F.max(F.to_date("ts")), dt.date(2024, 1, 30))
     window = [anchor - dt.timedelta(days=i) for i in range(9)]
     counts = (
         ev.select(F.to_date("ts").alias("d"))
@@ -653,8 +654,8 @@ def dq_schema_tests(spark, sf_dir):
     from ..runner import Runner
 
     _load_models()
-    anchor = (
-        _lt(spark, sf_dir, "events").agg(F.max(F.to_date("ts"))).collect()[0][0]
+    anchor = scalar_anchor(
+        _lt(spark, sf_dir, "events"), F.max(F.to_date("ts")), dt.date(2024, 1, 30)
     )
     runner = Runner(spark, sources_map(spark, sf_dir), anchor)
     # reuse=None: driver entries have no post-action release hook
@@ -764,10 +765,10 @@ def sink_incremental_replay(spark, sf_dir):
     from ..api import run_incremental
     from ..io import load_table
 
-    anchor = (
-        load_table(spark, sf_dir, "events")
-        .agg(F.max(F.to_date("ts")))
-        .collect()[0][0]
+    anchor = scalar_anchor(
+        load_table(spark, sf_dir, "events"),
+        F.max(F.to_date("ts")),
+        dt.date(2024, 1, 30),
     )
     wh = os.path.join(
         tempfile.gettempdir(),
@@ -1028,6 +1029,8 @@ def streaming_incremental_sink(spark, sf_dir):
     lo, hi = e.agg(
         F.min(F.to_date("ts")), F.max(F.to_date("ts"))
     ).collect()[0]
+    if lo is None:  # empty corpus: single empty generation
+        lo = hi = dt.date(2024, 1, 30)
     mid = lo + (hi - lo) / 2
     base = os.path.join(
         tempfile.gettempdir(),

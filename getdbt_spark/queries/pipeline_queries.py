@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from .. import functions as E
 from .. import pipeline as P
-from ..io import load_table
+from ..io import load_table, scalar_anchor
 from . import query
 
 
@@ -3207,8 +3207,8 @@ def text_source_divergence(spark, sf_dir):
     st = sw.groupBy("source").agg(F.sum("n").alias("n_src"))
     ct = sw.groupBy("word").agg(F.sum("n").alias("n_corpus"))
     n_all = float(
-        sw.agg(F.sum("n")).collect()[0][0]
-    )  # scalar anchor (two-phase literal)
+        scalar_anchor(sw, F.sum("n"), 1)
+    )  # scalar anchor (two-phase literal; empty-safe)
     p = F.col("n").cast("double") / F.col("n_src").cast("double")
     q = F.col("n_corpus").cast("double") / F.lit(n_all)
     contrib = F.floor(

@@ -210,7 +210,11 @@ class Runner:
             .partitionBy(m.config.partition_by)
             .parquet(path)
         )
-        return self.spark.read.parquet(path)
+        from .io import read_parquet_like
+
+        # schema-supplied read-back: a zero-row first run (empty
+        # partition window / new tenant) writes no data files
+        return read_parquet_like(self.spark, path, df)
 
 
 def merge_upsert(
@@ -252,10 +256,16 @@ def merge_upsert(
     """
     import shutil
 
+    from .io import read_parquet_like
+
+    # Schema-supplied reads throughout: a zero-row batch (empty
+    # partition / new tenant) writes only _SUCCESS, and a schema-less
+    # read-back would die with UNABLE_TO_INFER_SCHEMA; the table's
+    # schema is new_df's by the merge contract.
     if not os.path.exists(path):
         new_df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-    existing = spark.read.parquet(path)
+        return read_parquet_like(spark, path, new_df)
+    existing = read_parquet_like(spark, path, new_df)
     new_keys = new_df.select(*keys).distinct()
     merged = existing.join(new_keys, keys, "left_anti").unionByName(new_df)
     staging = path.rstrip("/") + ".staging"
@@ -266,7 +276,7 @@ def merge_upsert(
     os.rename(staging, path)
     # Verify the swapped-in table is readable before dropping the
     # pre-merge copy — the footer read raises if the write was torn.
-    out = spark.read.parquet(path)
+    out = read_parquet_like(spark, path, new_df)
     out.schema  # forces footer resolution
     shutil.rmtree(retired, ignore_errors=True)
     return out
@@ -428,10 +438,12 @@ def write_audit_publish(
     """
     import shutil
 
+    from .io import read_parquet_like
+
     staging = path.rstrip("/") + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
     df.write.mode("overwrite").parquet(staging)
-    staged = spark.read.parquet(staging)
+    staged = read_parquet_like(spark, staging, df)
     results = {name: bool(fn(staged)) for name, fn in audits.items()}
     if not all(results.values()):
         return False, results
@@ -440,7 +452,7 @@ def write_audit_publish(
     if os.path.exists(path):
         os.rename(path, retired)
     os.rename(staging, path)
-    out = spark.read.parquet(path)
+    out = read_parquet_like(spark, path, df)
     out.schema  # footer read: publish verified before dropping retired
     shutil.rmtree(retired, ignore_errors=True)
     return True, results

@@ -209,7 +209,9 @@ def write_zordered(
     for c in cols:
         aggs += [F.min(F.col(c).cast("long")), F.max(F.col(c).cast("long"))]
     row = df.agg(*aggs).collect()[0]
-    mins, maxs = list(row[0::2]), list(row[1::2])
+    # empty-input-safe: zero-row stats pre-pass yields NULL bounds
+    mins = [v if v is not None else 0 for v in row[0::2]]
+    maxs = [v if v is not None else 0 for v in row[1::2]]
     key = zorder_key(cols, mins, maxs, bits=bits)
     (
         df.withColumn("_zkey", key)
@@ -219,4 +221,6 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
-    return spark.read.parquet(path)
+    from .io import read_parquet_like
+
+    return read_parquet_like(spark, path, df)

@@ -30,6 +30,8 @@ streaming substitute (kept out of the oracle-checked columns).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -529,4 +531,8 @@ def run_into_incremental_sink(
         .start()
     )
     q.awaitTermination()
+    if not os.path.exists(table_path):
+        # empty source: no micro-batch ever merged, so the table was
+        # never created — the read-back is the transform's empty shape
+        return spark.createDataFrame([], stream.schema)
     return spark.read.parquet(table_path)
