@@ -148,7 +148,8 @@ def _shingles_and_sig(k: int = 3, max_token_bytes: int = 24, with_sig: bool = Tr
     )
     def _kernel(texts: pd.Series) -> pd.DataFrame:
         tok_lists = [
-            t.lower().encode("utf-8").split(b" ") for t in texts
+            ("" if t is None else t).lower().encode("utf-8").split(b" ")
+            for t in texts  # null text == empty text (no shingles emitted)
         ]
         counts = np.fromiter(
             (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
@@ -440,7 +441,9 @@ def simhash60_kernel():
         cache: dict[bytes, int] = {}
         out = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            toks = set(t.lower().encode("utf-8").split(b" "))
+            toks = set(
+                ("" if t is None else t).lower().encode("utf-8").split(b" ")
+            )
             hs = np.empty(len(toks), dtype=np.uint64)
             for j, tok in enumerate(toks):
                 v = cache.get(tok)
@@ -610,6 +613,7 @@ def decode_multimodal(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            pdf = pdf[pdf["payload"].notna()]  # missing media: skip
             n_bytes = pdf["payload"].map(len)
             # _fake_decode: dimensions derived from payload size only.
             yield pd.DataFrame(
@@ -664,6 +668,8 @@ def sample_frames(df: DataFrame, stride: int = 7, box: int = 224) -> DataFrame:
             for doc_id, modality, payload in zip(
                 pdf["doc_id"], pdf["modality"], pdf["payload"]
             ):
+                if payload is None:  # missing media: skip
+                    continue
                 raw = np.frombuffer(payload, dtype=np.uint8)
                 n_bytes = len(raw)
                 n_frames = 1 + n_bytes % 96 if modality == "video" else 1
@@ -718,6 +724,8 @@ def chunk_audio(df: DataFrame, chunk: int = 512) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # missing media: skip
+                    continue
                 raw = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 n = len(raw)
                 for ci, lo in enumerate(range(0, n, chunk)):
@@ -1182,7 +1190,10 @@ def ffd_pack(
     sized = docs.select(
         "doc_id",
         (md5_long(F.col("doc_id").cast("string")) % shards).alias("shard"),
-        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        # null text == zero tokens (empty-input-safe weight)
+        F.coalesce(
+            F.size(ws_tokens(F.col("text"))).cast("long"), F.lit(0)
+        ).alias("n_tokens"),
     )
     return sized.groupBy("shard").applyInPandas(_pack, schema=PACK_SCHEMA)
 
@@ -1206,7 +1217,7 @@ def compression_ratio(docs: DataFrame, level: int = 6) -> DataFrame:
         import zlib
 
         for pdf in batches:
-            raw = [t.encode("utf-8") for t in pdf["text"]]
+            raw = [t.encode("utf-8") for t in pdf["text"].fillna("")]
             comp = [len(zlib.compress(b, level)) for b in raw]
             n = [len(b) for b in raw]
             yield pd.DataFrame(

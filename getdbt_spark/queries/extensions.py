@@ -4254,6 +4254,8 @@ def fn_python_udtf(spark, sf_dir):
           useArrow=True)
     class _Tokenize:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # null doc: no rows (unnest-of-NULL parity)
+                return
             for i, w in enumerate(text.split(" ")):
                 yield doc_id, i, w, len(w)
 

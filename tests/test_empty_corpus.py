@@ -46,3 +46,61 @@ def test_every_query_survives_empty_corpus(spark, empty_sf):
         f"{len(fails)} queries crash on an empty corpus:\n"
         + "\n".join(f"  {k}: {v}" for k, v in sorted(fails.items()))
     )
+
+
+@pytest.fixture(scope="session")
+def null_sf(spark, tmp_path_factory):
+    """Corpus where every nullable-prone column is entirely NULL —
+    failed text extraction, missing media payloads, absent metadata."""
+    from pyspark.sql import functions as F
+
+    nulls = {
+        "documents": ["text", "lang", "source"],
+        "events": ["props", "value", "event_type"],
+        "embeddings": ["label"],
+        "orders": ["o_comment", "o_orderpriority", "o_clerk"],
+        "lineitem": [
+            "l_comment", "l_shipinstruct", "l_shipmode",
+            "l_returnflag", "l_linestatus",
+        ],
+        "customer": ["c_comment", "c_mktsegment", "c_phone"],
+        "part": ["p_comment", "p_type", "p_brand", "p_container"],
+        "supplier": ["s_comment"],
+        "nation": ["n_comment"],
+        "region": ["r_comment"],
+    }
+    out = str(tmp_path_factory.mktemp("null_sf"))
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        types = dict(df.dtypes)
+        for c in nulls.get(t, []):
+            if c in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(types[c]))
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return out
+
+
+@pytest.mark.slow
+def test_every_query_survives_all_null_columns(spark, null_sf):
+    """Round 6's second sweep: 13 Arrow/pandas kernels crashed on null
+    text / null binary payloads (`None.lower()`, `len(None)`,
+    `int(NaN)`) — one corrupt document must not kill the job.  Kernel
+    contracts now: null text ≡ empty text (zero shingles/tokens — the
+    oracle's unnest-of-NULL parity), null media payload ≡ skip row
+    (the decode-failure path), null token weight ≡ 0."""
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    fails = {}
+    for qid, fn in QUERIES.items():
+        try:
+            fn(spark, null_sf).count()
+        except Exception as e:  # noqa: BLE001
+            fails[qid] = f"{type(e).__name__}: {str(e).splitlines()[0][:140]}"
+    assert not fails, (
+        f"{len(fails)} queries crash on an all-NULL-column corpus:\n"
+        + "\n".join(f"  {k}: {v}" for k, v in sorted(fails.items()))
+    )
