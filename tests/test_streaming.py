@@ -409,3 +409,42 @@ def test_topk_trending_stream_matches_batch(spark, events_dir):
         if str(r["d"]) in closed_days
     )
     assert got == want
+
+
+def test_ntz_instant_preserves_wall_clock_exactly(spark):
+    """The `_ntz_instant` mapping contract, pinned directly: for every
+    NTZ wall-clock value w (random sample across 2024 plus the exact
+    Europe/Amsterdam transition hours), the mapped instant's UTC epoch
+    must equal w interpreted as UTC — i.e. UTC face == wall clock,
+    byte-exact to the microsecond.  That property is what makes
+    instant differences equal raw NTZ differences everywhere."""
+    import calendar
+    import datetime as dt
+    import random
+
+    from getdbt_spark.streaming import _ntz_instant
+
+    rng = random.Random(42)
+    stamps = [
+        dt.datetime(2024, 1, 1)
+        + dt.timedelta(
+            seconds=rng.randrange(366 * 86400), microseconds=rng.randrange(10**6)
+        )
+        for _ in range(500)
+    ]
+    # the skipped hour (spring-forward) and the repeated hour (fall-back)
+    stamps += [
+        dt.datetime(2024, 3, 31, 2, mm, ss)
+        for mm in (0, 30, 59) for ss in (0, 30)
+    ]
+    stamps += [
+        dt.datetime(2024, 10, 27, 2, mm, ss)
+        for mm in (0, 30, 59) for ss in (0, 30)
+    ]
+    df = spark.createDataFrame(
+        [(s,) for s in stamps], "ts timestamp_ntz"
+    ).select("ts", F.unix_micros(_ntz_instant("ts")).alias("um"))
+    for r in df.collect():
+        w = r["ts"]
+        want = calendar.timegm(w.timetuple()) * 10**6 + w.microsecond
+        assert r["um"] == want, f"{w}: {r['um']} != {want}"
