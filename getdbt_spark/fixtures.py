@@ -420,6 +420,17 @@ def fixture_sql(name: str, dialect: str) -> str:
         # Wall-clock semantics: every timestamp literal/cast is NTZ on
         # the Spark side (DuckDB TIMESTAMP is already naive).
         sql = re.sub(r"\bTIMESTAMP\b", "TIMESTAMP_NTZ", sql)
+        # Spark's date_trunc on NTZ round-trips through the SESSION
+        # time zone and bumps the DST skipped hour +1 h (DuckDB's is
+        # wall-pure) — rebuild the minute trunc from fields instead.
+        # Only sub-day truncs are affected; the week truncs operate on
+        # dates (midnights, which Europe/Amsterdam never skips).
+        sql = re.sub(
+            r"date_trunc\('minute',\s*(\w+)\)",
+            r"make_timestamp_ntz(year(\1), month(\1), day(\1), "
+            r"hour(\1), minute(\1), 0)",
+            sql,
+        )
     return sql
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..functions import (
     iso_week,
     iso_year,
+    ntz_diff_us,
     null_lit,
     round_to,
     safe_divide,
@@ -289,9 +290,12 @@ def integral_reporting_tvbroadcasts(ctx):
         )
         .select(
             "*",
-            F.timestamp_diff("MINUTE", F.col("_b"), F.col("_e")).alias(
-                "ep_duration_min"
-            ),
+            # wall-pure minute diff (F.timestamp_diff session-coerces
+            # NTZ and corrupts broadcasts straddling the DST skipped
+            # hour — round-6 random-corpus find: 5 min became 65)
+            F.floor(
+                ntz_diff_us(F.col("_e"), F.col("_b")) / F.lit(60_000_000)
+            ).cast("long").alias("ep_duration_min"),
         )
         .withColumn("time_spent", F.col("ep_duration_min") * F.col("kdh"))
     )
@@ -379,9 +383,10 @@ def integral_reporting_vodstreaming(ctx):
             F.col("beginTimeCET").alias("start_eps"),
             "mediaId",
             F.col("season_id").alias("channel"),
-            F.timestamp_diff(
-                "MINUTE", F.col("beginTimeCET"), F.col("endTimeCET")
-            ).alias("ep_duration_min"),
+            F.floor(
+                ntz_diff_us(F.col("endTimeCET"), F.col("beginTimeCET"))
+                / F.lit(60_000_000)
+            ).cast("long").alias("ep_duration_min"),
             F.min("date").over(w_season).alias("first_known_eps_date_season"),
             F.max("date").over(w_season).alias("last_known_eps_date_season"),
         )

@@ -34,6 +34,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import (
+    ntz_trunc_minute,
     nullif_,
     safe_offset,
     split_literal,
@@ -126,9 +127,7 @@ def atinternet_smarttag_streams_daily_v4(ctx):
             F.broadcast(adv_events),
             (F.col("channel") == F.col("adv_channel"))
             & (
-                F.date_trunc("minute", "d_date_hour_event").cast(
-                    "timestamp_ntz"
-                )
+                ntz_trunc_minute("d_date_hour_event")
                 == F.col("adv_minute")
             ),
             "left",

@@ -106,14 +106,31 @@ JACCARD_THRESHOLD = 0.6
 _U32 = (1 << 32) - 1
 
 
+def _mix64(v: "np.ndarray") -> "np.ndarray":
+    """splitmix64 finalizer, vectorized over uint64 (wrapping mul).
+
+    A full-avalanche 64-bit mixer: every output bit depends on every
+    input bit, so ``_mix64(x ^ seed_i)`` acts as an independent-ish
+    permutation per seed — the property minhash needs and the old
+    non-wrapping ``lo + i*hi`` scheme lacked."""
+    v = v.astype(np.uint64, copy=True)
+    v ^= v >> np.uint64(30)
+    v *= np.uint64(0xBF58476D1CE4E5B9)
+    v ^= v >> np.uint64(27)
+    v *= np.uint64(0x94D049BB133111EB)
+    v ^= v >> np.uint64(31)
+    return v
+
+
 def _shingles_and_sig(k: int = 3, max_token_bytes: int = 24, with_sig: bool = True):
     """Arrow-batched kernel: raw text → (shingles, minhash sig) per doc.
 
     One vectorized pass does ALL the per-doc work — tokenize, hash
     every token, combine k consecutive token hashes into 64-bit
     shingles (XOR of distinct rotations), distinct them, and fold the
-    128-seed double-hash minimum (g_i = lo + i·hi on the shingle's two
-    32-bit halves).  Why a Pandas UDF: the per-element Column/HOF
+    128-seed minimum (g_i = min over shingles of
+    ``_mix64(shingle ^ seed_i)`` — an independent-ish permutation per
+    slot).  Why a Pandas UDF: the per-element Column/HOF
     version of this kernel is interpreted (never codegen'd) and
     measured ~5 s for 5 000 × ~500-token docs at sf0.1, plus another
     ~3 s for a JVM ``transform(w, xxhash64)`` token-hash pass; this
@@ -134,7 +151,9 @@ def _shingles_and_sig(k: int = 3, max_token_bytes: int = 24, with_sig: bool = Tr
     """
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-    seeds = np.arange(MINHASH_N, dtype=np.uint64)
+    # per-slot seed constants: pure function of the slot index (no RNG
+    # dependence), pre-mixed so slot 0 isn't the identity permutation
+    seeds = _mix64(np.arange(1, MINHASH_N + 1, dtype=np.uint64))
     rots = [(1 + 21 * j) % 64 for j in range(k)]
     fnv = np.uint64(1099511628211)
 
@@ -180,9 +199,19 @@ def _shingles_and_sig(k: int = 3, max_token_bytes: int = 24, with_sig: bool = Tr
             sh = np.unique(g)
             sh_out.append(sh.view(np.int64))
             if with_sig:
-                lo = sh & np.uint64(_U32)
-                hi = sh >> np.uint64(32)
-                sig = (lo[:, None] + hi[:, None] * seeds[None, :]).min(axis=0)
+                # Proper per-seed permutation: splitmix64 finalizer of
+                # (shingle ^ seed_i), minned per seed.  The previous
+                # ``min(lo + i*hi)`` double-hash NEVER WRAPPED uint64
+                # (i*hi <= 2^39), so for growing i the argmin converged
+                # to the global smallest-hi shingle — all 128 slots
+                # correlated, and editing one word near that shingle
+                # flipped essentially the whole signature (measured
+                # 1/128 matching slots at J=0.94; the banded LSH then
+                # MISSED a true near-dup the exact oracle reports —
+                # round-6 random-corpus find).  _mix64 makes each slot
+                # an independent-ish permutation, restoring the
+                # textbook (1-J^r)^b miss bound (~1e-60 at J=0.94).
+                sig = _mix64(sh[:, None] ^ seeds[None, :]).min(axis=0)
                 sig_out.append(sig.view(np.int64))
             else:
                 # shingles-only callers (the exact-Jaccard path) skip

@@ -698,10 +698,11 @@ def win_session_longest(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(wo)
-    gap_us = F.expr(
-        "timestampdiff(MICROSECOND, lag(ts) OVER "
-        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
-    )
+    # wall-pure microsecond gap: lag over the epoch column
+    # (timestampdiff on NTZ session-coerces and corrupts the DST
+    # skipped hour — round-6 random-corpus class)
+    us = E.ntz_epoch_us("ts")
+    gap_us = us - F.lag(us).over(wo)
     flagged = e.select(
         "user_id",
         "ts",
@@ -715,7 +716,7 @@ def win_session_longest(spark, sf_dir):
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))")
+        (F.max(E.ntz_epoch_us("ts")) - F.min(E.ntz_epoch_us("ts")))
         .cast("long")
         .alias("duration_us"),
     )
@@ -1436,8 +1437,8 @@ def join_asof_tolerance(spark, sf_dir):
         F.last(b_ts, ignorenulls=True).over(w).alias("prev_purchase_ts"),
         F.last(b_cents, ignorenulls=True).over(w).alias("prev_purchase_cents"),
     )
-    in_tol = F.expr(
-        "timestampdiff(MICROSECOND, prev_purchase_ts, ts)"
+    in_tol = (
+        E.ntz_epoch_us("ts") - E.ntz_epoch_us("prev_purchase_ts")
     ) <= 3600 * 1000 * 1000
     return filled.filter(F.col("event_type") == "click").select(
         "user_id",
@@ -1601,7 +1602,7 @@ def agg_ohlc_bars(spark, sf_dir):
     min_by/max_by partials carry (value, key) pairs, so the shuffle
     is one row per (type, bar) per task at any scale.
     """
-    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01', ts)")
+    us = E.ntz_epoch_us("ts")  # wall-pure epoch (timestampdiff session-coerces)
     cents = F.floor(F.col("value") * 100).cast("long")
     skey = F.concat(
         F.lpad(us.cast("string"), 20, "0"),
@@ -3089,10 +3090,8 @@ def agg_funnel_in_session(spark, sf_dir):
     wo = Window.partitionBy("user_id").orderBy("ts")
     # microsecond gap (same idiom as win_session_longest: NTZ doesn't
     # cast to a number; timestampdiff keeps the exact resolution)
-    gap_us = F.expr(
-        "timestampdiff(MICROSECOND, lag(ts) OVER "
-        "(PARTITION BY user_id ORDER BY ts), ts)"
-    )
+    us = E.ntz_epoch_us("ts")
+    gap_us = us - F.lag(us).over(wo)
     sess = ev.withColumn(
         "new_sess",
         F.when(gap_us < 1800 * 1000 * 1000, 0).otherwise(1),
@@ -3456,7 +3455,7 @@ def agg_time_to_convert(spark, sf_dir):
         F.col("t_view").isNotNull() & (F.col("t_buy") > F.col("t_view"))
     ).select(
         F.floor(
-            F.expr("timestampdiff(MICROSECOND, t_view, t_buy)") / 1000000
+            (E.ntz_epoch_us("t_buy") - E.ntz_epoch_us("t_view")) / 1000000
         ).alias("secs")
     )
     return conv.agg(
@@ -5283,10 +5282,12 @@ def agg_interarrival_stats(spark, sf_dir):
     # truncates the interval while DuckDB's date_diff counts boundary
     # crossings — they disagree on sub-second components unless the
     # inputs are already whole seconds
-    ts_s = F.date_trunc("second", F.col("ts"))
+    ts_s = E.ntz_trunc_second(F.col("ts"))
     seq = _t(spark, sf_dir, "events").select(
         "event_type",
-        E.timestamp_diff_seconds(ts_s, F.date_trunc("second", F.lag("ts").over(w)))
+        E.timestamp_diff_seconds(
+            ts_s, E.ntz_trunc_second(F.lag("ts").over(w))
+        )
         .cast("long")
         .alias("gap_s"),
     )

@@ -671,12 +671,12 @@ def join_asof_nearest(spark, sf_dir):
     joined = views.join(
         purchases,
         (F.col("user_id") == F.col("p_user_id"))
-        & (F.date_trunc("hour", "v_ts") == F.date_trunc("hour", "p_ts")),
+        & (E.ntz_trunc_hour("v_ts") == E.ntz_trunc_hour("p_ts")),
         "left",
     )
     diff_s = F.abs(
-        F.timestamp_diff(
-            "SECOND", F.date_trunc("second", "p_ts"), F.date_trunc("second", "v_ts")
+        E.timestamp_diff_seconds(
+            E.ntz_trunc_second("v_ts"), E.ntz_trunc_second("p_ts")
         )
     )
     w = Window.partitionBy("view_id").orderBy(
@@ -1335,12 +1335,13 @@ def fn_datetime_pipeline(spark, sf_dir):
     return ev.select(
         "event_id",
         F.to_date("ts").alias("evt_date"),
-        F.date_trunc("minute", "ts").cast("timestamp_ntz").alias("evt_minute"),
+        E.ntz_trunc_minute("ts").alias("evt_minute"),
         E.iso_year("ts").cast("bigint").alias("iso_y"),
         E.iso_week(F.to_date("ts")).cast("bigint").alias("iso_w"),
         F.date_sub(F.to_date("ts"), 7).alias("week_ago"),
         E.timestamp_diff_seconds(
-            F.date_trunc("minute", "ts"), F.date_trunc("day", "ts")
+            E.ntz_trunc_minute("ts"),
+            F.to_date("ts").cast("timestamp_ntz"),
         ).alias("secs_since_midnight"),
         F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
         .cast("int")
@@ -1454,7 +1455,7 @@ def fn_generate_timestamp_array(spark, sf_dir):
     stage per input row, no shuffle."""
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
     b = (
-        F.date_trunc("minute", "ts").cast("timestamp_ntz")
+        E.ntz_trunc_minute("ts")
         - (F.col("event_id") % 7) * F.expr("interval 1 minute")
     )
     e = b + (F.lit(5) + F.col("event_id") % 11) * F.expr("interval 1 minute")

@@ -61,11 +61,7 @@ def _ntz_instant(col: str = "ts") -> F.Column:
     included), so instant differences == wall-clock differences and
     ``F.window`` day/minute buckets align with NTZ day boundaries.
     """
-    return F.expr(
-        f"make_timestamp(year({col}), month({col}), day({col}), "
-        f"hour({col}), minute({col}), "
-        f"cast(date_part('SECOND', {col}) as decimal(16,6)), 'UTC')"
-    )
+    return E.ntz_instant(col)
 
 
 def daily_event_stats(events: DataFrame) -> DataFrame:
@@ -391,16 +387,12 @@ def sliding_window_stats(events: DataFrame) -> DataFrame:
             ),
         )
         .select(
-            # Inverse of the input shift: w.start's UTC face is the
-            # wall-clock bucket, but a bare NTZ cast renders the
-            # SESSION-TZ face (+1h/+2h drift); to_utc_timestamp
-            # restores the wall clock before the NTZ cast.
-            F.to_utc_timestamp(F.col("w.start"), F.expr("current_timezone()"))
-            .cast("timestamp_ntz")
-            .alias("win_start"),
-            F.to_utc_timestamp(F.col("w.end"), F.expr("current_timezone()"))
-            .cast("timestamp_ntz")
-            .alias("win_end"),
+            # Inverse of the input shift: w.start's UTC face IS the
+            # wall-clock bucket; ntz_wall extracts it TZ-free (the old
+            # to_utc_timestamp inverse was itself DST-dependent and
+            # bumped skipped-hour windows +1h — random-corpus find).
+            E.ntz_wall(F.col("w.start")).alias("win_start"),
+            E.ntz_wall(F.col("w.end")).alias("win_end"),
             "event_type",
             "n_events",
             E.round_to(F.col("total_cents") / 100.0, 2).alias("total_value"),

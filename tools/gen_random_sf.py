@@ -1,0 +1,197 @@
+"""Seeded RANDOM corpus generator → .scale_data/rand_sf/.
+
+The driver's correctness gate runs every query against the DuckDB
+oracle on ONE fixed corpus — so any divergence that the fixture's
+particular values happen to dodge (tie-break totality, float summation
+boundaries, DST-straddling event times, degenerate group shapes) stays
+invisible.  This tool generates a same-schema corpus with seeded but
+DIFFERENT distributions, deliberately hostile where the fixed corpus
+is gentle:
+
+- events span 2024-03-01 .. 2024-11-15 — STRADDLING both
+  Europe/Amsterdam DST transitions (the fixed corpus is January-only),
+  with microsecond jitter, heavy user skew (Zipf-ish), duplicated
+  timestamps (ties), and repeated (user, ts) pairs;
+- documents mix random word-soup lengths with engineered EXACT
+  duplicates, near-duplicate pairs (one-word edits), empty and
+  single-word texts;
+- lineitem/orders carry exact-tie prices and quantities so any
+  non-total ORDER BY shows up as a cross-engine hash flip;
+- embeddings are seeded normals with a few exactly-duplicated vectors.
+
+Then `python tools/verify_local.py .scale_data/rand_sf` replays the
+ENTIRE registry (Spark vs DuckDB) on data neither engine has seen —
+a hash mismatch here is a real latent bug (or a documented
+fixture-dependence), never noise.
+
+Usage: python tools/gen_random_sf.py [seed]   (default seed 20240814)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, ".scale_data", "rand_sf")
+
+N_CUST, N_SUPP, N_PART, N_ORDERS, N_LINE = 150, 10, 200, 1500, 6000
+N_EVENTS, N_DOCS, N_EMB, DIM = 1000, 500, 500, 64
+
+WORDS = (
+    "the a spark table scan join merge sort window filter agg group row "
+    "column key value batch stream hash part order line customer data "
+    "query small big fast slow dup vector alpha beta gamma delta epsilon "
+    "zeta theta lambda sigma omega red blue green north south east west "
+    "zero one two three four five six seven eight nine"
+).split()
+
+
+def _strings(rng, prefix, n, dom):
+    return [f"{prefix}{rng.integers(dom)}" for _ in range(n)]
+
+
+def main(seed: int = 20240814) -> None:
+    rng = np.random.default_rng(seed)
+    os.makedirs(OUT, exist_ok=True)
+
+    def w(name, table):
+        pq.write_table(table, os.path.join(OUT, f"{name}.parquet"))
+
+    # -- region / nation (tiny catalogs, same shape) --------------------
+    w("region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": [f"REGION_{i}" for i in range(5)],
+    }))
+    w("nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"NATION_{i:02d}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+
+    # -- customer / supplier / part -------------------------------------
+    segs = ["AUTOMOBILE", "MACHINERY", "BUILDING", "FURNITURE", "HOUSEHOLD"]
+    w("customer", pa.table({
+        "c_custkey": pa.array(range(N_CUST), pa.int64()),
+        "c_name": [f"Customer#{rng.integers(10**6):06d}" for _ in range(N_CUST)],
+        "c_nationkey": pa.array(rng.integers(0, 25, N_CUST), pa.int32()),
+        # exact ties on purpose: acctbal quantized to 50 distinct values
+        "c_acctbal": np.round(rng.integers(-20, 30, N_CUST) * 111.11, 2),
+        "c_mktsegment": [segs[i] for i in rng.integers(0, 5, N_CUST)],
+    }))
+    w("supplier", pa.table({
+        "s_suppkey": pa.array(range(N_SUPP), pa.int64()),
+        "s_name": [f"Supplier#{i:02d}" for i in range(N_SUPP)],
+        "s_nationkey": pa.array(rng.integers(0, 25, N_SUPP), pa.int32()),
+        "s_acctbal": np.round(rng.uniform(-999, 9999, N_SUPP), 2),
+    }))
+    types = [f"{a} {b}" for a in ("STANDARD", "SMALL", "LARGE", "ECONOMY")
+             for b in ("BRUSHED", "POLISHED", "PLATED")]
+    w("part", pa.table({
+        "p_partkey": pa.array(range(N_PART), pa.int64()),
+        "p_name": [" ".join(rng.choice(WORDS, 3)) for _ in range(N_PART)],
+        "p_brand": [f"Brand#{rng.integers(1, 6)}{rng.integers(1, 6)}"
+                    for _ in range(N_PART)],
+        "p_type": [types[i] for i in rng.integers(0, len(types), N_PART)],
+        "p_size": pa.array(rng.integers(1, 51, N_PART), pa.int32()),
+        "p_retailprice": np.round(900 + rng.integers(0, 200, N_PART) * 1.0, 2),
+    }))
+
+    # -- orders / lineitem (FK-closed, tie-heavy) -----------------------
+    day = np.timedelta64(1, "D")
+    o_dates = (np.datetime64("1995-01-01") +
+               rng.integers(0, 2400, N_ORDERS) * day).astype("datetime64[us]")
+    w("orders", pa.table({
+        "o_orderkey": pa.array(range(N_ORDERS), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, N_CUST, N_ORDERS), pa.int64()),
+        "o_orderstatus": [("F", "O", "P")[i] for i in
+                          rng.choice([0, 1, 2], N_ORDERS, p=[.45, .45, .1])],
+        # quantized prices: many exact cross-order ties
+        "o_totalprice": np.round(rng.integers(10, 3000, N_ORDERS) * 97.0, 2),
+        "o_orderdate": o_dates,
+        "o_orderpriority": [f"{i}-{n}" for i, n in
+                            (rng.choice([(1, "URGENT"), (2, "HIGH"),
+                                         (3, "MEDIUM"), (4, "NOT SPECIFIED"),
+                                         (5, "LOW")], N_LINE // 4))][:N_ORDERS],
+    }))
+    l_ok = rng.integers(0, N_ORDERS, N_LINE)
+    l_ship = (o_dates[l_ok] + rng.integers(1, 120, N_LINE) * day
+              ).astype("datetime64[us]")
+    rf = rng.choice(["N", "A", "R"], N_LINE, p=[.5, .25, .25])
+    w("lineitem", pa.table({
+        "l_orderkey": pa.array(l_ok, pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, N_PART, N_LINE), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, N_SUPP, N_LINE), pa.int64()),
+        "l_linenumber": pa.array(rng.integers(1, 8, N_LINE), pa.int32()),
+        "l_quantity": rng.integers(1, 51, N_LINE).astype("float64"),
+        "l_extendedprice": np.round(rng.integers(1, 1000, N_LINE) * 101.0, 2),
+        "l_discount": np.round(rng.integers(0, 11, N_LINE) * 0.01, 2),
+        "l_tax": np.round(rng.integers(0, 9, N_LINE) * 0.01, 2),
+        "l_returnflag": rf,
+        "l_linestatus": np.where(rf == "N", "O", "F"),
+        "l_shipdate": l_ship,
+    }))
+
+    # -- events: DST-straddling, skewed, tie-heavy ----------------------
+    t0 = np.datetime64("2024-03-01T00:00:00", "us")
+    span_us = int((np.datetime64("2024-11-15T00:00:00", "us") - t0)
+                  / np.timedelta64(1, "us"))
+    ts = t0 + rng.integers(0, span_us, N_EVENTS) * np.timedelta64(1, "us")
+    # force exact-timestamp ties and transition-hour events
+    ts[::50] = ts[1::50][: len(ts[::50])]
+    ts[:6] = [np.datetime64(s, "us") for s in (
+        "2024-03-31T01:55:00", "2024-03-31T02:10:00", "2024-03-31T02:40:00",
+        "2024-10-27T02:05:00", "2024-10-27T02:35:00", "2024-10-27T03:05:00")]
+    users = np.minimum(rng.zipf(1.4, N_EVENTS) - 1, 14).astype("int64")
+    etypes = rng.choice(["view", "click", "purchase", "signup", "error"],
+                        N_EVENTS, p=[.4, .3, .15, .1, .05])
+    w("events", pa.table({
+        "event_id": pa.array(range(N_EVENTS), pa.int64()),
+        "ts": ts,
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": etypes,
+        "value": np.round(rng.integers(1, 32768, N_EVENTS) * 0.01, 2),
+        "props": [f'{{"k": {rng.integers(0, 100)}}}' for _ in range(N_EVENTS)],
+    }))
+
+    # -- documents: dup/near-dup engineered ----------------------------
+    texts = []
+    for i in range(N_DOCS):
+        n = int(rng.integers(0, 120))
+        texts.append(" ".join(rng.choice(WORDS, n)) if n else "")
+    for i in range(0, 40, 4):          # exact duplicate pairs
+        texts[i + 1] = texts[i]
+    for i in range(40, 80, 4):         # near-dup: one-word edit
+        base = texts[i].split()
+        if base:
+            base[len(base) // 2] = "EDITED"
+            texts[i + 1] = " ".join(base)
+    langs = rng.choice(["en", "de", "fr", "es", "zh"], N_DOCS,
+                       p=[.4, .2, .2, .1, .1])
+    w("documents", pa.table({
+        "doc_id": pa.array(range(N_DOCS), pa.int64()),
+        "text": texts,
+        "lang": langs,
+        "source": [f"src{rng.integers(0, 20)}" for _ in range(N_DOCS)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+    # -- embeddings: seeded normals + exact duplicates ------------------
+    emb = rng.normal(0, 1, (N_EMB, DIM)).astype("float32")
+    emb[10] = emb[11]
+    emb[12] = emb[13]
+    w("embeddings", pa.table({
+        "vec_id": pa.array(range(N_EMB), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in emb],
+                              pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, N_EMB), pa.int32()),
+    }))
+    print(f"random corpus (seed {seed}) written to {OUT}")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20240814)
