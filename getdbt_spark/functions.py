@@ -75,10 +75,19 @@ def ntz_instant(col: Column | str) -> Column:
 def ntz_wall(col: Column | str) -> Column:
     """Inverse of :func:`ntz_instant`: instant UTC face → NTZ.
 
-    Two-arg ``convert_timezone(targetTz, instant)`` renders the
-    INSTANT's face in the target zone (the three-arg form would first
-    session-cast a TIMESTAMP operand and reintroduce the DST bump)."""
-    return F.convert_timezone(None, F.lit("UTC"), _col(col))
+    Pure epoch arithmetic: ``unix_micros`` of the instant added onto
+    the NTZ epoch — no time zone is consulted at any step.  The
+    tempting alternatives both have a DST hole: a bare NTZ cast (and
+    3-arg ``convert_timezone``) renders the SESSION face, and even
+    2-arg ``convert_timezone('UTC', instant)`` round-trips through the
+    session face, where the fall-back AMBIGUOUS hour resolves to the
+    earlier offset and comes back −1 h (probed: UTC face
+    2024-10-27 01:15 → 00:15)."""
+    return F.timestamp_add(
+        "MICROSECOND",
+        F.unix_micros(_col(col)),
+        F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+    )
 
 
 def ntz_epoch_us(col: Column | str) -> Column:
