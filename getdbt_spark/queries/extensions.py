@@ -1799,7 +1799,11 @@ def dq_anomaly_zscore(spark, sf_dir):
         F.avg("n_events").alias("mu"),
         F.stddev_pop("n_events").alias("sigma"),
     )
-    z = (F.col("n_events") - F.col("mu")) / F.col("sigma")
+    # try_divide: a zero-variance feed (every day identical, or a
+    # single day) has no anomalies — NULL z filters out, matching the
+    # oracle's NULL-on-division-by-zero; the bare `/` crashed under
+    # ANSI on a one-day corpus (round-6 ties-corpus find)
+    z = F.try_divide(F.col("n_events") - F.col("mu"), F.col("sigma"))
     return (
         daily.join(F.broadcast(stats))
         .filter(F.abs(z) > 1.5)

@@ -104,3 +104,45 @@ def test_every_query_survives_all_null_columns(spark, null_sf):
         f"{len(fails)} queries crash on an all-NULL-column corpus:\n"
         + "\n".join(f"  {k}: {v}" for k, v in sorted(fails.items()))
     )
+
+
+@pytest.fixture(scope="session")
+def uniform_sf(spark, tmp_path_factory):
+    """Degenerate-statistics corpus: every event on ONE timestamp with
+    near-constant values — zero variance, zero gaps, single day."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("uniform_sf"))
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        if t == "events":
+            df = df.withColumn(
+                "ts", F.lit("2024-01-15 12:00:00").cast("timestamp_ntz")
+            ).withColumn("value", (F.col("event_id") % 7).cast("double"))
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return out
+
+
+@pytest.mark.slow
+def test_every_query_survives_uniform_corpus(spark, uniform_sf):
+    """Round 6's third sweep class: zero-variance statistics.  A
+    single-day constant-value feed made `dq_anomaly_zscore` crash with
+    an ANSI DIVIDE_BY_ZERO (sigma = 0) where the oracle's
+    NULL-on-zero-division semantics quietly flag nothing.  Division by
+    possibly-degenerate aggregates must use try_divide/safe_divide."""
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    fails = {}
+    for qid, fn in QUERIES.items():
+        try:
+            fn(spark, uniform_sf).count()
+        except Exception as e:  # noqa: BLE001
+            fails[qid] = f"{type(e).__name__}: {str(e).splitlines()[0][:140]}"
+    assert not fails, (
+        f"{len(fails)} queries crash on a zero-variance corpus:\n"
+        + "\n".join(f"  {k}: {v}" for k, v in sorted(fails.items()))
+    )
