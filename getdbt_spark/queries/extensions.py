@@ -5385,8 +5385,12 @@ def agg_power_law_fit(spark, sf_dir):
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
     kd = F.col("k").cast("double")
-    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        kd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    # try_divide: one distinct rank (single-user corpus) zeroes the OLS
+    # denominator; DuckDB's double division returns NULL there, ANSI
+    # Spark throws — NULL slope/intercept is the cross-engine answer
+    slope = F.try_divide(
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        kd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"),
     )
     return s.select(
         F.col("k").cast("long").alias("n_points"),

@@ -545,10 +545,16 @@ MODEL_CTES: list[tuple[str, str]] = [
           isoyear(s.weekdate) AS year,
           count(DISTINCT str.evt_mid) AS streaming_number_of_episodes,
           sum(str.streaming_duration_sec) AS streaming_duration_sec,
-          sum(str.streaming_playcount_over_30s) AS streaming_playcount_over_30s,
-          sum(str.streaming_playcount_over_30s_broadcastsonly)
+          -- BIGINT casts: DuckDB leaves integer SUMs as HUGEINT, which
+          -- fetchdf renders float64; on an all-populated corpus the
+          -- Spark column is int64 and the driver's dtype-class check
+          -- goes red (at sf0.01 nulls masked it: both sides float64)
+          CAST(sum(str.streaming_playcount_over_30s) AS BIGINT)
+            AS streaming_playcount_over_30s,
+          CAST(sum(str.streaming_playcount_over_30s_broadcastsonly) AS BIGINT)
             AS streaming_playcount_over_30s_broadcastsonly,
-          sum(str.streaming_time_spent_sec) AS streaming_time_spent_sec,
+          CAST(sum(str.streaming_time_spent_sec) AS BIGINT)
+            AS streaming_time_spent_sec,
           sum(str.streaming_kdh_per_episode) AS streaming_sum_kdh_per_week,
           sum(str.streaming_kdh_for_new_released_episode)
             AS streaming_kdh_for_new_released_episode,

@@ -24,7 +24,18 @@ ENTIRE registry (Spark vs DuckDB) on data neither engine has seen —
 a hash mismatch here is a real latent bug (or a documented
 fixture-dependence), never noise.
 
-Usage: python tools/gen_random_sf.py [seed]   (default seed 20240814)
+Usage: python tools/gen_random_sf.py [seed] [variant]
+       seed     default 20240814
+       variant  default | ties | hostile
+
+Variants (post-process the events table; other tables unchanged):
+- ``ties``:    every event on ONE timestamp, values quantized to 7
+               levels — zero variance, zero gaps, total-order stress
+               (found the dq_anomaly_zscore ANSI division crash).
+- ``hostile``: ALL events on one user (extreme key skew), values
+               shifted negative, sparse 1990-1995 hour-grid times
+               (found the power-law-fit zero-denominator crash and the
+               vodstreaming HUGEINT dtype-class latch).
 """
 
 from __future__ import annotations
@@ -193,5 +204,33 @@ def main(seed: int = 20240814) -> None:
     print(f"random corpus (seed {seed}) written to {OUT}")
 
 
+def apply_variant(variant: str) -> None:
+    """Rewrite OUT/events.parquet per the variant (see module doc)."""
+    import duckdb
+
+    src = os.path.join(OUT, "events.parquet")
+    if variant == "ties":
+        sql = f"""
+        SELECT event_id, TIMESTAMP '2024-01-15 12:00:00' AS ts, user_id,
+               event_type, CAST(value::INT % 7 AS DOUBLE) AS value, props
+        FROM read_parquet('{src}')"""
+    elif variant == "hostile":
+        sql = f"""
+        SELECT event_id,
+               TIMESTAMP '1990-06-15 00:00:00'
+                 + (event_id * event_id % 40177) * INTERVAL 1 HOUR
+                 + (event_id % 3600) * INTERVAL 1 SECOND AS ts,
+               0 AS user_id, event_type, value - 160.0 AS value, props
+        FROM read_parquet('{src}')"""
+    else:
+        raise SystemExit(f"unknown variant {variant!r}")
+    tmp = src + ".variant"
+    duckdb.sql(f"COPY ({sql}) TO '{tmp}' (FORMAT PARQUET)")
+    os.replace(tmp, src)
+    print(f"variant '{variant}' applied to {src}")
+
+
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 20240814)
+    if len(sys.argv) > 2 and sys.argv[2] != "default":
+        apply_variant(sys.argv[2])
