@@ -56,19 +56,36 @@ def _col(c: Column | str) -> Column:
 # exact wall-clock epoch.
 
 
+def _ntz_epoch_lit() -> Column:
+    return F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+
+
+def ntz_epoch_us(col: Column | str) -> Column:
+    """Wall-clock epoch micros of an NTZ timestamp (TZ-free).
+
+    NTZ−NTZ subtraction is pure internal-micros arithmetic (the type
+    has no zone to consult — probed exact across both DST transition
+    nights), and the DECIMAL(30,6) cast of the day-time interval is
+    its exact signed seconds with microsecond fraction.  One
+    subtraction — an order of magnitude cheaper than rebuilding six
+    calendar fields through ``make_timestamp`` (which cost the streams
+    model ~10% end to end)."""
+    d = (_col(col) - _ntz_epoch_lit()).cast("decimal(30,6)")
+    return (d * F.lit(1000000)).cast("long")
+
+
 def ntz_instant(col: Column | str) -> Column:
     """NTZ wall clock → TIMESTAMP instant with UTC face == wall clock.
 
-    DST-free by construction (fixed zero offset); instant differences
-    equal wall-clock differences for every timestamp.  Also the event-
-    time mapping for streaming watermarks (streaming._ntz_instant).
-    """
-    c = _col(col)
-    return F.make_timestamp(
-        F.year(c), F.month(c), F.dayofmonth(c),
-        F.hour(c), F.minute(c),
-        F.date_part(F.lit("SECOND"), c).cast("decimal(16,6)"),
-        F.lit("UTC"),
+    DST-free by construction (fixed zero offset): the wall-clock epoch
+    micros are re-based onto the UTC epoch instant, so instant
+    differences equal wall-clock differences for every timestamp.
+    This is the event-time mapping for streaming watermarks
+    (streaming._ntz_instant)."""
+    return F.timestamp_add(
+        "MICROSECOND",
+        ntz_epoch_us(col),
+        F.expr("TIMESTAMP '1970-01-01 00:00:00Z'"),
     )
 
 
@@ -86,18 +103,14 @@ def ntz_wall(col: Column | str) -> Column:
     return F.timestamp_add(
         "MICROSECOND",
         F.unix_micros(_col(col)),
-        F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+        _ntz_epoch_lit(),
     )
-
-
-def ntz_epoch_us(col: Column | str) -> Column:
-    """Wall-clock epoch micros of an NTZ timestamp (TZ-free)."""
-    return F.unix_micros(ntz_instant(col))
 
 
 def ntz_diff_us(t1: Column | str, t2: Column | str) -> Column:
     """Exact (t1 - t2) in microseconds, pure wall-clock arithmetic."""
-    return ntz_epoch_us(t1) - ntz_epoch_us(t2)
+    d = (_col(t1) - _col(t2)).cast("decimal(30,6)")
+    return (d * F.lit(1000000)).cast("long")
 
 
 def ntz_trunc_minute(col: Column | str) -> Column:
@@ -174,9 +187,12 @@ def timestamp_diff_seconds(t1: Column | str, t2: Column | str) -> Column:
     """BQ timestamp_diff(t1, t2, SECOND) = whole seconds of (t1 - t2).
 
     NTZ-pure (``F.timestamp_diff`` session-coerces NTZ operands and
-    corrupts the DST skipped hour); floor == Spark's complete-interval
-    count for the engine's non-negative uses."""
-    return F.floor(ntz_diff_us(t1, t2) / F.lit(1000000)).cast("long")
+    corrupts the DST skipped hour): one NTZ subtraction, floored to
+    whole seconds (== complete-interval count for the engine's
+    non-negative uses)."""
+    return F.floor(
+        (_col(t1) - _col(t2)).cast("decimal(30,6)")
+    ).cast("long")
 
 
 def string_agg_ordered(col: Column | str, sep: str = ",") -> Column:
