@@ -51,9 +51,8 @@ def _col(c: Column | str) -> Column:
 # round-6 random-corpus verification surfaced (the fixed test corpus is
 # January-only, so it never fired).  These primitives stay wall-pure
 # for EVERY timestamp: field extraction (year/…/second) is TZ-free on
-# NTZ, ``make_timestamp(fields, 'UTC')`` manufactures an instant whose
-# UTC face equals the wall clock, and ``unix_micros`` of it is the
-# exact wall-clock epoch.
+# NTZ, NTZ−NTZ subtraction is pure internal-micros arithmetic, and the
+# UTC-rebased instant's differences equal wall-clock differences.
 
 
 def _ntz_epoch_lit() -> Column:

@@ -55,11 +55,12 @@ def _ntz_instant(col: str = "ts") -> F.Column:
     diverge from the batch twin / DuckDB oracle, which both use raw
     NTZ arithmetic (round-5 ADVICE on ``attributed_conversions``).
 
-    ``make_timestamp(..., 'UTC')`` instead reinterprets the wall-clock
-    FIELDS in a fixed zero-offset zone: the instant's UTC face equals
-    the NTZ wall clock exactly for every timestamp (transitions
-    included), so instant differences == wall-clock differences and
-    ``F.window`` day/minute buckets align with NTZ day boundaries.
+    ``E.ntz_instant`` instead re-bases the wall-clock epoch micros
+    onto the UTC epoch instant (pure subtraction — no zone consulted):
+    the instant's UTC face equals the NTZ wall clock exactly for every
+    timestamp (transitions included), so instant differences ==
+    wall-clock differences and ``F.window`` day/minute buckets align
+    with NTZ day boundaries.
     """
     return E.ntz_instant(col)
 
