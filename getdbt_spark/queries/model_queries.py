@@ -269,8 +269,14 @@ def streaming_daily_event_stats(spark, sf_dir):
     oracle="""
     WITH l AS (
       SELECT user_id, ts, value,
+             -- STRICT > : Spark's session_window merges an event at
+             -- exactly t+gap (closed boundary; probed: a 1800.000000s
+             -- gap extends the session, 1800.000001s splits) — the
+             -- lag rewrite must split strictly greater, not >=
+             -- (round-6 seed-42 random-corpus find: three pinned
+             -- events exactly 30:00 apart diverged)
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)

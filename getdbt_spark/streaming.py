@@ -115,9 +115,10 @@ SESSION_GAP = "30 minutes"
 def session_stats(events: DataFrame) -> DataFrame:
     """Gap-based per-user sessionization via native ``session_window``.
 
-    A session extends while consecutive events arrive < 30 minutes
-    apart; a gap >= 30 minutes (Spark merges OVERLAPPING [t, t+gap)
-    windows, so an exact-gap event opens a new session) closes it.
+    A session extends while consecutive events arrive <= 30 minutes
+    apart (Spark merges TOUCHING [t, t+gap] windows — probed: an
+    event at exactly t+gap extends the session, one microsecond later
+    splits it); only a gap STRICTLY greater than 30 minutes closes it.
     Runs identically on static and streaming inputs — in streaming the
     watermark both bounds session state AND finalizes a session once
     no in-gap event can still arrive; in batch it is a no-op.

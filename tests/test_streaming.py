@@ -448,3 +448,32 @@ def test_ntz_instant_preserves_wall_clock_exactly(spark):
         w = r["ts"]
         want = calendar.timegm(w.timetuple()) * 10**6 + w.microsecond
         assert r["um"] == want, f"{w}: {r['um']} != {want}"
+
+
+def test_session_gap_boundary_is_closed(spark):
+    """Round-6 seed-42 find: Spark's session_window merges an event at
+    EXACTLY t+gap (closed boundary) and splits one microsecond later —
+    the lag-rewrite oracle must split strictly greater, not >=."""
+    import datetime as dt
+
+    from getdbt_spark.streaming import session_stats
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (1, base, 1, "a", 1.0, "p"),
+        (2, base + dt.timedelta(seconds=1800), 1, "a", 1.0, "p"),
+        (3, base + dt.timedelta(seconds=3600, microseconds=1), 1, "a", 1.0, "p"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    got = sorted(
+        (r["session_start"], r["n_events"])
+        for r in session_stats(ev).collect()
+    )
+    assert got == [
+        (base, 2),                                               # merged
+        (base + dt.timedelta(seconds=3600, microseconds=1), 1),  # split
+    ]
