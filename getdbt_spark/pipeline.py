@@ -515,7 +515,13 @@ def with_norm(embs: DataFrame) -> DataFrame:
 
 
 def cosine(a_vec: Column, b_vec: Column, a_norm: Column, b_norm: Column) -> Column:
-    return _dot_double(a_vec, b_vec) / (a_norm * b_norm)
+    """NULL on a zero-norm side (try_divide): a corrupt all-zero
+    embedding has undefined cosine — ANSI `/` would abort the whole
+    job (found by the `zerovec` random-corpus variant), while NULL
+    matches DuckDB's divide-by-zero semantics exactly AND the right
+    engineering outcome (a NULL score never passes a threshold filter
+    and ranks after every real score under DESC NULLS LAST)."""
+    return F.try_divide(_dot_double(a_vec, b_vec), a_norm * b_norm)
 
 
 def topk_cosine_blocked(
@@ -582,7 +588,8 @@ def topk_cosine_blocked(
         m = np.stack(right["embedding"].to_numpy()).astype(np.float64)
         q_norm = np.sqrt((q * q).sum(axis=1))
         m_norm = np.sqrt((m * m).sum(axis=1))
-        scores = (q @ m.T) / (q_norm[:, None] * m_norm[None, :])
+        with np.errstate(invalid="ignore"):  # zero-norm 0/0 → NaN→NULL below
+            scores = (q @ m.T) / (q_norm[:, None] * m_norm[None, :])
         q_ids = left["vec_id"].to_numpy()
         i_ids = right["vec_id"].to_numpy()
         out: dict[str, list] = {"vec_id": [], "neighbor_id": [], "c": []}
@@ -593,7 +600,24 @@ def topk_cosine_blocked(
             out["vec_id"].extend([qi] * len(top))
             out["neighbor_id"].extend(cand_ids[top])
             out["c"].extend(cand[top])
-        return pd.DataFrame(out)
+        # A zero-norm (corrupt) vector makes the 0/0 above a NaN — but
+        # Spark sorts NaN FIRST under desc (NaN > +Inf) while the
+        # DuckDB oracle's NULL-on-zero-divide sorts last, so a corrupt
+        # vector would silently WIN the global ranking.  Emit NULL at
+        # the source (nullable Float64 → Arrow null) so the window
+        # ranks it DESC-NULLS-LAST like the oracle; the lexsort above
+        # already places NaN last, consistently.  (Found by the
+        # `zerovec` random-corpus variant.  NOT fixable with a nanvl
+        # projection on the cogroup output: a Project directly atop
+        # FlatMapCoGroupsInPandas mis-prunes the right group's input
+        # columns down to the grouping key in Spark 4.1.)
+        cvals = np.asarray(out["c"], dtype="float64")
+        carr = pd.array(cvals, dtype="Float64")
+        carr[np.isnan(cvals)] = pd.NA
+        return pd.DataFrame(
+            {"vec_id": out["vec_id"], "neighbor_id": out["neighbor_id"],
+             "c": carr}
+        )
 
     partial = (
         qs.groupBy("qc", "shard")

@@ -635,3 +635,50 @@ def test_compression_ratio_matches_stdlib_replay(spark, docs):
         # short docs can exceed 1.0 (zlib header overhead) — that's
         # the "incompressible" end of the quality dial, not a bug
         assert 0 < r.ratio_q4 < 20000
+
+
+def test_zero_norm_vectors_score_null_and_rank_last(spark):
+    """A corrupt all-zero embedding (zero L2 norm) must score NULL —
+    never crash (ANSI divide-by-zero) and never NaN (Spark ranks NaN
+    FIRST under desc, silently winning the top-k the DuckDB oracle's
+    NULL loses).  Found by the `zerovec` random-corpus variant; both
+    the JVM cosine (try_divide) and the numpy block kernel (nullable
+    Float64 out) are pinned here."""
+    rows = [
+        (0, [0.0, 0.0, 0.0]),          # corrupt: zero norm
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # JVM path: cosine of/with the zero vector is NULL, others real.
+    e = P.with_norm(embs)
+    a = e.select(F.col("vec_id").alias("a_id"),
+                 F.col("embedding").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("b_id"),
+                 F.col("embedding").alias("vb"), F.col("norm").alias("nb"))
+    pairs = {
+        (r.a_id, r.b_id): r.c
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id",
+                P.cosine(F.col("va"), F.col("vb"),
+                         F.col("na"), F.col("nb")).alias("c"))
+        .collect()
+    }
+    assert all(v is None for k, v in pairs.items() if 0 in k)
+    assert all(v is not None for k, v in pairs.items() if 0 not in k)
+
+    # Block-kernel path: NULL score, ranked after every real neighbor.
+    got = P.topk_cosine_blocked(embs, k=3, index_shards=2, query_chunks=2)
+    rows_by_q = {}
+    for r in got.collect():
+        rows_by_q.setdefault(r.vec_id, []).append(r)
+    for q, rs in rows_by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        if q == 0:  # zero query: every score NULL, ids ascending
+            assert [r.cos_sim for r in rs] == [None] * 3
+            assert [r.neighbor_id for r in rs] == [1, 2, 3]
+        else:       # zero NEIGHBOR ranks strictly last with NULL score
+            assert rs[-1].neighbor_id == 0 and rs[-1].cos_sim is None
+            assert all(r.cos_sim is not None for r in rs[:-1])

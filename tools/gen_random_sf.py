@@ -28,7 +28,7 @@ Usage: python tools/gen_random_sf.py [seed] [variant]
        seed     default 20240814
        variant  default | ties | hostile
 
-Variants (post-process the events table; other tables unchanged):
+Variants (post-process ONE table; others unchanged):
 - ``ties``:    every event on ONE timestamp, values quantized to 7
                levels — zero variance, zero gaps, total-order stress
                (found the dq_anomaly_zscore ANSI division crash).
@@ -36,6 +36,10 @@ Variants (post-process the events table; other tables unchanged):
                shifted negative, sparse 1990-1995 hour-grid times
                (found the power-law-fit zero-denominator crash and the
                vodstreaming HUGEINT dtype-class latch).
+- ``zerovec``: rewrites EMBEDDINGS instead — 5% all-zero vectors
+               (zero L2 norm → cosine 0/0), 5% denormal-tiny values
+               (norm underflows float32), plus a duplicated zero pair
+               — the corrupt-embedding-feed path of a 100 TB corpus.
 """
 
 from __future__ import annotations
@@ -207,6 +211,35 @@ def main(seed: int = 20240814) -> None:
 def apply_variant(variant: str) -> None:
     """Rewrite OUT/events.parquet per the variant (see module doc)."""
     import duckdb
+
+    if variant == "zerovec":
+        # Rewrites embeddings.parquet: deterministic positions so every
+        # seed corrupts the same rows (reproducible across re-runs).
+        esrc = os.path.join(OUT, "embeddings.parquet")
+        t = pq.read_table(esrc)
+        emb = np.array([np.asarray(v, dtype="float32")
+                        for v in t["embedding"].to_pylist()])
+        n = len(emb)
+        zero_rows = list(range(0, n, 20))          # 5% all-zero
+        tiny_rows = list(range(7, n, 20))          # 5% denormal-tiny
+        emb[zero_rows] = 0.0
+        # 1e-42 is subnormal in float32; the SQUARED value underflows
+        # to 0.0 in float32 (and to ~1e-84 in float64) — probes both
+        # sum-of-squares precision paths.
+        emb[tiny_rows] = np.float32(1e-42)
+        if len(zero_rows) >= 2:                    # duplicated zero pair
+            emb[zero_rows[1]] = emb[zero_rows[0]]
+        out = pa.table({
+            "vec_id": t["vec_id"],
+            "embedding": pa.array([v.tolist() for v in emb],
+                                  pa.list_(pa.float32())),
+            "label": t["label"],
+        })
+        tmp = esrc + ".variant"
+        pq.write_table(out, tmp)
+        os.replace(tmp, esrc)
+        print(f"variant 'zerovec' applied to {esrc}")
+        return
 
     src = os.path.join(OUT, "events.parquet")
     if variant == "ties":
