@@ -39,7 +39,14 @@ Variants (post-process ONE table; others unchanged):
 - ``zerovec``: rewrites EMBEDDINGS instead — 5% all-zero vectors
                (zero L2 norm → cosine 0/0), 5% denormal-tiny values
                (norm underflows float32), plus a duplicated zero pair
-               — the corrupt-embedding-feed path of a 100 TB corpus.
+               — the corrupt-embedding-feed path of a 100 TB corpus
+               (found the ANSI cosine crash + NaN-ranks-first top-k
+               divergence in both cosine implementations).
+- ``dupdocs``: rewrites DOCUMENTS instead — the ENTIRE corpus is 3
+               distinct texts (one ~40-word, one 2-word, one empty)
+               → every dedup op degenerates to 3 giant cliques:
+               maximal LSH bucket explosion, connected-components
+               star collapse, canonical-selection total-order stress.
 """
 
 from __future__ import annotations
@@ -239,6 +246,27 @@ def apply_variant(variant: str) -> None:
         pq.write_table(out, tmp)
         os.replace(tmp, esrc)
         print(f"variant 'zerovec' applied to {esrc}")
+        return
+
+    if variant == "dupdocs":
+        dsrc = os.path.join(OUT, "documents.parquet")
+        t = pq.read_table(dsrc)
+        n = t.num_rows
+        long_text = " ".join(
+            ["the quick brown fox jumps over the lazy dog and then"] * 4
+        )
+        texts = [("", "two words", long_text)[i % 3] for i in range(n)]
+        out = pa.table({
+            "doc_id": t["doc_id"],
+            "text": pa.array(texts),
+            "lang": t["lang"],
+            "source": t["source"],
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        })
+        tmp = dsrc + ".variant"
+        pq.write_table(out, tmp)
+        os.replace(tmp, dsrc)
+        print(f"variant 'dupdocs' applied to {dsrc}")
         return
 
     src = os.path.join(OUT, "events.parquet")
