@@ -28,6 +28,8 @@ Engine notes:
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -51,7 +53,18 @@ REPORTING_YEAR_MIN = 2019  # extract(isoyear from date) >= 2019 filters —
 def _spine_seq(ctx):
     """The weekly spine as a literal-bounded sequence expression:
     SPINE_START .. run_date step 7 days
-    (`_dashboard_channel_weekly.sql:10` et al.)."""
+    (`_dashboard_channel_weekly.sql:10` et al.).
+
+    When the frozen run_date predates the spine start — a corpus whose
+    newest event is older than the reporting epoch (a stale or
+    garbage-timestamped feed) — the spine is EMPTY: BigQuery's
+    GENERATE_DATE_ARRAY and DuckDB's generate_series both return []
+    for start > stop with a positive step, but Spark's ``sequence``
+    throws ``Illegal sequence boundaries``.  Both bounds are plan
+    literals, so the guard is decided here in Python at build time —
+    zero plan cost (found by the pre-1970 random-corpus probe)."""
+    if ctx.run_date < dt.date.fromisoformat(SPINE_START):
+        return F.expr("CAST(array() AS array<date>)")
     return F.sequence(
         F.to_date(F.lit(SPINE_START)),
         F.lit(ctx.run_date),

@@ -41,9 +41,26 @@ from .session import configure
 
 WATERMARK = "8 days"  # == the reference's replay window minus the current day
 
+# Event-time rebase: Spark initializes the global watermark at epoch 0
+# and it only moves forward, so any event whose (instant) time is
+# pre-1970 is "late" FROM THE FIRST BATCH and silently dropped by every
+# watermarked operator (found by the pre-1970 random-corpus probe: a
+# 1965-69 feed kept 5 of 913 groups through the incremental sink).
+# Shifting every event-time instant by a constant +29200 days (~80
+# years) puts the engine's epoch-0 floor at wall-clock ~1890 — below
+# any real computing-era archive — while keeping rebased instants far
+# under pandas' datetime64[ns] year-2262 ceiling (wall ≤ ~2182), which
+# the applyInPandasWithState kernel path must respect (Arrow coerces
+# kernel inputs to ns).  A WHOLE-day constant keeps F.window day /
+# hour / minute buckets aligned (windows align to the epoch; the shift
+# is an exact multiple of every bucket width used here), and constant
+# offsets cancel in every difference, gap, and range-join condition —
+# only the two face readouts below compensate.
+EPOCH_REBASE_DAYS = 29200
+
 
 def _ntz_instant(col: str = "ts") -> F.Column:
-    """Wall-clock → watermarkable instant, DST-free.
+    """Wall-clock → watermarkable instant, DST-free and pre-1970-safe.
 
     Streaming watermarks require TIMESTAMP (with-timezone) event time;
     the corpus event time is TIMESTAMP_NTZ wall clock.  A session-TZ
@@ -60,9 +77,25 @@ def _ntz_instant(col: str = "ts") -> F.Column:
     the instant's UTC face equals the NTZ wall clock exactly for every
     timestamp (transitions included), so instant differences ==
     wall-clock differences and ``F.window`` day/minute buckets align
-    with NTZ day boundaries.
+    with NTZ day boundaries.  On top of that, EPOCH_REBASE_DAYS (see
+    above) lifts the instant clear of Spark's epoch-0 watermark floor.
     """
-    return E.ntz_instant(col)
+    return F.timestamp_add(
+        # SECOND, not DAY: timestamp_add("DAY", …) adds session-TZ
+        # CALENDAR days, whose physical length varies across DST —
+        # the rebase must be a fixed physical duration so instant
+        # differences stay exactly wall-clock differences.
+        "SECOND", F.lit(EPOCH_REBASE_DAYS * 86400), E.ntz_instant(col)
+    )
+
+
+def _ntz_wall_out(col) -> F.Column:
+    """Inverse of :func:`_ntz_instant` for window-face readouts:
+    undo the fixed-duration rebase, then extract the UTC face TZ-free
+    (both steps zone-free, so DST cannot leak in)."""
+    return E.ntz_wall(
+        F.timestamp_add("SECOND", F.lit(-EPOCH_REBASE_DAYS * 86400), col)
+    )
 
 
 def daily_event_stats(events: DataFrame) -> DataFrame:
@@ -99,7 +132,9 @@ def daily_event_stats(events: DataFrame) -> DataFrame:
             F.max("value").alias("max_value"),
         )
         .select(
-            F.col("w.start").cast("date").alias("evt_date"),
+            # undo the whole-day event-time rebase on the date face
+            F.date_sub(F.col("w.start").cast("date"), EPOCH_REBASE_DAYS)
+            .alias("evt_date"),
             "event_type",
             "n_events",
             E.round_to(F.col("total_cents") / 100.0, 2).alias("total_value"),
@@ -389,12 +424,13 @@ def sliding_window_stats(events: DataFrame) -> DataFrame:
             ),
         )
         .select(
-            # Inverse of the input shift: w.start's UTC face IS the
-            # wall-clock bucket; ntz_wall extracts it TZ-free (the old
-            # to_utc_timestamp inverse was itself DST-dependent and
-            # bumped skipped-hour windows +1h — random-corpus find).
-            E.ntz_wall(F.col("w.start")).alias("win_start"),
-            E.ntz_wall(F.col("w.end")).alias("win_end"),
+            # Inverse of the input shift: the de-rebased w.start's UTC
+            # face IS the wall-clock bucket; ntz_wall extracts it
+            # TZ-free (the old to_utc_timestamp inverse was itself
+            # DST-dependent and bumped skipped-hour windows +1h —
+            # random-corpus find).
+            _ntz_wall_out(F.col("w.start")).alias("win_start"),
+            _ntz_wall_out(F.col("w.end")).alias("win_end"),
             "event_type",
             "n_events",
             E.round_to(F.col("total_cents") / 100.0, 2).alias("total_value"),

@@ -415,14 +415,16 @@ def test_ntz_instant_preserves_wall_clock_exactly(spark):
     """The `_ntz_instant` mapping contract, pinned directly: for every
     NTZ wall-clock value w (random sample across 2024 plus the exact
     Europe/Amsterdam transition hours), the mapped instant's UTC epoch
-    must equal w interpreted as UTC — i.e. UTC face == wall clock,
-    byte-exact to the microsecond.  That property is what makes
-    instant differences equal raw NTZ differences everywhere."""
+    must equal w interpreted as UTC plus EXACTLY the whole-day
+    EPOCH_REBASE_DAYS shift (which clears Spark's epoch-0 watermark
+    floor for pre-1970 wall clocks), byte-exact to the microsecond.
+    The constant offset cancels in differences, so instant differences
+    still equal raw NTZ differences everywhere."""
     import calendar
     import datetime as dt
     import random
 
-    from getdbt_spark.streaming import _ntz_instant
+    from getdbt_spark.streaming import EPOCH_REBASE_DAYS, _ntz_instant
 
     rng = random.Random(42)
     stamps = [
@@ -444,9 +446,10 @@ def test_ntz_instant_preserves_wall_clock_exactly(spark):
     df = spark.createDataFrame(
         [(s,) for s in stamps], "ts timestamp_ntz"
     ).select("ts", F.unix_micros(_ntz_instant("ts")).alias("um"))
+    shift_us = EPOCH_REBASE_DAYS * 86400 * 10**6
     for r in df.collect():
         w = r["ts"]
-        want = calendar.timegm(w.timetuple()) * 10**6 + w.microsecond
+        want = calendar.timegm(w.timetuple()) * 10**6 + w.microsecond + shift_us
         assert r["um"] == want, f"{w}: {r['um']} != {want}"
 
 
@@ -477,3 +480,32 @@ def test_session_gap_boundary_is_closed(spark):
         (base, 2),                                               # merged
         (base + dt.timedelta(seconds=3600, microseconds=1), 1),  # split
     ]
+
+
+def test_pre1970_events_survive_a_real_streaming_run(spark, tmp_path):
+    """Spark initializes the global event-time watermark at epoch 0
+    (and it only moves forward), so without the EPOCH_REBASE_DAYS
+    event-time rebase every pre-1970 event is "late" from the very
+    first micro-batch and silently dropped (the pre-1970 random-corpus
+    probe kept 5 of 913 groups).  A REAL availableNow run over a 1965
+    feed must keep everything and match the batch twin exactly —
+    including the original wall-clock date faces."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(1965, 6, 10 + (i % 5), 8 + i % 12, i % 60),
+         i % 3, ("view", "purchase", "click")[i % 3], float(i), "p")
+        for i in range(60)
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    path = str(tmp_path / "events_1965")
+    src.write.parquet(path)
+    got = run_available_now(spark, path, src, "t_pre1970")
+    want = daily_event_stats(spark.read.parquet(path))
+    assert _key(got.collect()) == _key(want.collect())
+    assert sum(r["n_events"] for r in got.collect()) == 60
+    assert min(str(r["evt_date"]) for r in got.collect()) == "1965-06-10"

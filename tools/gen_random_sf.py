@@ -47,6 +47,14 @@ Variants (post-process ONE table; others unchanged):
                → every dedup op degenerates to 3 giant cliques:
                maximal LSH bucket explosion, connected-components
                star collapse, canonical-selection total-order stress.
+- ``pre1970``: shifts every event 59 years earlier (the default
+               2024 corpus lands in 1965) — NEGATIVE
+               epoch micros: floor-vs-truncate division, date spines
+               older than the reporting anchor (found the Illegal
+               sequence boundaries crash), and Spark's epoch-0
+               streaming watermark floor (found the silent
+               drop-everything in the incremental sink; fixed by the
+               EPOCH_REBASE_DAYS event-time rebase).
 """
 
 from __future__ import annotations
@@ -270,7 +278,12 @@ def apply_variant(variant: str) -> None:
         return
 
     src = os.path.join(OUT, "events.parquet")
-    if variant == "ties":
+    if variant == "pre1970":
+        sql = f"""
+        SELECT event_id, ts - INTERVAL 59 YEAR AS ts, user_id,
+               event_type, value, props
+        FROM read_parquet('{src}')"""
+    elif variant == "ties":
         sql = f"""
         SELECT event_id, TIMESTAMP '2024-01-15 12:00:00' AS ts, user_id,
                event_type, CAST(value::INT % 7 AS DOUBLE) AS value, props
