@@ -267,6 +267,48 @@ def null_lit(dtype: str) -> Column:
     return F.lit(None).cast(dtype)
 
 
+# 2^63 is exactly representable as a double; the first double BELOW it
+# is 9223372036854774784, so `p < 2^63` admits exactly the doubles
+# whose floor fits a signed long, and `p >= -2^63` the lower edge.
+_LONG_MIN_D = -9223372036854775808.0
+_LONG_MAX_EXCL_D = 9223372036854775808.0
+
+
+def is_finite(col: Column | str) -> Column:
+    """True iff the double is a real number (not NaN, not ±Inf) —
+    DuckDB's ``isfinite``.  The bare comparisons alone would admit
+    NaN through the lower bound (Spark sorts NaN greater than +Inf),
+    hence the explicit isnan."""
+    c = _col(col)
+    return (
+        ~F.isnan(c)
+        & (c > F.lit(float("-inf")))
+        & (c < F.lit(float("inf")))
+    )
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer-cents projection of a double money column,
+    poison-proof: NULL for NaN, ±Inf, and out-of-long-range values.
+
+    Spark's ``floor(double)`` RETURNS BIGINT, so under ANSI a single
+    corrupt ±Inf cell aborts the whole job inside floor itself —
+    ``try_cast`` after the fact never runs (found by the `nanvalues`
+    random-corpus variant).  The range guard is a lazily-evaluated
+    CASE WHEN (the documented ANSI idiom), and its admitted set is
+    EXACTLY the set DuckDB's ``TRY_CAST(floor(x*100) AS BIGINT)``
+    accepts — NaN/±Inf fail the predicate because NaN compares
+    greater than everything, so both bounds can't hold.  NULL cents
+    are skipped by SUM in both engines: one poisoned cell costs one
+    cell, not the job.
+    """
+    p = _col(col) * F.lit(100.0)
+    return F.when(
+        (p >= F.lit(_LONG_MIN_D)) & (p < F.lit(_LONG_MAX_EXCL_D)),
+        F.floor(p),
+    ).otherwise(F.lit(None).cast("long"))
+
+
 def round_to(col: Column | str, ndigits: int = 2) -> Column:
     """Round half away from zero: ``sign(x) * floor(|x|*10^n + 0.5) / 10^n``.
 

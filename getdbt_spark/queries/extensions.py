@@ -43,8 +43,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _cents(col) -> F.Column:
-    """Exact integer-cents projection of a double money column."""
-    return F.floor(F.col(col) * 100).cast("long")
+    """Exact integer-cents projection, poison-proof — see E.cents."""
+    return E.cents(col)
 
 
 # ---------------------------------------------------------------------------
@@ -144,7 +144,7 @@ def sort_limit_topk(spark, sf_dir):
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(TRY_CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS total_cents
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -173,7 +173,7 @@ def agg_rollup(spark, sf_dir):
     oracle="""
     SELECT c_mktsegment, c_nationkey,
            CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(TRY_CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
                AS acctbal_cents
     FROM customer
     GROUP BY CUBE (c_mktsegment, c_nationkey)
@@ -452,8 +452,8 @@ def agg_percentile(spark, sf_dir):
     "win_range_frame",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
-             PARTITION BY o_custkey ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT)
+           CAST(sum(TRY_CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY TRY_CAST(floor(o_totalprice * 100) AS BIGINT)
              RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS nearby_cents
     FROM orders
@@ -469,7 +469,7 @@ def win_range_frame(spark, sf_dir):
     from ROWS.  Summands are exact integer cents: each frame's sum is
     order-independent, keeping the cross-engine hash stable.
     """
-    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    cents = E.cents("o_totalprice")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(cents)
@@ -604,11 +604,11 @@ def scan_orc(spark, sf_dir):
     oracle="""
     WITH a AS (
       SELECT o_orderstatus,
-             CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(min(TRY_CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS min_cents,
-             CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(max(TRY_CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS max_cents,
-             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(TRY_CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS sum_cents
       FROM orders GROUP BY 1
     )
@@ -626,7 +626,7 @@ def agg_unpivot(spark, sf_dir):
     generator expression (no shuffle, no join): the only exchange in
     the plan is the aggregation's own.
     """
-    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    cents = E.cents("o_totalprice")
     a = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
@@ -739,11 +739,16 @@ def win_session_longest(spark, sf_dir):
     "join_range_interval",
     oracle="""
     WITH p AS (
+      -- band boundaries from FINITE values only: a NaN/Inf cell must
+      -- not poison the quartiles (engines also interpolate non-finite
+      -- neighbors differently); poison rows still LAND in a band via
+      -- the comparison semantics both engines share (NaN/+Inf sort
+      -- greatest -> open top band, -Inf -> open bottom band)
       SELECT event_type,
              quantile_cont(value, 0.25) AS p25,
              quantile_cont(value, 0.50) AS p50,
              quantile_cont(value, 0.75) AS p75
-      FROM events GROUP BY 1
+      FROM events WHERE isfinite(value) GROUP BY 1
     ), b AS (
       SELECT event_type, 0 AS band_id, NULL::DOUBLE AS lo, p25 AS hi FROM p
       UNION ALL SELECT event_type, 1, p25, p50 FROM p
@@ -752,7 +757,7 @@ def win_session_longest(spark, sf_dir):
     )
     SELECT e.event_type, b.band_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(TRY_CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
              AS cents_total
     FROM events e
     JOIN b ON e.event_type = b.event_type
@@ -776,11 +781,17 @@ def join_range_interval(spark, sf_dir):
     unambiguous.
     """
     e = _t(spark, sf_dir, "events")
-    p = e.groupBy("event_type").agg(
-        *[
-            F.expr(f"percentile(value, {q})").alias(name)
-            for q, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
-        ]
+    # finite values only — mirrors the oracle's isfinite filter (a
+    # poisoned cell must not shift every band boundary)
+    p = (
+        e.filter(E.is_finite("value"))
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.expr(f"percentile(value, {q})").alias(name)
+                for q, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
+            ]
+        )
     )
     null_d = F.lit(None).cast("double")
     bands = p.select(
@@ -806,7 +817,7 @@ def join_range_interval(spark, sf_dir):
         joined.groupBy("event_type", "band_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+            F.sum(E.cents("value")).alias(
                 "cents_total"
             ),
         )
@@ -818,7 +829,7 @@ def join_range_interval(spark, sf_dir):
     oracle="""
     SELECT CAST(props->>'k' AS INTEGER) % 10 AS k_bucket,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(TRY_CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
              AS cents_total
     FROM events
     WHERE props IS NOT NULL
@@ -843,7 +854,7 @@ def fn_json_extract(spark, sf_dir):
         .groupBy((k % 10).alias("k_bucket"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+            F.sum(E.cents("value")).alias(
                 "cents_total"
             ),
         )
@@ -858,7 +869,7 @@ def fn_json_extract(spark, sf_dir):
            round(cume_dist() OVER w, 6) AS cume
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus
-                 ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT),
+                 ORDER BY TRY_CAST(floor(o_totalprice * 100) AS BIGINT),
                           o_orderkey)
     """,
 )
@@ -871,7 +882,7 @@ def win_percent_rank_cume(spark, sf_dir):
     (one exact integer division each); round_to(6) guards the hash by
     convention anyway.
     """
-    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    cents = E.cents("o_totalprice")
     w = Window.partitionBy("o_orderstatus").orderBy(cents, "o_orderkey")
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -886,7 +897,7 @@ def win_percent_rank_cume(spark, sf_dir):
     oracle="""
     SELECT o.o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+           CAST(sum(TRY_CAST(floor(l.l_extendedprice * 100) AS BIGINT))
                 AS BIGINT) AS cents_total
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
@@ -912,7 +923,7 @@ def join_salted_skew(spark, sf_dir):
     joined = salted_join(li, orders, on=["l_orderkey"], n_salts=16)
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_items"),
-        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+        F.sum(E.cents("l_extendedprice")).alias(
             "cents_total"
         ),
     )
@@ -923,11 +934,11 @@ def join_salted_skew(spark, sf_dir):
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(TRY_CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
              AS cents_total,
-           CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(min(TRY_CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
              AS cents_min,
-           CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(max(TRY_CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
              AS cents_max
     FROM events
     GROUP BY 1
@@ -943,13 +954,16 @@ def agg_salted_skew(spark, sf_dir):
     from ..scale import salted_agg
 
     e = _t(spark, sf_dir, "events").withColumn(
-        "_cents", F.floor(F.col("value") * 100).cast("long")
+        "_cents", E.cents("value")
     )
     return salted_agg(
         e,
         keys=["event_type"],
         aggs={
-            "n_events": ("count", "_cents"),
+            # count("*"), not count(_cents): a poisoned (NaN/Inf)
+            # value makes _cents NULL, and count(col) would silently
+            # undercount vs the oracle's count(*) (nanvalues find)
+            "n_events": ("count", "*"),
             "cents_total": ("sum", "_cents"),
             "cents_min": ("min", "_cents"),
             "cents_max": ("max", "_cents"),
@@ -963,7 +977,7 @@ def agg_salted_skew(spark, sf_dir):
     oracle="""
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(TRY_CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS cents_total
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
@@ -1004,7 +1018,7 @@ def join_bucketed_colocated(spark, sf_dir):
     joined = bucketed_join(spark, lt, rt, on=["o_custkey"])
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+        F.sum(E.cents("o_totalprice")).alias(
             "cents_total"
         ),
     )
@@ -1015,9 +1029,9 @@ def join_bucketed_colocated(spark, sf_dir):
     oracle="""
     WITH q AS (
       SELECT l_returnflag,
-             CAST(CAST(floor(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))
+             CAST(TRY_CAST(floor(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))
                AS x,
-             CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+             CAST(TRY_CAST(floor(l_extendedprice * 100) AS BIGINT)
                   AS DECIMAL(38,0)) AS y
       FROM lineitem
     ), s AS (
@@ -1059,7 +1073,7 @@ def agg_stats_exact(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     x = F.floor(F.col("l_quantity") * 100).cast("long").cast("decimal(38,0)")
     y = (
-        F.floor(F.col("l_extendedprice") * 100)
+        E.cents("l_extendedprice")
         .cast("long")
         .cast("decimal(38,0)")
     )
@@ -1101,8 +1115,8 @@ def agg_stats_exact(spark, sf_dir):
     oracle="""
     WITH g AS (
       SELECT l_orderkey,
-             list(CAST(floor(l_extendedprice * 100) AS BIGINT)
-                  ORDER BY CAST(floor(l_extendedprice * 100) AS BIGINT))
+             list(TRY_CAST(floor(l_extendedprice * 100) AS BIGINT)
+                  ORDER BY TRY_CAST(floor(l_extendedprice * 100) AS BIGINT))
                AS a
       FROM lineitem GROUP BY 1
     )
@@ -1124,7 +1138,7 @@ def fn_array_pipeline(spark, sf_dir):
     per-group array is bounded by order size (TPC-H ≤ 7 items), the
     same boundedness argument as the reference's STRING_AGG groups.
     """
-    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    cents = E.cents("l_extendedprice")
     g = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -1346,7 +1360,7 @@ def win_gaps_islands(spark, sf_dir):
     "agg_weighted_avg",
     oracle="""
     SELECT l_returnflag,
-           round(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+           round(CAST(sum(TRY_CAST(floor(l_extendedprice * 100) AS BIGINT)
                           * CAST(l_quantity AS BIGINT)) AS DOUBLE)
                  / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
                  / 100.0, 4) AS qty_weighted_price
@@ -1362,7 +1376,7 @@ def agg_weighted_avg(spark, sf_dir):
     (the same discipline as agg_stats_exact, for the most common
     weighted aggregate).
     """
-    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    cents = E.cents("l_extendedprice")
     qty = F.col("l_quantity").cast("long")
     return (
         _t(spark, sf_dir, "lineitem")
@@ -1385,7 +1399,7 @@ def agg_weighted_avg(spark, sf_dir):
       SELECT user_id, ts, event_id, event_type, value,
              CASE WHEN event_type = 'purchase' THEN ts END AS b_ts,
              CASE WHEN event_type = 'purchase'
-                  THEN CAST(floor(value * 100) AS BIGINT) END AS b_cents
+                  THEN TRY_CAST(floor(value * 100) AS BIGINT) END AS b_cents
       FROM events WHERE event_type IN ('click', 'purchase')
     ), filled AS (
       SELECT user_id, ts, event_id, event_type,
@@ -1422,7 +1436,7 @@ def join_asof_tolerance(spark, sf_dir):
     b_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
     b_cents = F.when(
         F.col("event_type") == "purchase",
-        F.floor(F.col("value") * 100).cast("long"),
+        E.cents("value"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -1573,7 +1587,7 @@ def scan_schema_evolution(spark, sf_dir):
              CAST(floor(date_diff('microsecond',
                     TIMESTAMP '1970-01-01', ts) / 900000000.0) AS BIGINT)
                AS bar_id,
-             CAST(floor(value * 100) AS BIGINT) AS cents,
+             TRY_CAST(floor(value * 100) AS BIGINT) AS cents,
              lpad(CAST(date_diff('microsecond',
                     TIMESTAMP '1970-01-01', ts) AS VARCHAR), 20, '0')
              || lpad(CAST(event_id AS VARCHAR), 12, '0') AS skey
@@ -1603,7 +1617,7 @@ def agg_ohlc_bars(spark, sf_dir):
     is one row per (type, bar) per task at any scale.
     """
     us = E.ntz_epoch_us("ts")  # wall-pure epoch (timestampdiff session-coerces)
-    cents = F.floor(F.col("value") * 100).cast("long")
+    cents = E.cents("value")
     skey = F.concat(
         F.lpad(us.cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
@@ -1821,10 +1835,10 @@ def dq_anomaly_zscore(spark, sf_dir):
     oracle="""
     WITH ranked AS (
       SELECT c_mktsegment, c_custkey,
-             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             TRY_CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
              dense_rank() OVER (
                PARTITION BY c_mktsegment
-               ORDER BY CAST(floor(c_acctbal * 100) AS BIGINT) DESC
+               ORDER BY TRY_CAST(floor(c_acctbal * 100) AS BIGINT) DESC
              ) AS rnk
       FROM customer
     )
@@ -1867,7 +1881,8 @@ def win_dense_rank_ties(spark, sf_dir):
     "sink_incremental_merge",
     oracle="""
     SELECT user_id, count(*) AS n_events,
-           CAST(sum(floor(value * 100)) AS BIGINT) AS sum_cents,
+           CAST(sum(TRY_CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
            max(CAST(ts AS DATE)) AS last_seen
     FROM events GROUP BY user_id
     """,
@@ -1964,7 +1979,7 @@ def scan_file_provenance(spark, sf_dir):
     "win_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+           TRY_CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
            CAST(sum(floor(o_totalprice * 100)) OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
@@ -2065,7 +2080,7 @@ def fn_hash_family(spark, sf_dir):
     "setop_union_by_name",
     oracle="""
     SELECT o_orderkey AS k, o_orderstatus AS status,
-           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+           TRY_CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
            NULL::VARCHAR AS segment
     FROM orders WHERE o_orderkey % 200 = 0
     UNION ALL BY NAME
@@ -2194,7 +2209,7 @@ def agg_hll_sketch(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS d,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             CAST(sum(TRY_CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events WHERE user_id % 10 = 0
       GROUP BY 1, 2
     ), seq AS (
@@ -2241,7 +2256,7 @@ def win_ewma_daily(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
     daily = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("d")
-    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    ).agg(F.sum(E.cents("value")).alias("cents"))
     wo = Window.partitionBy("user_id").orderBy("d")
     seq = daily.withColumn("i", F.row_number().over(wo))
     scaled = seq.select(
@@ -2420,12 +2435,12 @@ def agg_retention_cohorts(spark, sf_dir):
     "sink_cdc_changelog",
     oracle="""
     WITH old_snap AS (
-      SELECT user_id, count(*) AS n, sum(CAST(floor(value*100) AS BIGINT))
+      SELECT user_id, count(*) AS n, sum(TRY_CAST(floor(value * 100) AS BIGINT))
                AS cents
       FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
       GROUP BY user_id
     ), new_snap AS (
-      SELECT user_id, count(*) AS n, sum(CAST(floor(value*100) AS BIGINT))
+      SELECT user_id, count(*) AS n, sum(TRY_CAST(floor(value * 100) AS BIGINT))
                AS cents
       FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-11'
       GROUP BY user_id
@@ -2460,7 +2475,7 @@ def sink_cdc_changelog(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         F.col("ts").cast("date").alias("d"),
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        E.cents("value").alias("cents"),
     )
 
     def snap(pred):
@@ -2661,7 +2676,7 @@ def join_star_multihop(spark, sf_dir):
     "sink_sorted_clustered",
     oracle="""
     SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           TRY_CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
     FROM orders
     WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
       AND CAST(o_orderdate AS DATE) < DATE '1998-07-01'
@@ -2717,9 +2732,9 @@ def sink_sorted_clustered(spark, sf_dir):
     oracle="""
     WITH q AS (
       SELECT l_returnflag,
-             CAST(CAST(floor(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))
+             CAST(TRY_CAST(floor(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))
                AS x,
-             CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+             CAST(TRY_CAST(floor(l_extendedprice * 100) AS BIGINT)
                   AS DECIMAL(38,0)) AS y
       FROM lineitem
     ), s AS (
@@ -2766,7 +2781,7 @@ def agg_linreg_by_group(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     x = F.floor(F.col("l_quantity") * 100).cast("long").cast("decimal(38,0)")
     y = (
-        F.floor(F.col("l_extendedprice") * 100)
+        E.cents("l_extendedprice")
         .cast("long")
         .cast("decimal(38,0)")
     )
@@ -2949,7 +2964,7 @@ def dq_skew_report(spark, sf_dir):
     "scan_csv_roundtrip",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment,
-           CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+           TRY_CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
     FROM customer WHERE c_custkey % 40 = 0
     """,
 )
@@ -3009,7 +3024,7 @@ def scan_csv_roundtrip(spark, sf_dir):
     "win_time_range_frame",
     oracle="""
     SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(sum(TRY_CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey
              ORDER BY CAST(o_orderdate AS DATE)
              RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
@@ -3133,7 +3148,7 @@ def agg_funnel_in_session(spark, sf_dir):
     oracle="""
     WITH yearly AS (
       SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
-             sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+             sum(TRY_CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
       FROM orders
       WHERE EXTRACT(year FROM o_orderdate) IN (1997, 1998)
       GROUP BY 1, 2
@@ -3285,7 +3300,7 @@ def win_wow_delta(spark, sf_dir):
     oracle="""
     WITH per_cust AS (
       SELECT o_custkey,
-             sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+             sum(TRY_CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
       FROM orders GROUP BY o_custkey
     ), ranked AS (
       SELECT o_custkey, cents,
@@ -3362,7 +3377,7 @@ def win_pareto_share(spark, sf_dir):
     oracle="""
     WITH per_cust AS (
       SELECT o_custkey,
-             sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+             sum(TRY_CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
       FROM orders GROUP BY o_custkey
     ), ranked AS (
       SELECT cents,
@@ -3476,7 +3491,7 @@ def agg_time_to_convert(spark, sf_dir):
     oracle="""
     WITH per_nation AS (
       SELECT n.n_regionkey, c.c_nationkey,
-             sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+             sum(TRY_CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -4542,7 +4557,7 @@ def agg_new_vs_returning(spark, sf_dir):
       SELECT e.user_id, fs.cohort_week,
              CAST((date_trunc('week', CAST(e.ts AS DATE))
                    - fs.cohort_week) / 7 AS BIGINT) AS age_weeks,
-             CAST(floor(e.value * 100) AS BIGINT) AS cents
+             TRY_CAST(floor(e.value * 100) AS BIGINT) AS cents
       FROM events e JOIN fs USING (user_id)
       WHERE e.event_type = 'purchase'
     ), wk AS (
@@ -4595,7 +4610,7 @@ def agg_cohort_ltv(spark, sf_dir):
             )
             .cast("long")
             .alias("age_weeks"),
-            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            E.cents("value").alias("cents"),
         )
     )
     wk = act.groupBy("cohort_week", "age_weeks").agg(
@@ -4766,7 +4781,7 @@ def agg_path_transitions(spark, sf_dir):
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS d,
              CAST(sum(CASE WHEN event_type = 'purchase'
-                  THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT)
+                  THEN TRY_CAST(floor(value * 100) AS BIGINT) END) AS BIGINT)
                AS cents
       FROM events WHERE user_id % 20 = 0
       GROUP BY 1, 2
@@ -4796,7 +4811,7 @@ def win_forward_fill(spark, sf_dir):
             F.sum(
                 F.when(
                     F.col("event_type") == "purchase",
-                    F.floor(F.col("value") * 100).cast("long"),
+                    E.cents("value"),
                 )
             ).alias("cents")
         )
@@ -5130,7 +5145,7 @@ def win_rolling_zscore(spark, sf_dir):
     "agg_benford_first_digit",
     oracle="""
     WITH v AS (
-      SELECT CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT)
+      SELECT CAST(substr(CAST(TRY_CAST(floor(value * 100) AS BIGINT)
                               AS VARCHAR), 1, 1) AS BIGINT) AS digit
       FROM events WHERE value >= 0.01
     ), obs AS (
@@ -5161,7 +5176,7 @@ def agg_benford_first_digit(spark, sf_dir):
         .filter(F.col("value") >= 0.01)
         .select(
             F.substring(
-                F.floor(F.col("value") * 100).cast("long").cast("string"),
+                E.cents("value").cast("string"),
                 1,
                 1,
             )
@@ -5405,9 +5420,16 @@ def agg_power_law_fit(spark, sf_dir):
     "agg_histogram_2d",
     oracle="""
     SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
-           CAST(least(floor(value / 100), 9) AS BIGINT) AS value_bucket,
+           -- poison cells (NaN/±Inf) land in a NULL bucket instead of
+           -- crashing the BIGINT cast (nanvalues find); DuckDB's
+           -- least(NaN, 9) would otherwise give 9 (NaN sorts
+           -- greatest), so the finiteness guard must be explicit to
+           -- match Spark's
+           CASE WHEN isfinite(value)
+                THEN CAST(least(floor(value / 100), 9) AS BIGINT)
+           END AS value_bucket,
            count(*) AS n,
-           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(TRY_CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
              AS cents
     FROM events
     GROUP BY 1, 2
@@ -5424,12 +5446,18 @@ def agg_histogram_2d(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
         F.hour("ts").cast("long").alias("hour_of_day"),
-        F.least(F.floor(F.col("value") / 100), F.lit(9))
+        # NULL bucket for poison cells — Spark's floor(double)→BIGINT
+        # would ANSI-abort on ±Inf, and NaN must not silently clamp
+        # into bucket 9 (mirrors the oracle's isfinite CASE)
+        F.when(
+            E.is_finite("value"),
+            F.least(F.floor(F.col("value") / 100), F.lit(9)),
+        )
         .cast("long")
         .alias("value_bucket"),
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        F.sum(E.cents("value"))
         .cast("long")
         .alias("cents"),
     )

@@ -247,7 +247,7 @@ for _qid, (_model, _cte) in _MODEL_QUERIES.items():
       CAST(date_trunc('day', ts) AS DATE) AS evt_date,
       event_type,
       count(*) AS n_events,
-      round(sum(CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
+      round(sum(TRY_CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
         AS total_value,
       min(value) AS min_value,
       max(value) AS max_value
@@ -290,7 +290,7 @@ def streaming_daily_event_stats(spark, sf_dir):
            min(ts) AS session_start,
            max(ts) AS session_end,
            count(*) AS n_events,
-           round(sum(CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
+           round(sum(TRY_CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
              AS total_value
     FROM s
     GROUP BY user_id, sess_id
@@ -387,7 +387,7 @@ def sink_incremental_insert_overwrite(spark, sf_dir):
       ORDER BY o_totalprice DESC
     )
     SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
-           round(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+           round(sum(TRY_CAST(floor(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
              AS total
     FROM ranked
     GROUP BY 1
@@ -407,7 +407,7 @@ def sort_in_cte(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         # exact cents sum (money-sum rule; see agg_two_stage)
         E.round_to(
-            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")) / 100.0,
+            F.sum(E.cents("o_totalprice")) / 100.0,
             2,
         ).alias("total"),
     )
@@ -833,7 +833,7 @@ def sql_adhoc_model_views(spark, sf_dir):
     "streaming_dedup_replays",
     oracle="""
     SELECT event_id, user_id, event_type, ts,
-           CAST(floor(value * 100) AS BIGINT) AS cents
+           TRY_CAST(floor(value * 100) AS BIGINT) AS cents
     FROM events
     """,
 )
@@ -855,7 +855,7 @@ def streaming_dedup_replays(spark, sf_dir):
         "user_id",
         "event_type",
         "ts",
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        E.cents("value").alias("cents"),
     )
 
 
@@ -871,7 +871,7 @@ def streaming_dedup_replays(spark, sf_dir):
     )
     SELECT win_start, win_start + INTERVAL 10 MINUTE AS win_end,
            event_type, count(*) AS n_events,
-           round(sum(CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
+           round(sum(TRY_CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
              AS total_value
     FROM buckets
     GROUP BY win_start, event_type
@@ -1001,7 +1001,7 @@ def sink_snapshot_time_travel(spark, sf_dir):
       CAST(date_trunc('day', ts) AS DATE) AS evt_date,
       event_type,
       count(*) AS n_events,
-      round(sum(CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
+      round(sum(TRY_CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
         AS total_value,
       min(value) AS min_value,
       max(value) AS max_value

@@ -223,7 +223,7 @@ def filter_in_list(spark, sf_dir):
     oracle="""
     SELECT CAST(ts AS DATE) AS evt_date, event_type,
            count(*) AS n_events,
-           round(sum(CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
+           round(sum(TRY_CAST(floor(value * 100) AS BIGINT)) / 100.0, 2)
              AS sum_value
     FROM events
     WHERE CAST(ts AS DATE) >= (
@@ -256,7 +256,7 @@ def filter_partition_window(spark, sf_dir):
             # exact cents sum, one division at the end: double summation
             # order differs per engine/partitioning (money-sum rule)
             E.round_to(
-                F.sum(F.floor(F.col("value") * 100).cast("long")) / 100.0, 2
+                F.sum(E.cents("value")) / 100.0, 2
             ).alias("sum_value"),
         )
     )
@@ -408,7 +408,7 @@ def join_left_equi(spark, sf_dir):
     WITH weekly_rev AS (
       SELECT extract(isoyear FROM l_shipdate) AS iso_y,
              weekofyear(l_shipdate) AS iso_w,
-             round(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+             round(sum(TRY_CAST(floor(l_extendedprice * 100) AS BIGINT)
                        * (100 - CAST(floor(l_discount * 100 + 0.5)
                                      AS BIGINT))) / 10000.0, 2) AS revenue
       FROM lineitem GROUP BY 1, 2),
@@ -431,7 +431,7 @@ def join_left_expr_key(spark, sf_dir):
     """
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    rev_u = F.floor(F.col("l_extendedprice") * 100).cast("long") * (
+    rev_u = E.cents("l_extendedprice") * (
         100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
     )
     weekly_rev = li.groupBy(
@@ -576,7 +576,7 @@ def join_unnest_with_offset(spark, sf_dir):
       SELECT extract(isoyear FROM o_orderdate) AS iso_y,
              weekofyear(o_orderdate) AS iso_w,
              count(*) AS n_orders,
-             round(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             round(sum(TRY_CAST(floor(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
                AS total
       FROM orders GROUP BY 1, 2)
     SELECT s.weekdate,
@@ -605,7 +605,7 @@ def join_date_spine(spark, sf_dir):
     ).agg(
         F.count("*").alias("n_orders"),
         E.round_to(
-            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")) / 100.0,
+            F.sum(E.cents("o_totalprice")) / 100.0,
             2,
         ).alias("total"),
     )
@@ -797,7 +797,7 @@ def agg_group_by_ordinal(spark, sf_dir):
     oracle="""
     SELECT coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment,
            count(*) AS n_cust,
-           round(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+           round(sum(TRY_CAST(floor(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
              AS total_bal
     FROM customer GROUP BY 1
     """,
@@ -815,7 +815,7 @@ def agg_group_by_expr(spark, sf_dir):
         # what matters is that both engines floor the SAME double, so
         # the quantization (and therefore the sum) is identical.
         E.round_to(
-            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")) / 100.0, 2
+            F.sum(E.cents("c_acctbal")) / 100.0, 2
         ).alias("total_bal"),
     )
 
@@ -961,7 +961,7 @@ def agg_string_agg(spark, sf_dir):
     WITH per_order AS (
       SELECT l_orderkey,
              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS order_qty,
-             CAST(floor((sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+             CAST(floor((sum(TRY_CAST(floor(l_extendedprice * 100) AS BIGINT)
                              * (100 - CAST(floor(l_discount * 100 + 0.5)
                                            AS BIGINT))) + 50) / 100.0)
                   AS BIGINT) AS order_rev_cents
@@ -997,7 +997,7 @@ def agg_two_stage(spark, sf_dir):
     """
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    rev_u = F.floor(F.col("l_extendedprice") * 100).cast("long") * (
+    rev_u = E.cents("l_extendedprice") * (
         100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
     )
     per_order = li.groupBy("l_orderkey").agg(

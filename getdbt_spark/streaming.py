@@ -125,7 +125,7 @@ def daily_event_stats(events: DataFrame) -> DataFrame:
             # exact cents sum: double summation order differs across
             # engines AND across micro-batch boundaries — integer sums
             # make the streaming and batch totals bit-identical.
-            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+            F.sum(E.cents("value")).alias(
                 "total_cents"
             ),
             F.min("value").alias("min_value"),
@@ -185,7 +185,7 @@ def session_stats(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             # exact cents sum (see daily_event_stats)
             E.round_to(
-                F.sum(F.floor(F.col("value") * 100).cast("long")) / 100.0, 2
+                F.sum(E.cents("value")) / 100.0, 2
             ).alias("total_value"),
         )
         .select(
@@ -419,7 +419,7 @@ def sliding_window_stats(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+            F.sum(E.cents("value")).alias(
                 "total_cents"
             ),
         )

@@ -452,3 +452,35 @@ def test_count_min_sketch_overestimates_only(spark):
     for r in rows:
         assert r.n_cms >= r.n_exact
         assert r.n_cms <= n_total
+
+
+def test_cents_is_poison_proof_and_exact(spark):
+    """E.cents: a corrupt NaN/±Inf/out-of-long-range double yields
+    NULL (one poisoned cell costs one cell, not an ANSI job abort —
+    Spark's floor(double) RETURNS BIGINT so the crash happens inside
+    floor, before any try_cast could help; nanvalues-variant find),
+    while every finite in-range value keeps the exact floor(x*100)
+    integer-cents contract."""
+    import math
+
+    from getdbt_spark import functions as E
+
+    rows = [
+        (0, 12.34), (1, -0.015), (2, 0.0),
+        (3, float("nan")), (4, float("inf")), (5, float("-inf")),
+        (6, 1e300), (7, -1e300), (8, None),
+        (9, 9.223372036854775e16),   # *100 ≈ long max, in range
+    ]
+    df = spark.createDataFrame(rows, "i long, v double")
+    got = {r.i: r.c for r in df.select("i", E.cents("v").alias("c")).collect()}
+    assert got[0] == 1234 and got[1] == -2 and got[2] == 0
+    assert got[3] is None and got[4] is None and got[5] is None
+    assert got[6] is None and got[7] is None and got[8] is None
+    assert got[9] == math.floor(9.223372036854775e16 * 100)
+
+    # is_finite mirrors DuckDB's isfinite, including the NaN trap
+    # (NaN compares greater than +Inf in Spark, so bare bounds leak it)
+    fin = {r.i: r.f for r in df.select("i", E.is_finite("v").alias("f")).collect()}
+    assert [fin[i] for i in range(9)] == [True, True, True,
+                                          False, False, False,
+                                          True, True, None]

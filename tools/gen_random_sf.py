@@ -55,6 +55,11 @@ Variants (post-process ONE table; others unchanged):
                streaming watermark floor (found the silent
                drop-everything in the incremental sink; fixed by the
                EPOCH_REBASE_DAYS event-time rebase).
+- ``nanvalues``: poisons events.value — 2% NaN, 1% +Inf, 1% -Inf
+               (the corrupt-double cells every 100 TB feed contains):
+               ANSI CAST crashes, NaN-vs-NULL aggregate divergence,
+               NaN ordering (Spark and DuckDB both sort NaN greatest
+               — but any path materializing NaN vs NULL differs).
 """
 
 from __future__ import annotations
@@ -282,6 +287,15 @@ def apply_variant(variant: str) -> None:
         sql = f"""
         SELECT event_id, ts - INTERVAL 59 YEAR AS ts, user_id,
                event_type, value, props
+        FROM read_parquet('{src}')"""
+    elif variant == "nanvalues":
+        sql = f"""
+        SELECT event_id, ts, user_id, event_type,
+               CASE WHEN event_id % 50 = 0 THEN 'NaN'::DOUBLE
+                    WHEN event_id % 100 = 1 THEN 'Infinity'::DOUBLE
+                    WHEN event_id % 100 = 51 THEN '-Infinity'::DOUBLE
+                    ELSE value END AS value,
+               props
         FROM read_parquet('{src}')"""
     elif variant == "ties":
         sql = f"""

@@ -42,6 +42,8 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
+        if math.isinf(v):  # int(inf) raises; IEEE inf is a real value
+            return "inf" if v > 0 else "-inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.9g}"
