@@ -827,12 +827,21 @@ def join_range_interval(spark, sf_dir):
 @query(
     "fn_json_extract",
     oracle="""
-    SELECT CAST(props->>'k' AS INTEGER) % 10 AS k_bucket,
+    WITH x AS (
+      -- text-typed extraction like get_json_object; the integral
+      -- regex mirrors Spark's try_cast(string AS int), which NULLs
+      -- '12.5' where DuckDB's text cast ROUNDS it to 13 (badjson
+      -- random-corpus find)
+      SELECT CASE WHEN json_valid(props) THEN props->>'k' END AS kt,
+             value
+      FROM events WHERE props IS NOT NULL
+    )
+    SELECT (CASE WHEN regexp_matches(kt, '^[-+][0-9]+$|^[0-9]+$')
+                 THEN TRY_CAST(kt AS INTEGER) END) % 10 AS k_bucket,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(TRY_CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
              AS cents_total
-    FROM events
-    WHERE props IS NOT NULL
+    FROM x
     GROUP BY 1
     """,
 )
@@ -848,7 +857,13 @@ def fn_json_extract(spark, sf_dir):
     shuffle beyond the aggregation's own.
     """
     e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast + lenient extraction: a malformed-JSON or non-numeric-k
+    # row buckets as NULL instead of aborting the job (get_json_object
+    # already yields NULL for bad JSON; the ANSI string→int cast was
+    # the remaining crash — badjson random-corpus find; the oracle's
+    # json_valid guard mirrors it because DuckDB's ->> ERRORS on
+    # malformed JSON where get_json_object returns NULL)
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         e.filter(F.col("props").isNotNull())
         .groupBy((k % 10).alias("k_bucket"))
@@ -4199,17 +4214,24 @@ def sql_recursive_spine(spark, sf_dir):
 @query(
     "fn_variant_extract",
     oracle="""
+    WITH x AS (
+      -- json_valid + TRY_CAST mirror Spark's try_parse_json +
+      -- try_variant_get exactly (probed cell-identical across
+      -- malformed / quoted / fractional / bool / nested / array k:
+      -- 12.5→12, "7"→7, true→1, the rest NULL)
+      SELECT event_type,
+             TRY_CAST((CASE WHEN json_valid(props)
+                            THEN json_extract(props, '$.k') END)
+                      AS BIGINT) AS k
+      FROM events
+    )
     SELECT event_type,
            count(*) AS n_rows,
-           CAST(count(CAST(json_extract(props, '$.k') AS BIGINT))
-                AS BIGINT) AS n_k,
-           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
-                AS BIGINT) AS sum_k,
-           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT))
-                AS BIGINT) AS min_k,
-           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
-                AS BIGINT) AS max_k
-    FROM events GROUP BY event_type
+           CAST(count(k) AS BIGINT) AS n_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM x GROUP BY event_type
     """,
 )
 def fn_variant_extract(spark, sf_dir):
@@ -4224,7 +4246,11 @@ def fn_variant_extract(spark, sf_dir):
     extraction.
     """
     ev = _t(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    # try_parse_json, not parse_json: the strict parser ABORTS the job
+    # on the first malformed record (badjson random-corpus find) —
+    # NULL variant → NULL extraction is the loose-feed contract this
+    # operator exists to provide
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
     return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.count("*").alias("n_rows"),
         F.count("k").alias("n_k"),

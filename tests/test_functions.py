@@ -484,3 +484,37 @@ def test_cents_is_poison_proof_and_exact(spark):
     assert [fin[i] for i in range(9)] == [True, True, True,
                                           False, False, False,
                                           True, True, None]
+
+
+def test_json_extraction_is_malformed_proof(spark):
+    """Schemaless-feed contract for both JSON paths (badjson-variant
+    find): malformed JSON, missing keys, and non-integral k values
+    yield NULL — never a job abort (strict parse_json dies on the
+    FIRST bad record) and never a silent coercion divergence (DuckDB's
+    text cast ROUNDS '12.5'→13 where Spark's try_cast NULLs it; the
+    variant path coerces 12.5→12, "7"→7, true→1 identically in both
+    engines — probed)."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("{bad", None, None), ("", None, None),
+        ("not json at all", None, None), ('{"x": 3}', None, None),
+        ('{"k": "abc"}', None, None), ('{"k": "7"}', 7, 7),
+        ('{"k": 12.5}', None, 12),       # legacy NULLs, variant truncates
+        ('{"k": {"a": 1}}', None, None), ('{"k": [1, 2]}', None, None),
+        ('{"k": null}', None, None), ('{"k": true}', None, 1),
+        ('{"k": -42}', -42, -42), (None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(p,) for p, _, _ in cases], "props string"
+    )
+    got = df.select(
+        "props",
+        F.get_json_object("props", "$.k").try_cast("int").alias("legacy"),
+        F.try_variant_get(
+            F.try_parse_json("props"), "$.k", "bigint"
+        ).alias("variant"),
+    ).collect()
+    for (p, want_legacy, want_variant), r in zip(cases, got):
+        assert r.legacy == want_legacy, (p, r.legacy, want_legacy)
+        assert r.variant == want_variant, (p, r.variant, want_variant)

@@ -60,6 +60,11 @@ Variants (post-process ONE table; others unchanged):
                ANSI CAST crashes, NaN-vs-NULL aggregate divergence,
                NaN ordering (Spark and DuckDB both sort NaN greatest
                — but any path materializing NaN vs NULL differs).
+- ``badjson``: poisons events.props — malformed JSON, empty strings,
+               missing keys, non-numeric / quoted / fractional /
+               nested k values (the schemaless-feed reality): strict
+               JSON parsers crash, typed extraction coerces
+               differently per engine.
 """
 
 from __future__ import annotations
@@ -287,6 +292,25 @@ def apply_variant(variant: str) -> None:
         sql = f"""
         SELECT event_id, ts - INTERVAL 59 YEAR AS ts, user_id,
                event_type, value, props
+        FROM read_parquet('{src}')"""
+    elif variant == "badjson":
+        sql = f"""
+        SELECT event_id, ts, user_id, event_type, value,
+               CASE event_id % 20
+                 WHEN 0 THEN '{{bad'
+                 WHEN 1 THEN ''
+                 WHEN 2 THEN 'not json at all'
+                 WHEN 3 THEN '[1,2'
+                 WHEN 4 THEN '{{"x": 3}}'
+                 WHEN 5 THEN '{{"k": "abc"}}'
+                 WHEN 6 THEN '{{"k": "7"}}'
+                 WHEN 7 THEN '{{"k": 12.5}}'
+                 WHEN 8 THEN '{{"k": {{"a": 1}}}}'
+                 WHEN 9 THEN '{{"k": [1, 2, 3]}}'
+                 WHEN 10 THEN '{{"k": null}}'
+                 WHEN 11 THEN '{{"k": true}}'
+                 WHEN 12 THEN NULL
+                 ELSE props END AS props
         FROM read_parquet('{src}')"""
     elif variant == "nanvalues":
         sql = f"""
