@@ -321,11 +321,22 @@ def round_to(col: Column | str, ndigits: int = 2) -> Column:
     -0.25 at ndigits=1) round away from zero on both signs — BigQuery
     ROUND semantics; plain floor would send negative ties toward +∞.
     Used for every double the oracle harness hashes.
+
+    Out-of-range guard: Spark's ``floor(double)`` → BIGINT SILENTLY
+    SATURATES at ±2^63, so ±Inf (and any |x| ≥ 2^63/scale) came back
+    as ±9.223e18/scale — a silent wrong answer where DuckDB/BigQuery
+    round() return the input unchanged (found by the poisoned-prices
+    random-corpus probe).  Values that big have ulp ≫ the rounding
+    grid, so passing them through IS the correct rounding; the single
+    predicate also routes NaN/±Inf/NULL through untouched.
     """
     c = _col(col)
     scale = F.lit(float(10**ndigits))
-    magnitude = F.floor(F.abs(c) * scale + F.lit(0.5)) / scale
-    return F.signum(c) * magnitude
+    p = F.abs(c) * scale + F.lit(0.5)
+    return F.when(
+        p < F.lit(9223372036854775808.0),  # 2^63, exact as a double
+        F.signum(c) * (F.floor(p) / scale),
+    ).otherwise(c)
 
 
 def safe_divide(num: Column | str, den: Column | str) -> Column:

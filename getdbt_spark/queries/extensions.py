@@ -417,6 +417,7 @@ def setop_except(spark, sf_dir):
            round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
            round(quantile_cont(o_totalprice, 0.99), 4) AS p99
     FROM orders
+    WHERE isfinite(o_totalprice)
     GROUP BY o_orderstatus
     """,
 )
@@ -435,7 +436,10 @@ def agg_percentile(spark, sf_dir):
     with a documented error bound — same query shape.
     """
     return (
+        # finite values only: engines treat NaN/Inf differently inside
+        # the interpolation (poisoned-prices random-corpus find)
         _t(spark, sf_dir, "orders")
+        .filter(E.is_finite("o_totalprice"))
         .groupBy("o_orderstatus")
         .agg(
             *[
@@ -884,7 +888,8 @@ def fn_json_extract(spark, sf_dir):
            round(cume_dist() OVER w, 6) AS cume
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus
-                 ORDER BY TRY_CAST(floor(o_totalprice * 100) AS BIGINT),
+                 ORDER BY TRY_CAST(floor(o_totalprice * 100) AS BIGINT)
+                            NULLS LAST,
                           o_orderkey)
     """,
 )
@@ -898,7 +903,12 @@ def win_percent_rank_cume(spark, sf_dir):
     convention anyway.
     """
     cents = E.cents("o_totalprice")
-    w = Window.partitionBy("o_orderstatus").orderBy(cents, "o_orderkey")
+    # NULLS LAST explicitly: poisoned prices have NULL cents, and
+    # Spark's ASC default is nulls FIRST where DuckDB's is nulls LAST
+    # (poisoned-prices random-corpus find)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        cents.asc_nulls_last(), "o_orderkey"
+    )
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
@@ -1130,9 +1140,16 @@ def agg_stats_exact(spark, sf_dir):
     oracle="""
     WITH g AS (
       SELECT l_orderkey,
-             list(TRY_CAST(floor(l_extendedprice * 100) AS BIGINT)
-                  ORDER BY TRY_CAST(floor(l_extendedprice * 100) AS BIGINT))
-               AS a
+             -- FILTER non-null + coalesce to []: Spark's collect_list
+             -- silently DROPS NULLs and yields an EMPTY array for an
+             -- all-poisoned group, where DuckDB's filtered list() is
+             -- NULL (poisoned-prices random-corpus find)
+             coalesce(
+               list(TRY_CAST(floor(l_extendedprice * 100) AS BIGINT)
+                    ORDER BY TRY_CAST(floor(l_extendedprice * 100) AS BIGINT))
+                 FILTER (TRY_CAST(floor(l_extendedprice * 100) AS BIGINT)
+                         IS NOT NULL),
+               []) AS a
       FROM lineitem GROUP BY 1
     )
     SELECT l_orderkey,
@@ -1140,7 +1157,9 @@ def agg_stats_exact(spark, sf_dir):
            CAST(coalesce(list_sum(list_filter(a, x -> x > 5000000)), 0)
                 AS BIGINT) AS big_cents_total,
            len(list_filter(a, x -> x > 5000000)) > 0 AS has_big,
-           array_to_string(a[1:3], ',') AS cheapest3_csv
+           -- coalesce: DuckDB's array_to_string([]) is NULL where
+           -- Spark's concat_ws is '' (poisoned-prices find)
+           coalesce(array_to_string(a[1:3], ','), '') AS cheapest3_csv
     FROM g
     """,
 )
@@ -1708,11 +1727,15 @@ def fn_month_boundaries(spark, sf_dir):
 @query(
     "agg_histogram",
     oracle="""
-    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket_id,
-           CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000
+    SELECT CASE WHEN isfinite(o_totalprice)
+                THEN CAST(floor(o_totalprice / 50000) AS BIGINT) END
+             AS bucket_id,
+           CASE WHEN isfinite(o_totalprice)
+                THEN CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 END
              AS bucket_lo,
            count(*) AS n_orders,
-           CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS sum_cents
+           CAST(sum(TRY_CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
     FROM orders
     GROUP BY 1, 2
     """,
@@ -1725,7 +1748,13 @@ def agg_histogram(spark, sf_dir):
     shuffle carries one row per bucket per partition.
     """
     o = _t(spark, sf_dir, "orders")
-    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    # NULL bucket for poison cells: floor(double)->BIGINT SATURATES on
+    # +/-Inf and the bucket_lo multiply then overflows (poisoned-prices
+    # random-corpus find); mirrors the oracle's isfinite CASE
+    bucket = F.when(
+        E.is_finite("o_totalprice"),
+        F.floor(F.col("o_totalprice") / 50000),
+    ).cast("long")
     return (
         o.select(
             bucket.alias("bucket_id"),
@@ -1745,7 +1774,7 @@ def agg_histogram(spark, sf_dir):
     oracle="""
     WITH med AS (
       SELECT l_returnflag, round(median(l_extendedprice), 4) AS median_price
-      FROM lineitem GROUP BY l_returnflag
+      FROM lineitem WHERE isfinite(l_extendedprice) GROUP BY l_returnflag
     ), qc AS (
       SELECT l_returnflag, l_quantity, count(*) AS c
       FROM lineitem GROUP BY 1, 2
@@ -1774,8 +1803,10 @@ def agg_median_mode(spark, sf_dir):
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
-    med = li.groupBy("l_returnflag").agg(
-        E.round_to(F.median("l_extendedprice"), 4).alias("median_price")
+    med = (
+        li.filter(E.is_finite("l_extendedprice"))
+        .groupBy("l_returnflag")
+        .agg(E.round_to(F.median("l_extendedprice"), 4).alias("median_price"))
     )
     qc = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("c"))
     w = Window.partitionBy("l_returnflag").orderBy(
@@ -1995,7 +2026,7 @@ def scan_file_provenance(spark, sf_dir):
     oracle="""
     SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
            TRY_CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
-           CAST(sum(floor(o_totalprice * 100)) OVER (
+           CAST(sum(TRY_CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
              ROWS UNBOUNDED PRECEDING
@@ -2534,6 +2565,7 @@ def sink_cdc_changelog(spark, sf_dir):
     WITH ranked AS (
       SELECT o_totalprice
       FROM orders
+      WHERE isfinite(o_totalprice)
       ORDER BY ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
                  ::BIGINT
       LIMIT 1000
@@ -2561,7 +2593,10 @@ def agg_quantile_sampled(spark, sf_dir):
     """
     o = _t(spark, sf_dir, "orders")
     ranked = (
-        o.select(
+        # finite before sampling: the quantile input must exclude
+        # poison identically in both engines
+        o.filter(E.is_finite("o_totalprice"))
+        .select(
             "o_totalprice",
             P.md5_long(F.col("o_orderkey").cast("string")).alias("hk"),
         )
@@ -2588,7 +2623,7 @@ def agg_quantile_sampled(spark, sf_dir):
       FROM orders
     )
     SELECT o_orderstatus, count(*) AS n_kept,
-           CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents_kept
+           CAST(sum(TRY_CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_kept
     FROM keyed
     WHERE u < 0.2 * o_totalprice / 500000.0
     GROUP BY o_orderstatus
@@ -2654,7 +2689,7 @@ def fn_try_arith(spark, sf_dir):
     "join_star_multihop",
     oracle="""
     SELECT r.r_name, count(*) AS n_orders,
-           CAST(sum(floor(o.o_totalprice * 100)) AS BIGINT) AS cents
+           CAST(sum(TRY_CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n ON n.n_nationkey = c.c_nationkey

@@ -1394,8 +1394,8 @@ def fn_conditional_pipeline(spark, sf_dir):
     "fn_math_pipeline",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST((CAST(l_extendedprice * 100 AS BIGINT)
-                 - (CAST(l_extendedprice * 100 AS BIGINT) % 1000)) / 1000
+           CAST((TRY_CAST(l_extendedprice * 100 AS BIGINT)
+                 - (TRY_CAST(l_extendedprice * 100 AS BIGINT) % 1000)) / 1000
                 AS BIGINT) AS price_div_10,
            round(l_extendedprice * (1 - l_discount), 2) AS revenue,
            round(l_extendedprice / 60 / 60, 4) AS price_in_hours,
@@ -1411,7 +1411,10 @@ def fn_math_pipeline(spark, sf_dir):
     round(x/60,2) dashboard:182-183,241.
     """
     li = _t(spark, sf_dir, "lineitem")
-    cents = (F.col("l_extendedprice") * 100).cast("bigint")
+    # try_cast: an Inf price aborted the job here (poisoned-prices
+    # random-corpus find); NULL flows through bq_div like the oracle's
+    # TRY_CAST
+    cents = (F.col("l_extendedprice") * 100).try_cast("bigint")
     return li.select(
         "l_orderkey",
         "l_linenumber",

@@ -518,3 +518,24 @@ def test_json_extraction_is_malformed_proof(spark):
     for (p, want_legacy, want_variant), r in zip(cases, got):
         assert r.legacy == want_legacy, (p, r.legacy, want_legacy)
         assert r.variant == want_variant, (p, r.variant, want_variant)
+
+
+def test_round_to_passes_nonfinite_and_huge_through(spark):
+    """round_to must PROPAGATE NaN/±Inf/huge values unchanged like
+    DuckDB/BigQuery round() — Spark's floor(double)→BIGINT silently
+    SATURATES at ±2^63, which turned ±Inf into ±9.2e16 (a silent
+    wrong answer; poisoned-prices random-corpus find).  Values with
+    ulp larger than the rounding grid are already 'rounded'."""
+    import math
+
+    rows = [(0, float("inf")), (1, float("-inf")), (2, float("nan")),
+            (3, 1e300), (4, -1e300), (5, None),
+            (6, 2.345), (7, -2.345), (8, 9.5e16)]
+    df = spark.createDataFrame(rows, "i long, v double")
+    got = {r.i: r.r for r in df.select(
+        "i", E.round_to("v", 2).alias("r")).collect()}
+    assert got[0] == float("inf") and got[1] == float("-inf")
+    assert math.isnan(got[2])
+    assert got[3] == 1e300 and got[4] == -1e300 and got[5] is None
+    assert got[6] == 2.35 and got[7] == -2.35
+    assert got[8] == 9.5e16  # beyond 2^63/100: passthrough, not saturate

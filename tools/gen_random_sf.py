@@ -65,6 +65,12 @@ Variants (post-process ONE table; others unchanged):
                nested k values (the schemaless-feed reality): strict
                JSON parsers crash, typed extraction coerces
                differently per engine.
+- ``nanprices``: poisons the TPC-H money columns instead
+               (l_extendedprice, o_totalprice, c_acctbal with
+               NaN/±Inf every 40th key) — found floor-saturation in
+               round_to, collect_list-vs-list NULL handling, NULLS
+               FIRST/LAST window divergence, and the percentile
+               family's non-finite sensitivity.
 """
 
 from __future__ import annotations
@@ -236,6 +242,35 @@ def main(seed: int = 20240814) -> None:
 def apply_variant(variant: str) -> None:
     """Rewrite OUT/events.parquet per the variant (see module doc)."""
     import duckdb
+
+    if variant == "nanprices":
+        for tbl, col, key in (
+            ("lineitem", "l_extendedprice", "l_orderkey"),
+            ("orders", "o_totalprice", "o_orderkey"),
+            ("customer", "c_acctbal", "c_custkey"),
+        ):
+            tsrc = os.path.join(OUT, f"{tbl}.parquet")
+            cols = duckdb.sql(
+                f"SELECT * FROM read_parquet('{tsrc}') LIMIT 0"
+            ).columns
+            sel = ", ".join(
+                (
+                    f"CASE {key} % 40 WHEN 0 THEN 'NaN'::DOUBLE"
+                    f" WHEN 1 THEN 'Infinity'::DOUBLE"
+                    f" WHEN 2 THEN '-Infinity'::DOUBLE"
+                    f" ELSE {c} END AS {c}"
+                )
+                if c == col
+                else c
+                for c in cols
+            )
+            duckdb.sql(
+                f"COPY (SELECT {sel} FROM read_parquet('{tsrc}')) "
+                f"TO '{tsrc}.variant' (FORMAT PARQUET)"
+            )
+            os.replace(tsrc + ".variant", tsrc)
+            print(f"variant 'nanprices' applied to {tsrc}")
+        return
 
     if variant == "zerovec":
         # Rewrites embeddings.parquet: deterministic positions so every
