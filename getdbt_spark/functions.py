@@ -73,6 +73,18 @@ def ntz_epoch_us(col: Column | str) -> Column:
     return (d * F.lit(1000000)).cast("long")
 
 
+def ntz_from_epoch_us(col: Column | str) -> Column:
+    """Inverse of :func:`ntz_epoch_us`: wall-clock epoch micros → NTZ.
+
+    Pure micros addition onto the NTZ epoch — no zone consulted, exact
+    for any value an NTZ can hold.  This is the JVM-side reconstruction
+    step of the micros-long kernel contract: pandas kernels exchange
+    event time as int64 epoch micros (immune to Arrow's ns coercion,
+    which dies past 2262-04-11), and the timestamp face is rebuilt
+    here, after the kernel."""
+    return F.timestamp_add("MICROSECOND", _col(col), _ntz_epoch_lit())
+
+
 def ntz_instant(col: Column | str) -> Column:
     """NTZ wall clock → TIMESTAMP instant with UTC face == wall clock.
 

@@ -58,6 +58,43 @@ WATERMARK = "8 days"  # == the reference's replay window minus the current day
 # only the two face readouts below compensate.
 EPOCH_REBASE_DAYS = 29200
 
+# Future-skew quarantine bound for STREAMING inputs only.  Spark's
+# global watermark is max(event time) − delay and only moves forward,
+# so ONE corrupt far-future clock (a 9999-12-30 event — the
+# `futuredates` random-corpus probe) fast-forwards the watermark past
+# every legitimate event and the stream silently drops ALL valid data
+# from the next micro-batch on — the worst failure mode a 100 TB
+# pipeline has, because nothing crashes.  Events at or past this bound
+# are quarantined at the streaming edge (they also cannot be "on time"
+# under any physical clock).  Batch paths keep exact pass-through
+# semantics: there is no watermark to poison, both engines agree on
+# far-future timestamps natively, and silently dropping rows from a
+# batch query would itself be the bug.
+#
+# The bound's value doubles as the Arrow-safety proof for the stateful
+# kernel: EventTimeTimeout requires the watermark column (ts_evt) to
+# SURVIVE into the applyInPandasWithState input (dropping it raises
+# "Event-time timeout not supported without watermark" — probed), and
+# PySpark coerces kernel-input timestamps to datetime64[ns], which
+# overflows at 2262-04-11.  2180 + the 80-year EPOCH_REBASE keeps
+# every admitted ts_evt face at ≤ ~2260 — under the cliff with margin.
+PLAUSIBLE_MAX_WALL = "2180-01-01 00:00:00"
+
+
+def _quarantine_future(events: DataFrame) -> DataFrame:
+    """Drop watermark-poisoning future events from a STREAMING input.
+
+    Applied only when ``events.isStreaming`` (see PLAUSIBLE_MAX_WALL).
+    NULL event times are quarantined too: a watermarked operator would
+    NULL-group them while the state timeout arithmetic cannot order
+    them — the rejects path is where a production stream routes both.
+    """
+    if not events.isStreaming:
+        return events
+    return events.filter(
+        F.col("ts") < F.expr(f"TIMESTAMP_NTZ '{PLAUSIBLE_MAX_WALL}'")
+    )
+
 
 def _ntz_instant(col: str = "ts") -> F.Column:
     """Wall-clock → watermarkable instant, DST-free and pre-1970-safe.
@@ -113,7 +150,7 @@ def daily_event_stats(events: DataFrame) -> DataFrame:
     # equals the CET wall clock (fixed zero offset, DST-free), keeping
     # day buckets and the final ``cast(date)`` aligned with the batch
     # layer's NTZ wall-clock discipline.
-    events = events.withColumn("ts", _ntz_instant("ts"))
+    events = _quarantine_future(events).withColumn("ts", _ntz_instant("ts"))
     return (
         events.withWatermark("ts", WATERMARK)
         .groupBy(
@@ -169,7 +206,7 @@ def session_stats(events: DataFrame) -> DataFrame:
     state — the streaming-native form of the sessionize-with-windows
     SQL (lag + cumulative-sum) the oracle uses.
     """
-    shifted = events.withColumn(
+    shifted = _quarantine_future(events).withColumn(
         "ts_evt",
         _ntz_instant("ts"),
     )
@@ -212,6 +249,18 @@ FIRST_SEEN_SCHEMA = (
     "event_type string, value double"
 )
 
+# Kernel-side twin of FIRST_SEEN_SCHEMA: event time travels through
+# the Arrow boundary as int64 epoch micros.  PySpark's serializer
+# hardcodes ns coercion for kernel-input timestamps, so one 2263+
+# timestamp would otherwise abort the whole stage (futuredates probe);
+# longs are representation-exact at any date either engine can hold.
+_FIRST_SEEN_KERNEL_SCHEMA = (
+    "fp string, event_id long, ts_us long, user_id long, "
+    "event_type string, value double"
+)
+
+_REBASE_MS = EPOCH_REBASE_DAYS * 86400 * 1000
+
 
 def first_seen_stream(events: DataFrame) -> DataFrame:
     """Streaming exact dedup: emit only the FIRST event per content
@@ -240,12 +289,23 @@ def first_seen_stream(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     ev = (
-        events.withColumn(
+        _quarantine_future(events)
+        .withColumn(
             "ts_evt",
             _ntz_instant("ts"),
         )
         .withColumn("fp", _fingerprint())
         .withWatermark("ts_evt", WATERMARK)
+        # Micros-long kernel contract (see _FIRST_SEEN_KERNEL_SCHEMA):
+        # the kernel orders and keeps state on exact int64 epoch
+        # micros, never on a pandas-converted timestamp.  ts_evt must
+        # STAY (EventTimeTimeout requires the watermark column in the
+        # kernel input — its ns conversion is safe because
+        # _quarantine_future bounds every admitted face under the
+        # 2262 Arrow cliff); the raw NTZ ts and the untrimmed props
+        # payload are dead weight for the kernel and are dropped.
+        .withColumn("ts_us", E.ntz_epoch_us("ts"))
+        .drop("ts", "props")
     )
 
     def _dedup(key, pdfs, state: GroupState):
@@ -253,13 +313,16 @@ def first_seen_stream(events: DataFrame) -> DataFrame:
             state.remove()
             return
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        first = pdf.sort_values(["ts", "event_id"]).iloc[:1]
-        first_ms = int(first["ts_evt"].iloc[0].value // 1_000_000)
+        first = pdf.sort_values(["ts_us", "event_id"]).iloc[:1]
+        # ts_us is wall-clock epoch micros; the state-timeout clock is
+        # rebased-instant epoch ms (the watermark's clock), so add the
+        # same whole-day rebase _ntz_instant applies.
+        first_ms = int(first["ts_us"].iloc[0]) // 1000 + _REBASE_MS
         if not state.exists:
             state.update((first_ms,))
             state.setTimeoutTimestamp(first_ms + DEDUP_TTL_MS)
             yield first[
-                ["fp", "event_id", "ts", "user_id", "event_type", "value"]
+                ["fp", "event_id", "ts_us", "user_id", "event_type", "value"]
             ]
         # seen before: suppress the whole batch for this key
 
@@ -267,11 +330,13 @@ def first_seen_stream(events: DataFrame) -> DataFrame:
         ev.groupBy("fp")
         .applyInPandasWithState(
             _dedup,
-            FIRST_SEEN_SCHEMA,
+            _FIRST_SEEN_KERNEL_SCHEMA,
             "first_ms long",
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )
+        .withColumn("ts", E.ntz_from_epoch_us("ts_us"))
+        .select("fp", "event_id", "ts", "user_id", "event_type", "value")
     )
 
 
@@ -377,7 +442,7 @@ def dedup_replays(events: DataFrame) -> DataFrame:
     TZ discipline as the other operators: the watermark needs a
     TIMESTAMP instant, output keeps the original NTZ wall clock.
     """
-    shifted = events.withColumn(
+    shifted = _quarantine_future(events).withColumn(
         "ts_evt",
         _ntz_instant("ts"),
     )
@@ -407,7 +472,7 @@ def sliding_window_stats(events: DataFrame) -> DataFrame:
     (window, event_type); the window fan-out is exactly 2×, applied
     map-side before the combine.
     """
-    shifted = events.withColumn(
+    shifted = _quarantine_future(events).withColumn(
         "ts_evt",
         _ntz_instant("ts"),
     )
@@ -470,7 +535,7 @@ def attributed_conversions(events: DataFrame) -> DataFrame:
     set semantics, no arbitrary "first touch" pick) keep the result
     deterministic and oracle-checkable.
     """
-    shifted = events.withColumn(
+    shifted = _quarantine_future(events).withColumn(
         "ts_evt",
         _ntz_instant("ts"),
     )

@@ -509,3 +509,62 @@ def test_pre1970_events_survive_a_real_streaming_run(spark, tmp_path):
     assert _key(got.collect()) == _key(want.collect())
     assert sum(r["n_events"] for r in got.collect()) == 60
     assert min(str(r["evt_date"]) for r in got.collect()) == "1965-06-10"
+
+
+def test_one_future_event_cannot_poison_the_watermark(spark, tmp_path):
+    """One corrupt far-future clock (the `futuredates` random-corpus
+    probe: a 9999-12-30 event in an otherwise-2024 feed) must cost
+    exactly that event, never the stream.  Without the ingestion-edge
+    quarantine the 9999 event fast-forwards the global watermark past
+    every legitimate 2024 event, and generation 2 is silently dropped
+    wholesale — nothing crashes, the data is just gone.  With it, the
+    stream (a) completes, (b) keeps every valid event across BOTH
+    generations, (c) emits nothing for the poisoned one."""
+    import datetime as dt
+
+    def gen(ids, poison=()):
+        return [
+            (
+                i,
+                dt.datetime(9999, 12, 30, 23, 59)
+                if i in poison
+                else dt.datetime(2024, 5, 1 + (i % 5), 8 + i % 12, i % 60),
+                i % 3,
+                ("view", "purchase", "click")[i % 3],
+                float(i),
+                f"p{i}",
+            )
+            for i in ids
+        ]
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    path = str(tmp_path / "events_future")
+    ck = str(tmp_path / "ck_future")
+    sink = str(tmp_path / "sink_future")
+
+    # generation 1 carries the poisoned clock among 30 valid events
+    g1 = spark.createDataFrame(gen(range(30), poison={7}), schema)
+    g1.write.parquet(path)
+    out1 = run_available_now(
+        spark, path, g1, "t_future_1",
+        transform=first_seen_stream, output_mode="append",
+        checkpoint=ck, sink_dir=sink,
+    )
+    got1 = {r["event_id"] for r in out1.collect()}
+    assert got1 == set(range(30)) - {7}, got1
+
+    # generation 2 is all-valid 2024 data: a poisoned watermark would
+    # have silently dropped every row of it as late
+    g2 = spark.createDataFrame(gen(range(100, 130)), schema)
+    g2.write.parquet(path, mode="append")
+    out2 = run_available_now(
+        spark, path, g1, "t_future_2",
+        transform=first_seen_stream, output_mode="append",
+        checkpoint=ck, sink_dir=sink,
+    )
+    got2 = {r["event_id"] for r in out2.collect()}
+    assert set(range(100, 130)) <= got2, sorted(got2)
+    assert 7 not in got2

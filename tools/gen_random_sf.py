@@ -65,6 +65,14 @@ Variants (post-process ONE table; others unchanged):
                nested k values (the schemaless-feed reality): strict
                JSON parsers crash, typed extraction coerces
                differently per engine.
+- ``futuredates``: poisons ~0.75% of events.ts with far-future
+               timestamps (year 2500, 9999-12-30, and 2262-04-12 —
+               one tick past pandas' datetime64[ns] ceiling): the
+               one-corrupt-clock feed that kills every Arrow/pandas
+               kernel and toPandas() fetch that touches the raw
+               column, plus max-date anchor / date-arithmetic
+               overflow stress.  Both engines are us-int64 native,
+               so JVM/DuckDB paths must agree exactly.
 - ``nanprices``: poisons the TPC-H money columns instead
                (l_extendedprice, o_totalprice, c_acctbal with
                NaN/±Inf every 40th key) — found floor-saturation in
@@ -83,7 +91,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, ".scale_data", "rand_sf")
+# Overridable so several variant corpora can coexist (parallel sweeps).
+OUT = os.environ.get(
+    "RAND_SF_OUT", os.path.join(REPO, ".scale_data", "rand_sf")
+)
 
 N_CUST, N_SUPP, N_PART, N_ORDERS, N_LINE = 150, 10, 200, 1500, 6000
 N_EVENTS, N_DOCS, N_EMB, DIM = 1000, 500, 500, 64
@@ -346,6 +357,28 @@ def apply_variant(variant: str) -> None:
                  WHEN 11 THEN '{{"k": true}}'
                  WHEN 12 THEN NULL
                  ELSE props END AS props
+        FROM read_parquet('{src}')"""
+    elif variant == "futuredates":
+        # One corrupt clock in a 100 TB feed: ~0.75% of events carry a
+        # far-future timestamp.  Three poison flavors, each probing a
+        # different cliff: year 2500 (past pandas' datetime64[ns]
+        # 2262-04-11 ceiling → any Arrow/pandas kernel or toPandas()
+        # fetch that receives the raw column dies), 9999-12-30 (one day
+        # under the SQL timestamp max → date arithmetic overflow and
+        # max-date scalar-anchor spine explosion), and 2262-04-12 (the
+        # first nanosecond-overflow instant — exactly one ns past the
+        # cliff).  Both engines store us-precision int64 natively, so
+        # every JVM/DuckDB-side query must agree; the only legitimate
+        # casualties are Python-boundary conversions, which must cost
+        # the poisoned CELL, never the JOB.
+        sql = f"""
+        SELECT event_id,
+               CASE event_id % 400
+                 WHEN 0 THEN ts + INTERVAL 476 YEAR
+                 WHEN 1 THEN TIMESTAMP '9999-12-30 23:59:59'
+                 WHEN 2 THEN TIMESTAMP '2262-04-12 00:00:00'
+                 ELSE ts END AS ts,
+               user_id, event_type, value, props
         FROM read_parquet('{src}')"""
     elif variant == "nanvalues":
         sql = f"""

@@ -133,8 +133,25 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _fetch_spark(spark_df) -> pd.DataFrame:
+    """Driver-faithful fetch with a far-future-timestamp fallback.
+
+    The primary path is ``toPandas()`` — exactly what the driver runs —
+    so its ns-coercion strictness is preserved.  PySpark's serializer
+    hardcodes ``coerce_temporal_nanoseconds=True``, so ONE year-2263+
+    timestamp in the result kills the fetch (futuredates variant);
+    ``toArrow().to_pandas()`` keeps Arrow's us precision (datetime64[us],
+    the same dtype DuckDB's fetch produces), turning the poisoned cell
+    back into a comparable value instead of a harness crash.
+    """
+    try:
+        return spark_df.toPandas()
+    except Exception:
+        return spark_df.toArrow().to_pandas()
+
+
 def compare(qid: str, spark_df, con, oracle: str | None, verbose=True):
-    spd = spark_df.toPandas()
+    spd = _fetch_spark(spark_df)
     n_s, cols_s, h_s, cl_s = frame_hash(spd)
     if oracle is None:
         status = "ROWS_ONLY" if n_s >= 0 else "FAIL"
