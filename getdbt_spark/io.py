@@ -66,6 +66,35 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Dat
 _VIEWS_MARKER = "spark.getdbt_spark.registered_sf_dir"
 
 
+# Clock-plausibility bound, shared by the streaming quarantine
+# (streaming.PLAUSIBLE_MAX_WALL) and every run-date anchor below.  A
+# feed's max event time stands in for "today" throughout the engine
+# (the frozen-run_date policy), so ONE corrupt far-future clock would
+# otherwise become the run date — and a spine/window anchored on it
+# explodes (the `futuredates` probe: a single 9999-12-30 event turned
+# the 1995-anchored weekly spine into 417k weeks × every vertaal row =
+# 8.7M rows on a 1000-event corpus; at 100 TB the minute-grain spine
+# would be billions of rows per channel).  Deriving "today" only from
+# credible clocks costs one scan-level predicate.
+PLAUSIBLE_MAX_EVENT_WALL = "2180-01-01 00:00:00"
+
+
+def credible_clock(col: str = "ts") -> F.Column:
+    """True iff the event time is a plausible wall clock (and non-NULL)."""
+    return F.col(col) < F.expr(f"TIMESTAMP_NTZ '{PLAUSIBLE_MAX_EVENT_WALL}'")
+
+
+def run_date_anchor(events: DataFrame, default, col: str = "ts"):
+    """The frozen run date: max credible event date, empty-safe.
+
+    Every oracle that anchors mirrors the same clamp
+    (``… FILTER (WHERE ts < TIMESTAMP '2180-01-01')``), so both
+    engines agree on corpora with poisoned clocks too."""
+    return scalar_anchor(
+        events.filter(credible_clock(col)), F.max(F.to_date(col)), default
+    )
+
+
 def scalar_anchor(df: DataFrame, expr: F.Column, default):
     """Driver-side one-row literal anchor (the two-phase pattern),
     empty-input-safe.

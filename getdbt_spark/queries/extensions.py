@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .. import functions as E
 from .. import pipeline as P
-from ..io import load_table, scalar_anchor
+from ..io import credible_clock, load_table, run_date_anchor, scalar_anchor
 from . import query
 
 
@@ -1262,7 +1262,9 @@ def join_nullsafe_eq(spark, sf_dir):
 @query(
     "sink_partitioned_read_pruned",
     oracle="""
-    WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS d FROM events)
+    WITH anchor AS (SELECT max(CAST(ts AS DATE))
+                      FILTER (WHERE ts < TIMESTAMP '2180-01-01') AS d
+                    FROM events)
     SELECT CAST(ts AS DATE) AS evt_date, event_type,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events
@@ -1288,7 +1290,7 @@ def sink_partitioned_read_pruned(spark, sf_dir):
     from ..io import read_parquet_like
 
     e = _t(spark, sf_dir, "events")
-    anchor = scalar_anchor(e, F.max(F.to_date("ts")), _dt.date(1970, 1, 1))
+    anchor = run_date_anchor(e, _dt.date(1970, 1, 1))
     path = os.path.join(
         tempfile.gettempdir(),
         f"getdbt_spark_part_{os.path.basename(sf_dir.rstrip('/'))}"
@@ -1628,8 +1630,10 @@ def scan_schema_evolution(spark, sf_dir):
       FROM events
     )
     SELECT event_type,
-           TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * (bar_id * 900)
-             AS bar_start,
+           -- make_timestamp(µs BIGINT): the interval form
+           -- (INTERVAL 1 SECOND * n) coerces n to INT32, which a
+           -- year-2500 bar overflows (futuredates probe)
+           make_timestamp(bar_id * 900000000) AS bar_start,
            arg_min(cents, skey) AS open_cents,
            max(cents) AS high_cents,
            min(cents) AS low_cents,
@@ -1961,7 +1965,15 @@ def sink_incremental_merge(spark, sf_dir):
         F.col("ts").cast("date").alias("d"),
         _cents("value").alias("cents"),
     )
-    anchor = scalar_anchor(ev, F.max("d"), _dt.date(1970, 1, 1))
+    # run-date anchor on credible clocks (the merged==full-history
+    # invariant survives the clamp: a user whose only post-run-1
+    # activity is future-dated still lands in run 2's active set,
+    # whose re-aggregation reads FULL history)
+    anchor = scalar_anchor(
+        ev.filter(F.col("d") < _dt.date(2180, 1, 1)),
+        F.max("d"),
+        _dt.date(1970, 1, 1),
+    )
 
     def _agg(frame):
         return frame.groupBy("user_id").agg(
@@ -3969,7 +3981,9 @@ def agg_count_min_sketch(spark, sf_dir):
 @query(
     "dq_freshness",
     oracle="""
-    WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS run_d FROM events),
+    WITH anchor AS (SELECT max(CAST(ts AS DATE))
+                      FILTER (WHERE ts < TIMESTAMP '2180-01-01') AS run_d
+                    FROM events),
     f AS (
       SELECT event_type,
              max(CAST(ts AS DATE)) AS max_loaded_date,
@@ -3998,7 +4012,7 @@ def dq_freshness(spark, sf_dir):
     (max over a partition column prunes to metadata).
     """
     e = _t(spark, sf_dir, "events")
-    anchor = scalar_anchor(e, F.max(F.to_date("ts")), dt.date(1970, 1, 1))
+    anchor = run_date_anchor(e, dt.date(1970, 1, 1))
     f = e.groupBy("event_type").agg(
         F.max(F.to_date("ts")).alias("max_loaded_date"),
         F.count("*").alias("n_rows"),

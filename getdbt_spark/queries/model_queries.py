@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from .. import fixtures as FX
 from .. import functions as E
 from ..functions import safe_offset
+from ..io import credible_clock, run_date_anchor
 from ..io import load_table as _lt
 from ..io import scalar_anchor
 from . import query
@@ -68,6 +69,10 @@ def _run_model(spark, sf_dir: str, name: str, reuse: str | None = None):
     if akey not in _ANCHOR_CACHE:  # a None anchor (empty events) caches too
         _ANCHOR_CACHE[akey] = (
             load_table(spark, sf_dir, "events")
+            # credible clocks only: one poisoned 9999 timestamp would
+            # otherwise become the run date and blow the weekly spine
+            # up ~500× (io.run_date_anchor; oracle_ctes mirrors it)
+            .filter(credible_clock("ts"))
             .agg(F.max(F.to_date("ts")))
             .collect()[0][0]
         )
@@ -358,10 +363,8 @@ def sink_incremental_insert_overwrite(spark, sf_dir):
     from ..runner import Runner
 
     M.load_all()
-    anchor = scalar_anchor(
-        load_table(spark, sf_dir, "events"),
-        F.max(F.to_date("ts")),
-        dt.date(2024, 1, 30),
+    anchor = run_date_anchor(
+        load_table(spark, sf_dir, "events"), dt.date(2024, 1, 30)
     )
     # Deterministic scratch path, wiped per invocation: mkdtemp would
     # orphan a full materialized model per driver round.
@@ -416,7 +419,9 @@ def sort_in_cte(spark, sf_dir):
 @query(
     "fn_current_date",
     oracle="""
-    WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+    WITH anchor AS (SELECT max(CAST(ts AS DATE))
+                      FILTER (WHERE ts < TIMESTAMP '2180-01-01') AS d
+                    FROM events),
     win AS (
       SELECT CAST((SELECT d FROM anchor) - CAST(unnest(range(9)) AS INTEGER)
                   AS DATE) AS partition_date
@@ -437,7 +442,7 @@ def fn_current_date(spark, sf_dir):
     per-partition predicate reaches the scan as a prunable filter
     instead of a correlated subquery."""
     ev = _t(spark, sf_dir, "events")
-    anchor = scalar_anchor(ev, F.max(F.to_date("ts")), dt.date(2024, 1, 30))
+    anchor = run_date_anchor(ev, dt.date(2024, 1, 30))
     window = [anchor - dt.timedelta(days=i) for i in range(9)]
     counts = (
         ev.select(F.to_date("ts").alias("d"))
@@ -660,9 +665,7 @@ def dq_schema_tests(spark, sf_dir):
     from ..runner import Runner
 
     _load_models()
-    anchor = scalar_anchor(
-        _lt(spark, sf_dir, "events"), F.max(F.to_date("ts")), dt.date(2024, 1, 30)
-    )
+    anchor = run_date_anchor(_lt(spark, sf_dir, "events"), dt.date(2024, 1, 30))
     runner = Runner(spark, sources_map(spark, sf_dir), anchor)
     # reuse=None: driver entries have no post-action release hook
     # (same rule as _run_model) — persisted test inputs would leak.
@@ -771,10 +774,8 @@ def sink_incremental_replay(spark, sf_dir):
     from ..api import run_incremental
     from ..io import load_table
 
-    anchor = scalar_anchor(
-        load_table(spark, sf_dir, "events"),
-        F.max(F.to_date("ts")),
-        dt.date(2024, 1, 30),
+    anchor = run_date_anchor(
+        load_table(spark, sf_dir, "events"), dt.date(2024, 1, 30)
     )
     wh = os.path.join(
         tempfile.gettempdir(),
@@ -996,6 +997,10 @@ def sink_snapshot_time_travel(spark, sf_dir):
 
 @query(
     "streaming_incremental_sink",
+    # The WHERE mirrors the streaming edge's future-skew quarantine
+    # (streaming.PLAUSIBLE_MAX_WALL): a real stream must reject
+    # watermark-poisoning clocks, so the expected warehouse state
+    # excludes them by contract.
     oracle="""
     SELECT
       CAST(date_trunc('day', ts) AS DATE) AS evt_date,
@@ -1006,6 +1011,7 @@ def sink_snapshot_time_travel(spark, sf_dir):
       min(value) AS min_value,
       max(value) AS max_value
     FROM events
+    WHERE ts < TIMESTAMP '2180-01-01'
     GROUP BY 1, 2
     """,
 )
@@ -1032,7 +1038,9 @@ def streaming_incremental_sink(spark, sf_dir):
     from .. import streaming as S
 
     e = _t(spark, sf_dir, "events")
-    lo, hi = e.agg(
+    # generation split on credible clocks only — a poisoned 9999 max
+    # would put `mid` in year ~6000 and the whole feed in generation 1
+    lo, hi = e.filter(credible_clock("ts")).agg(
         F.min(F.to_date("ts")), F.max(F.to_date("ts"))
     ).collect()[0]
     if lo is None:  # empty corpus: single empty generation

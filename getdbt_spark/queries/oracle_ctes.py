@@ -23,7 +23,13 @@ _TV_FILTER = (
 )
 
 MODEL_CTES: list[tuple[str, str]] = [
-    ("anchor", "SELECT max(CAST(ts AS DATE)) AS d FROM events"),
+    # run date = max CREDIBLE event date (mirrors io.run_date_anchor:
+    # a poisoned far-future clock must not become "today")
+    (
+        "anchor",
+        """SELECT max(CAST(ts AS DATE))
+             FILTER (WHERE ts < TIMESTAMP '2180-01-01') AS d FROM events""",
+    ),
     (
         "spine",
         """SELECT CAST(unnest(generate_series(DATE '1995-01-02',

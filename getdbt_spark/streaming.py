@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import functions as E
-from .io import load_table
+from .io import PLAUSIBLE_MAX_EVENT_WALL, credible_clock, load_table
 from .session import configure
 
 WATERMARK = "8 days"  # == the reference's replay window minus the current day
@@ -78,7 +78,10 @@ EPOCH_REBASE_DAYS = 29200
 # PySpark coerces kernel-input timestamps to datetime64[ns], which
 # overflows at 2262-04-11.  2180 + the 80-year EPOCH_REBASE keeps
 # every admitted ts_evt face at ≤ ~2260 — under the cliff with margin.
-PLAUSIBLE_MAX_WALL = "2180-01-01 00:00:00"
+# The batch layer shares the same bound for run-date anchoring
+# (io.PLAUSIBLE_MAX_EVENT_WALL), so "credible clock" means one thing
+# engine-wide.
+PLAUSIBLE_MAX_WALL = PLAUSIBLE_MAX_EVENT_WALL
 
 
 def _quarantine_future(events: DataFrame) -> DataFrame:
@@ -91,9 +94,20 @@ def _quarantine_future(events: DataFrame) -> DataFrame:
     """
     if not events.isStreaming:
         return events
-    return events.filter(
-        F.col("ts") < F.expr(f"TIMESTAMP_NTZ '{PLAUSIBLE_MAX_WALL}'")
-    )
+    return events.filter(credible_clock("ts"))
+
+
+def quarantine_rejects(events: DataFrame) -> DataFrame:
+    """The dead-letter complement of :func:`_quarantine_future`.
+
+    Everything the streaming operators quarantine — future-dated
+    events at/past PLAUSIBLE_MAX_WALL plus NULL event times — so a
+    caller can route rejects to a dead-letter sink and alert on their
+    rate instead of having them silently vanish.  Works on both batch
+    and streaming inputs (a batch caller audits the same predicate the
+    stream applies).
+    """
+    return events.filter(~credible_clock("ts") | F.col("ts").isNull())
 
 
 def _ntz_instant(col: str = "ts") -> F.Column:

@@ -568,3 +568,30 @@ def test_one_future_event_cannot_poison_the_watermark(spark, tmp_path):
     got2 = {r["event_id"] for r in out2.collect()}
     assert set(range(100, 130)) <= got2, sorted(got2)
     assert 7 not in got2
+
+
+def test_quarantine_rejects_is_the_exact_complement(spark):
+    """Admitted ∪ rejected == input, disjointly: the dead-letter view
+    captures exactly what the streaming edge drops (future-dated and
+    NULL event times), so rejects can be sunk and alerted on instead
+    of silently vanishing."""
+    import datetime as dt
+
+    from getdbt_spark.streaming import _quarantine_future, quarantine_rejects
+
+    rows = [
+        (1, dt.datetime(2024, 5, 1, 12), 0, "view", 1.0, "a"),
+        (2, dt.datetime(2180, 1, 1, 0), 0, "view", 1.0, "b"),   # == bound
+        (3, dt.datetime(9999, 12, 30), 0, "view", 1.0, "c"),
+        (4, None, 0, "view", 1.0, "d"),
+        (5, dt.datetime(1965, 1, 1, 8), 0, "view", 1.0, "e"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    rejected = {r["event_id"] for r in quarantine_rejects(df).collect()}
+    assert rejected == {2, 3, 4}
+    # the batch path passes everything through (no watermark to poison)
+    assert _quarantine_future(df).count() == 5
