@@ -507,6 +507,31 @@ def _dot_double(a: Column, b: Column) -> Column:
     )
 
 
+def finite_vec(col: Column | str = "embedding") -> Column:
+    """True iff every component of the vector is present and finite.
+
+    One O(d) fold over |x|: the abs-sum is NaN iff any component is
+    NaN, +Inf iff any is ±Inf, and NULL iff the array or any element
+    is NULL — so a single scalar check classifies the vector.  This is
+    the validity predicate of the embedding family (the `nanvec`
+    random-corpus probe: ~3% corrupt components crashed every
+    quantize-to-int path under ANSI and silently poisoned centroid
+    sums): corrupt vectors cost THAT VECTOR — NULL per-vector outputs,
+    excluded from training aggregates — never the job.  Oracles mirror
+    with ``isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))``.
+    """
+    s = F.aggregate(
+        F.transform(_col_of(col), lambda v: F.abs(v.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return ~F.isnan(s) & (s < F.lit(float("inf")))
+
+
+def _col_of(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
 def with_norm(embs: DataFrame) -> DataFrame:
     """Attach the L2 norm once, before any join fans the vectors out."""
     return embs.withColumn(
@@ -515,13 +540,17 @@ def with_norm(embs: DataFrame) -> DataFrame:
 
 
 def cosine(a_vec: Column, b_vec: Column, a_norm: Column, b_norm: Column) -> Column:
-    """NULL on a zero-norm side (try_divide): a corrupt all-zero
-    embedding has undefined cosine — ANSI `/` would abort the whole
-    job (found by the `zerovec` random-corpus variant), while NULL
-    matches DuckDB's divide-by-zero semantics exactly AND the right
-    engineering outcome (a NULL score never passes a threshold filter
-    and ranks after every real score under DESC NULLS LAST)."""
-    return F.try_divide(_dot_double(a_vec, b_vec), a_norm * b_norm)
+    """NULL on any undefined side: zero-norm (try_divide's 0/0 → NULL,
+    the `zerovec` find) and non-finite components (dot or norm NaN/Inf
+    → NaN result, the `nanvec` find — Spark and DuckDB both rank a
+    raw NaN FIRST under DESC, so a corrupt vector would top every
+    similarity list).  ANSI `/` would abort the whole job instead.
+    NULL is the right engineering outcome: a NULL score never passes
+    a threshold filter and ranks after every real score under DESC
+    NULLS LAST (both engines' default).  The oracle core applies the
+    same isfinite guard."""
+    raw = F.try_divide(_dot_double(a_vec, b_vec), a_norm * b_norm)
+    return F.when(~F.isnan(raw), raw)
 
 
 def topk_cosine_blocked(
@@ -986,7 +1015,13 @@ def kmeans_quantized(
     """
     from pyspark.sql import Window
 
-    q = embs.select(
+    # Train and assign over VALID vectors only (finite_vec): a NaN
+    # component would abort the micro-unit quantization under ANSI,
+    # and an Inf would overflow the integer distance — and even a
+    # non-crashing float trainer would silently smear one corrupt row
+    # across every centroid it touches (the nanvec find).  Corrupt
+    # vectors simply receive no cluster; oracles mirror the predicate.
+    q = embs.filter(finite_vec("embedding")).select(
         "vec_id",
         F.transform(
             "embedding", lambda x: F.floor(x.cast("double") * 1e6).cast("long")
@@ -1051,7 +1086,10 @@ def l2_normalize(embs: DataFrame) -> DataFrame:
         x, F.lit(0.0), lambda acc, v: acc + v * v
     )
     norm = F.sqrt(ss)
-    safe = F.when(norm > 0, norm)
+    # finite-positive guard: zero vectors AND corrupt ones (NaN norm
+    # compares false; an Inf norm would send Inf/Inf=NaN into the
+    # downstream int serialization — ANSI abort, the nanvec find)
+    safe = F.when((norm > 0) & (norm < F.lit(float("inf"))), norm)
     # round_to, never F.round: the engine round() implementations
     # diverge on binary-representation edge cases (functions.py:165 —
     # the repo-wide rule for every double the oracle harness hashes).
@@ -1077,7 +1115,9 @@ def quantize_int8(embs: DataFrame) -> DataFrame:
     """
     x = F.transform("embedding", lambda v: v.cast("double"))
     maxabs = F.array_max(F.transform(x, F.abs))
-    safe = F.when(maxabs > 0, maxabs)
+    # finite-positive guard (see l2_normalize): NaN/Inf max|x| must
+    # NULL the whole quantization, not crash the int8 cast
+    safe = F.when((maxabs > 0) & (maxabs < F.lit(float("inf"))), maxabs)
     q = F.transform(
         x,
         lambda v: F.floor(v / safe * 127 + F.lit(0.5)).cast("int"),

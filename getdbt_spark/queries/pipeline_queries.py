@@ -243,13 +243,27 @@ _COSINE_ORACLE_CORE = """
              sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS norm
       FROM embeddings
     ), p AS (
-      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-             list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-                       for i in range(1, len(a.embedding) + 1)])
-               / (a.norm * b.norm) AS c
-      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      -- isfinite guard == pipeline.cosine's NaN->NULL contract: a
+      -- corrupt (NaN/Inf-component) vector has undefined cosine and
+      -- must rank LAST (NULL), not first (raw NaN sorts greatest in
+      -- BOTH engines under DESC) — the nanvec random-corpus find.
+      -- Zero-norm stays NULL via DuckDB's 0/0 -> NULL division.
+      SELECT vec_id, neighbor_id,
+             CASE WHEN isfinite(c0) THEN c0 END AS c
+      FROM (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                         for i in range(1, len(a.embedding) + 1)])
+                 / (a.norm * b.norm) AS c0
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id)
     )
 """
+
+# Oracle twin of pipeline.finite_vec (embedding validity: every
+# component present and finite).  NOTE: DuckDB's list_sum SKIPS NULL
+# elements where Spark's fold propagates them — equivalent here
+# because the corpus schema has no NULL components, only NaN/Inf.
+_FINITE_VEC_SQL = "isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))"
 
 
 @query(
@@ -285,11 +299,15 @@ def sim_topk_cosine(spark, sf_dir):
     , cent AS (
       SELECT vec_id AS cent_id, embedding, norm FROM e WHERE vec_id < 16
     ), assign_scored AS (
-      SELECT e.vec_id, cent.cent_id,
-             list_sum([e.embedding[i]::DOUBLE * cent.embedding[i]::DOUBLE
-                       for i in range(1, len(e.embedding) + 1)])
-               / (e.norm * cent.norm) AS c
-      FROM e CROSS JOIN cent
+      -- same isfinite guard as the p CTE: a corrupt centroid (or
+      -- query) must not capture every vector via NaN-ranks-first
+      SELECT vec_id, cent_id, CASE WHEN isfinite(c0) THEN c0 END AS c
+      FROM (
+        SELECT e.vec_id, cent.cent_id,
+               list_sum([e.embedding[i]::DOUBLE * cent.embedding[i]::DOUBLE
+                         for i in range(1, len(e.embedding) + 1)])
+                 / (e.norm * cent.norm) AS c0
+        FROM e CROSS JOIN cent)
     ), assign AS (
       SELECT vec_id, cent_id FROM (
         SELECT vec_id, cent_id,
@@ -757,15 +775,22 @@ def multimodal_frame_sample(spark, sf_dir):
              sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE)
                             for x in embedding])) AS nrm
       FROM embeddings
+    ), g AS (
+      -- finite-positive guard (mirrors pipeline.l2_normalize): a
+      -- NaN/Inf norm (corrupt components, nanvec probe) must NULL
+      -- every unit element, not crash the BIGINT serialization
+      SELECT vec_id, embedding, nrm,
+             CASE WHEN isfinite(nrm) AND nrm > 0 THEN nrm END AS safe
+      FROM e
     )
     SELECT vec_id,
            array_to_string(
              [coalesce(CAST(CAST(sign(u) * floor(abs(u) * 1000000.0 + 0.5)
                                  AS BIGINT) AS VARCHAR), 'null')
-              for u in [x::DOUBLE / nullif(nrm, 0) for x in embedding]],
+              for u in [x::DOUBLE / safe for x in embedding]],
              ',') AS unit_q6,
            round(nrm, 6) AS norm
-    FROM e
+    FROM g
     """,
 )
 def emb_l2_normalize(spark, sf_dir):
@@ -799,14 +824,22 @@ def emb_l2_normalize(spark, sf_dir):
       SELECT vec_id, embedding,
              list_max([abs(x::DOUBLE) for x in embedding]) AS maxabs
       FROM embeddings
+    ), g AS (
+      -- finite-positive guard (mirrors pipeline.quantize_int8): a
+      -- NaN/Inf max|x| NULLs the quantization instead of crashing
+      -- the INT32 cast (nanvec probe)
+      SELECT vec_id, embedding,
+             CASE WHEN isfinite(maxabs) AND maxabs > 0
+                  THEN maxabs END AS safe
+      FROM e
     )
     SELECT vec_id,
            array_to_string(
-             [coalesce(CAST(floor(x::DOUBLE / nullif(maxabs, 0) * 127
+             [coalesce(CAST(floor(x::DOUBLE / safe * 127
                                   + 0.5)::INTEGER AS VARCHAR), 'null')
               for x in embedding], ',') AS q_csv,
-           round(nullif(maxabs, 0) / 127, 9) AS scale
-    FROM e
+           round(safe / 127, 9) AS scale
+    FROM g
     """,
 )
 def emb_quantize_int8(spark, sf_dir):
@@ -1080,9 +1113,13 @@ def sample_reservoir_per_source(spark, sf_dir):
     "emb_centroid_per_label",
     oracle="""
     WITH x AS (
+      -- valid vectors only (pipeline.finite_vec): one NaN component
+      -- would crash the BIGINT quantization; one Inf would silently
+      -- poison the centroid sum (nanvec probe)
       SELECT label, embedding,
              unnest(generate_series(1, len(embedding))) AS i
       FROM embeddings
+      WHERE isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))
     ), q AS (
       SELECT label, i - 1 AS pos,
              CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000.0)
@@ -1118,7 +1155,7 @@ def emb_centroid_per_label(spark, sf_dir):
     agg → per-label ordered array rebuild; dims × labels rows after
     the first agg, trivial at any scale.
     """
-    e = _embs(spark, sf_dir)
+    e = _embs(spark, sf_dir).filter(P.finite_vec("embedding"))
     q = F.transform(
         "embedding", lambda v: F.floor(v.cast("double") * F.lit(1e7)).cast("long")
     )
@@ -1910,11 +1947,15 @@ def pipeline_end_to_end(spark, sf_dir):
     ), cent AS (
       SELECT vec_id AS cent_id, embedding, norm FROM e WHERE vec_id < 16
     ), assign_scored AS (
-      SELECT e.vec_id, cent.cent_id,
-             list_sum([e.embedding[i]::DOUBLE * cent.embedding[i]::DOUBLE
-                       for i in range(1, len(e.embedding) + 1)])
-               / (e.norm * cent.norm) AS c
-      FROM e CROSS JOIN cent
+      -- same isfinite guard as the p CTE: a corrupt centroid (or
+      -- query) must not capture every vector via NaN-ranks-first
+      SELECT vec_id, cent_id, CASE WHEN isfinite(c0) THEN c0 END AS c
+      FROM (
+        SELECT e.vec_id, cent.cent_id,
+               list_sum([e.embedding[i]::DOUBLE * cent.embedding[i]::DOUBLE
+                         for i in range(1, len(e.embedding) + 1)])
+                 / (e.norm * cent.norm) AS c0
+        FROM e CROSS JOIN cent)
     ), assign AS (
       SELECT vec_id, cent_id FROM (
         SELECT vec_id, cent_id,
@@ -2173,11 +2214,17 @@ def text_keyword_tfidf(spark, sf_dir):
                AS norm
       FROM embeddings
     ), p AS (
-      SELECT a.vec_id AS a_id, b.vec_id AS b_id
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE round(list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-                            for i in range(1, len(a.embedding) + 1)])
-                  / (a.norm * b.norm), 6) >= 0.45
+      -- isfinite: a corrupt (NaN-component) vector has NO edges —
+      -- raw NaN compares greater than any threshold in BOTH engines,
+      -- which would chain every corrupt vector into one mega-cluster
+      -- (the nanvec find; mirrors pipeline.cosine's NaN->NULL)
+      SELECT a_id, b_id FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                         for i in range(1, len(a.embedding) + 1)])
+                 / (a.norm * b.norm) AS c0
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      WHERE isfinite(c0) AND round(c0, 6) >= 0.45
     ), edges AS (
       SELECT a_id AS src, b_id AS dst FROM p
       UNION ALL
@@ -2506,7 +2553,10 @@ def multimodal_audio_chunks(spark, sf_dir):
              [coalesce(CAST(CAST(sign(u) * floor(abs(u) * 1000000.0
                                                  + 0.5)
                                  AS BIGINT) AS VARCHAR), 'null')
-              for u in [x::DOUBLE / nullif(nrm16, 0) for x in t16]],
+              -- finite-positive guard, as in emb_l2_normalize
+              for u in [x::DOUBLE / (CASE WHEN isfinite(nrm16)
+                                          AND nrm16 > 0
+                                     THEN nrm16 END) for x in t16]],
              ',') AS unit16_q6,
            round(nrm16, 6) AS norm16,
            round(nrm16 / nullif(nrm_full, 0), 6) AS norm_retained
@@ -2540,7 +2590,10 @@ def emb_matryoshka_truncate(spark, sf_dir):
         ).alias("nrm_full"),
         F.sqrt(ss(t16)).alias("nrm16"),
     )
-    safe16 = F.when(F.col("nrm16") > 0, F.col("nrm16"))
+    safe16 = F.when(
+        (F.col("nrm16") > 0) & (F.col("nrm16") < F.lit(float("inf"))),
+        F.col("nrm16"),
+    )
     q6 = F.transform(
         F.col("t16"),
         lambda v: F.coalesce(
@@ -2609,10 +2662,13 @@ def _km_round_sql(n: int, prev_c: str) -> str:
     "emb_kmeans_train",
     oracle=f"""
     WITH qe AS (
+      -- valid vectors only (pipeline.kmeans_quantized's finite_vec
+      -- filter): corrupt vectors train nothing and get no cluster
       SELECT vec_id,
              [CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)
               for x in embedding] AS qv
       FROM embeddings
+      WHERE isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))
     ), c0 AS (
       SELECT vec_id AS cent_id, qv AS cvec FROM qe WHERE vec_id < 8
     ),{_km_round_sql(1, 'c0')},{_km_round_sql(2, 'c1')},
@@ -2705,10 +2761,13 @@ def text_chunk_windows(spark, sf_dir):
     oracle=_COSINE_ORACLE_CORE
     + f"""
     , qe AS (
+      -- valid vectors only (pipeline.kmeans_quantized's finite_vec
+      -- filter): corrupt vectors train nothing and get no cluster
       SELECT vec_id,
              [CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)
               for x in embedding] AS qv
       FROM embeddings
+      WHERE isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))
     ), c0 AS (
       SELECT vec_id AS cent_id, qv AS cvec FROM qe WHERE vec_id < 8
     ),{_km_round_sql(1, 'c0')},{_km_round_sql(2, 'c1')},
@@ -3089,10 +3148,13 @@ def multimodal_scene_cuts(spark, sf_dir):
     "emb_dim_variance_prune",
     oracle="""
     WITH q AS (
+      -- valid vectors only (pipeline.finite_vec): a corrupt component
+      -- crashes the quantization / silently skews the variance ranks
       SELECT vec_id,
              [CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)
               for x in embedding] AS qv
       FROM embeddings
+      WHERE isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))
     ), cell AS (
       SELECT gs.i - 1 AS dim_idx, qv[gs.i] AS v
       FROM q, generate_series(1, 64) AS gs(i)
@@ -3128,7 +3190,7 @@ def emb_dim_variance_prune(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    q = _embs(spark, sf_dir).select(
+    q = _embs(spark, sf_dir).filter(P.finite_vec("embedding")).select(
         F.posexplode(
             F.transform(
                 "embedding",
@@ -3267,10 +3329,13 @@ def dedup_incremental_lsh(spark, sf_dir):
     "emb_cluster_purity",
     oracle=f"""
     WITH qe AS (
+      -- valid vectors only (pipeline.kmeans_quantized's finite_vec
+      -- filter): corrupt vectors train nothing and get no cluster
       SELECT vec_id,
              [CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)
               for x in embedding] AS qv
       FROM embeddings
+      WHERE isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))
     ), c0 AS (
       SELECT vec_id AS cent_id, qv AS cvec FROM qe WHERE vec_id < 8
     ),{_km_round_sql(1, 'c0')},{_km_round_sql(2, 'c1')},

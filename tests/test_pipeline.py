@@ -682,3 +682,61 @@ def test_zero_norm_vectors_score_null_and_rank_last(spark):
         else:       # zero NEIGHBOR ranks strictly last with NULL score
             assert rs[-1].neighbor_id == 0 and rs[-1].cos_sim is None
             assert all(r.cos_sim is not None for r in rs[:-1])
+
+
+def test_corrupt_embeddings_cost_the_vector_not_the_job(spark):
+    """The nanvec contract: a vector with ANY non-finite component is
+    invalid — NULL per-vector outputs, NULL cosine (never a raw NaN,
+    which ranks FIRST under DESC in both engines), excluded from
+    k-means training — and one corrupt row can never crash a stage or
+    chain every cluster together."""
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # valid
+        (1, [0.0, nan, 0.0, 0.0]),          # NaN component
+        (2, [inf, 1.0, 1.0, 1.0]),          # +Inf component
+        (3, [nan, nan, nan, nan]),          # all-NaN
+        (4, [0.0, 1.0, 0.0, 0.0]),          # valid
+        (5, [1.0, 1.0, 0.0, -inf]),         # -Inf component
+    ]
+    embs = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+    # validity classifier
+    valid = {
+        r.vec_id
+        for r in embs.filter(P.finite_vec("embedding")).collect()
+    }
+    assert valid == {0, 4}
+
+    # per-vector transforms: invalid -> NULL outputs, no ANSI crash
+    ln = {r.vec_id: r for r in P.l2_normalize(embs).collect()}
+    assert ln[0].unit is not None and ln[0].unit[0] is not None
+    assert all(u is None for u in ln[1].unit)
+    assert all(u is None for u in ln[2].unit)
+    q8 = {r.vec_id: r for r in P.quantize_int8(embs).collect()}
+    assert q8[4].scale is not None
+    assert q8[2].scale is None and all(v is None for v in q8[2].q)
+
+    # cosine: any invalid side -> NULL, valid x valid -> real score
+    e = P.with_norm(embs)
+    a = e.select(F.col("vec_id").alias("ai"),
+                 F.col("embedding").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("bi"),
+                 F.col("embedding").alias("vb"), F.col("norm").alias("nb"))
+    pairs = {
+        (r.ai, r.bi): r.c
+        for r in a.join(b, F.col("ai") < F.col("bi")).select(
+            "ai", "bi",
+            P.cosine(F.col("va"), F.col("vb"),
+                     F.col("na"), F.col("nb")).alias("c"),
+        ).collect()
+    }
+    assert pairs[(0, 4)] == 0.0
+    bad = {1, 2, 3, 5}
+    assert all(v is None for k, v in pairs.items() if set(k) & bad)
+
+    # k-means: trains and assigns over valid vectors only
+    km = P.kmeans_quantized(embs, k=2, iters=1)
+    assert {r.vec_id for r in km.collect()} == {0, 4}

@@ -65,6 +65,14 @@ Variants (post-process ONE table; others unchanged):
                nested k values (the schemaless-feed reality): strict
                JSON parsers crash, typed extraction coerces
                differently per engine.
+- ``nanvec``:  poisons embedding COMPONENTS (zerovec poisons whole
+               norms): 2% of vectors get one NaN component, 1% one
+               +Inf, 0.4% one -Inf, plus one ALL-NaN vector — the
+               corrupt-embedding-feed reality.  Probes NaN/Inf
+               propagation through dot products, norms, kmeans
+               centroid updates (one NaN row can silently poison
+               every centroid it touches), int8 quantization, and
+               NaN-vs-NULL ranking divergence between engines.
 - ``futuredates``: poisons ~0.75% of events.ts with far-future
                timestamps (year 2500, 9999-12-30, and 2262-04-12 —
                one tick past pandas' datetime64[ns] ceiling): the
@@ -281,6 +289,38 @@ def apply_variant(variant: str) -> None:
             )
             os.replace(tsrc + ".variant", tsrc)
             print(f"variant 'nanprices' applied to {tsrc}")
+        return
+
+    if variant == "nanvec":
+        # Component-level poison at deterministic positions (same rows
+        # every seed): row%50==0 → NaN at dim (row%DIM), row%100==1 →
+        # +Inf, row%250==3 → -Inf, row 11 → ALL NaN.  Unlike zerovec
+        # (whole-norm pathologies) this probes element-wise kernels:
+        # a single NaN component must cost that VECTOR, not the
+        # centroid/topk/cluster that touches it.
+        esrc = os.path.join(OUT, "embeddings.parquet")
+        t = pq.read_table(esrc)
+        emb = np.array([np.asarray(v, dtype="float32")
+                        for v in t["embedding"].to_pylist()])
+        n, dim = emb.shape
+        for r in range(0, n, 50):
+            emb[r, r % dim] = np.nan
+        for r in range(1, n, 100):
+            emb[r, (r * 7) % dim] = np.inf
+        for r in range(3, n, 250):
+            emb[r, (r * 13) % dim] = -np.inf
+        if n > 11:
+            emb[11, :] = np.nan
+        out = pa.table({
+            "vec_id": t["vec_id"],
+            "embedding": pa.array([v.tolist() for v in emb],
+                                  pa.list_(pa.float32())),
+            "label": t["label"],
+        })
+        tmp = esrc + ".variant"
+        pq.write_table(out, tmp)
+        os.replace(tmp, esrc)
+        print(f"variant 'nanvec' applied to {esrc}")
         return
 
     if variant == "zerovec":
