@@ -80,15 +80,30 @@ def word_shingles(tokens: Column, k: int = 3) -> Column:
 
     Requires ``size(tokens) >= k`` (callers filter; ``sequence`` with a
     negative stop would count downward).
+
+    ``tokens`` is re-bound as a LAMBDA VARIABLE (the single-element
+    array wrap) before the per-gram transform: a raw expression
+    argument (e.g. ``split(text)``) captured inside a HOF lambda is
+    re-evaluated on every element — no common-subexpression
+    elimination crosses a lambda boundary — making shingling
+    O(k·words²) on the caller's expression.  The hugedoc random-corpus
+    probe measured minutes-per-document on ~1 MB texts; the lambda
+    binding evaluates the argument exactly once per row for every
+    caller, whatever they pass.
     """
-    idx = F.sequence(F.lit(0), F.size(tokens) - k)
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            "|", *[F.element_at(tokens, i + j + 1) for j in range(k)]
-        ),
+
+    def _grams(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(toks) - k)
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                "|", *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
+        )
+
+    return F.array_distinct(
+        F.flatten(F.transform(F.array(tokens), _grams))
     )
-    return F.array_distinct(gram)
 
 
 # ---------------------------------------------------------------------------

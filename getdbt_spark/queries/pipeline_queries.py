@@ -2349,21 +2349,27 @@ def text_paragraph_dedup(spark, sf_dir):
     partitions by hash(span) evenly (spans are near-unique).
     """
     d = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    n_spans = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
-    spans = (
-        d.filter(F.length("text") > 0)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_spans - 1),
-                    lambda i: F.array_join(
-                        F.slice(toks, i * 10 + 1, 10), " "
-                    ),
-                )
-            ).alias("pos", "span"),
-        )
+    # Bind the token array as a COLUMN before the span transform:
+    # referencing the raw split(text) EXPRESSION inside the HOF lambda
+    # re-evaluates the full split once PER SPAN (no common-subexpression
+    # elimination across lambda boundaries) — O(words²/10) per doc,
+    # which turned a 0.2 s query into a 10-minute stall on ~1 MB docs
+    # (the hugedoc random-corpus probe).  A bound attribute is
+    # evaluated once per row; same shape as pipeline_curation_v2.
+    t = d.filter(F.length("text") > 0).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    n_spans = F.ceil(F.size("toks") / F.lit(10.0)).cast("int")
+    spans = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", i * 10 + 1, 10), " "
+                ),
+            )
+        ).alias("pos", "span"),
     )
     span_df = spans.groupBy("span").agg(
         F.count_distinct("doc_id").alias("span_df")

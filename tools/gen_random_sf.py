@@ -65,6 +65,14 @@ Variants (post-process ONE table; others unchanged):
                nested k values (the schemaless-feed reality): strict
                JSON parsers crash, typed extraction coerces
                differently per engine.
+- ``hugedoc``: rewrites a handful of DOCUMENTS to book scale — three
+               ~2 MB repetitive-paragraph docs, three ~500 KB
+               word-soup docs, and one ~1 MB SINGLE-TOKEN doc (no
+               whitespace at all) — the books/concatenated-crawl tail
+               every 100 TB corpus has.  Probes Arrow batch memory in
+               the shingle/minhash kernels, accidental O(L²) text
+               ops, tokenizers meeting a megabyte token, and
+               cross-engine parity on huge strings.
 - ``nanvec``:  poisons embedding COMPONENTS (zerovec poisons whole
                norms): 2% of vectors get one NaN component, 1% one
                +Inf, 0.4% one -Inf, plus one ALL-NaN vector — the
@@ -289,6 +297,48 @@ def apply_variant(variant: str) -> None:
             )
             os.replace(tsrc + ".variant", tsrc)
             print(f"variant 'nanprices' applied to {tsrc}")
+        return
+
+    if variant == "hugedoc":
+        # Deterministic rewrite of 7 rows (ids 0..6); the rest of the
+        # corpus keeps its seeded texts, so dedup/TF-IDF stats remain
+        # meaningful around the giants.
+        dsrc = os.path.join(OUT, "documents.parquet")
+        t = pq.read_table(dsrc)
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        langs = t["lang"].to_pylist()
+        srcs = t["source"].to_pylist()
+        rng2 = np.random.default_rng(4242)
+        para = " ".join(
+            "the quick brown fox jumps over the lazy dog near the river"
+            .split()
+        )
+        repetitive = ("\n\n".join([para] * 3) + "\n\n") * 6200   # ~2 MB
+        soup_words = [
+            f"w{rng2.integers(100)}" for _ in range(80000)       # ~0.5 MB
+        ]
+        soup = " ".join(soup_words)
+        monster_token = "x" * 1_000_000                          # 1 token
+        for i in range(len(ids)):
+            if i in (0, 1, 2):
+                texts[i] = repetitive
+            elif i in (3, 4, 5):
+                texts[i] = soup
+            elif i == 6:
+                texts[i] = monster_token
+        out = pa.table({
+            "doc_id": t["doc_id"],
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(srcs),
+            "n_chars": pa.array([len(x) if x is not None else 0
+                                 for x in texts], pa.int64()),
+        })
+        tmp = dsrc + ".variant"
+        pq.write_table(out, tmp)
+        os.replace(tmp, dsrc)
+        print(f"variant 'hugedoc' applied to {dsrc}")
         return
 
     if variant == "nanvec":
