@@ -1332,7 +1332,14 @@ def text_pii_flags(spark, sf_dir):
     return d.select(
         "doc_id",
         F.col("text").rlike("https?://").alias("has_url"),
-        F.col("text").rlike("[a-z0-9.]+@[a-z]+").alias("has_email"),
+        # Single-char classes, NOT [a-z0-9.]+@[a-z]+: as a BOOLEAN,
+        # X+@Y+ matches iff X@Y does, and the quantified form
+        # backtracks O(L²) in Java regex on any long run without '@'
+        # — a 1 MB single-token doc (hugedoc probe) turned this
+        # "cheap pre-filter" into a ~10-minute stall per row: the
+        # polynomial-ReDoS trap every regex PII scan hits at 100 TB.
+        # DuckDB's RE2 oracle is linear either way and agrees.
+        F.col("text").rlike("[a-z0-9.]@[a-z]").alias("has_email"),
         F.length(F.regexp_replace("text", "[^0-9]", ""))
         .cast("long")
         .alias("n_digits"),

@@ -728,10 +728,15 @@ def multimodal_meta(spark, sf_dir):
            (frame_idx * n_bytes) // n_frames AS frame_offset,
            ((frame_idx + 1) * n_bytes) // n_frames
              - (frame_idx * n_bytes) // n_frames AS frame_len,
+           -- slice once + per-char split (linear): the indexed form
+           -- [ascii(text[i+1]) for i in range(s, e)] re-seeks the
+           -- string per byte (UTF-8 indexing is O(i)), turning a
+           -- 1 MB single-frame payload into an O(L²) oracle stall
+           -- (hugedoc probe); probed value-identical incl. empty
            CAST(coalesce(list_sum(
-             [ascii(text[i + 1])
-              for i in range((frame_idx * n_bytes) // n_frames,
-                             ((frame_idx + 1) * n_bytes) // n_frames)]
+             [ascii(c) for c in string_split(
+                text[(frame_idx * n_bytes) // n_frames + 1 :
+                     ((frame_idx + 1) * n_bytes) // n_frames], '')]
            ), 0) AS BIGINT) AS frame_checksum,
            w * 224 // greatest(w, h) AS resized_w,
            h * 224 // greatest(w, h) AS resized_h
@@ -2307,16 +2312,19 @@ def dedup_embedding_cluster(spark, sf_dir):
       SELECT doc_id, string_split(text, ' ') AS toks
       FROM documents WHERE length(text) > 0
     ), s AS (
-      SELECT doc_id, toks,
-             unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)))
-               AS pos
+      -- zipped unnest + grouped string_agg: the list-slice span form
+      -- (toks[p*10+1 : p*10+10] per span, list carried per row) is
+      -- O(tokens) PER SLICE in DuckDB — an O(L²) oracle stall on
+      -- ~1 MB docs (hugedoc probe); probed value-identical, empty
+      -- tokens preserved
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(0, len(toks))) AS idx
       FROM t
     ), sp AS (
-      SELECT doc_id, pos,
-             array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ')
-               AS span
-      FROM s
-    ), d AS (
+      SELECT doc_id, idx // 10 AS pos,
+             string_agg(tok, ' ' ORDER BY idx) AS span
+      FROM s GROUP BY doc_id, idx // 10
+    ),d AS (
       SELECT span, count(DISTINCT doc_id) AS span_df FROM sp GROUP BY span
     )
     SELECT sp.doc_id,
@@ -2497,33 +2505,32 @@ def text_gopher_rules(spark, sf_dir):
     "multimodal_audio_chunks",
     oracle="""
     WITH a AS (
+      -- n_bytes > 0: an empty doc must emit nothing, but the zipped
+      -- unnest pads unequal lengths with NULL (string_split('','')
+      -- is [''] while range(0,0) is empty), manufacturing a NULL
+      -- chunk row per empty doc
       SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
-      FROM documents WHERE doc_id % 3 = 1
-    ), c AS (
-      SELECT doc_id, text, n_bytes,
-             unnest(range(0, n_bytes, 512)) AS chunk_off
+      FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0
+    ), ch AS (
+      -- per-char zipped unnest, grouped by chunk: the indexed form
+      -- (text[i+1] per byte) re-seeks the string per byte — O(L²)
+      -- oracle stall on ~1 MB payloads (hugedoc probe).  Chunks
+      -- partition the bytes (no empties: offsets stop < n_bytes), so
+      -- a plain GROUP BY i//512 reproduces every row.
+      SELECT doc_id,
+             unnest([ascii(c) for c in string_split(text, '')]) AS code,
+             unnest(range(0, n_bytes)) AS i
       FROM a
     )
     SELECT doc_id,
-           chunk_off // 512 AS chunk_idx,
-           chunk_off,
-           least(chunk_off + 512, n_bytes) - chunk_off AS chunk_len,
-           CAST(coalesce(list_sum(
-             [ascii(text[i + 1])
-              for i in range(chunk_off,
-                             least(chunk_off + 512, n_bytes))]), 0)
-             AS BIGINT) AS checksum,
-           CAST(coalesce(list_sum(
-             [ascii(text[i + 1]) * ascii(text[i + 1])
-              for i in range(chunk_off,
-                             least(chunk_off + 512, n_bytes))]), 0)
-             AS BIGINT) AS energy,
-           CAST(coalesce(list_max(
-             [ascii(text[i + 1])
-              for i in range(chunk_off,
-                             least(chunk_off + 512, n_bytes))]), 0)
-             AS BIGINT) AS peak
-    FROM c
+           i // 512 AS chunk_idx,
+           (i // 512) * 512 AS chunk_off,
+           count(*) AS chunk_len,
+           CAST(sum(code) AS BIGINT) AS checksum,
+           CAST(sum(code * code) AS BIGINT) AS energy,
+           CAST(max(code) AS BIGINT) AS peak
+    FROM ch
+    GROUP BY doc_id, i // 512
     """,
 )
 def multimodal_audio_chunks(spark, sf_dir):
@@ -2711,18 +2718,29 @@ def emb_kmeans_train(spark, sf_dir):
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks
       FROM documents WHERE length(text) > 0
-    ), s AS (
-      SELECT doc_id, toks,
-             unnest(range(0, len(toks), 16)) AS start
+    ), tk AS (
+      -- per-token rows instead of per-window list slices: carrying
+      -- the token list per window row and slicing it is O(tokens)
+      -- per window in DuckDB — an O(L²) oracle stall on ~1 MB docs
+      -- (hugedoc probe).  Each token belongs to at most TWO 32-token
+      -- stride-16 windows (idx//16 and idx//16 - 1), so the fan-out
+      -- is exactly 2× and every window reassembles by string_agg.
+      SELECT doc_id, len(toks) AS n, unnest(toks) AS tok,
+             unnest(range(0, len(toks))) AS idx
       FROM t
+    ), cand AS (
+      SELECT doc_id, n, tok, idx,
+             unnest([idx // 16, idx // 16 - 1]) AS w
+      FROM tk
     )
     SELECT doc_id,
-           start // 16 AS win_idx,
-           start,
-           CAST(least(32, len(toks) - start) AS BIGINT) AS n_tokens,
-           array_to_string(toks[start + 1 : start + 32], ' ')
-             AS chunk_text
-    FROM s
+           w AS win_idx,
+           w * 16 AS start,
+           CAST(least(32, min(n) - w * 16) AS BIGINT) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY idx) AS chunk_text
+    FROM cand
+    WHERE w >= 0 AND w * 16 < n
+    GROUP BY doc_id, w
     """,
 )
 def text_chunk_windows(spark, sf_dir):
@@ -3090,17 +3108,30 @@ def text_compression_ratio(spark, sf_dir):
       SELECT doc_id, text, n_bytes, 1 + n_bytes % 96 AS n_frames
       FROM base WHERE modality = 'video'
     ), fr AS (
-      SELECT doc_id, text, n_bytes, n_frames,
+      SELECT doc_id, n_bytes, n_frames,
              unnest(range(0, CAST(n_frames AS BIGINT))) AS frame_idx
       FROM v
+    ), ch AS (
+      -- per-char zipped unnest (the indexed text[i+1] form is O(L²),
+      -- hugedoc probe); byte i belongs to frame ((i+1)·k − 1) // n
+      -- (the inverse of the floor(f·n/k) frame boundaries)
+      SELECT doc_id,
+             unnest([ascii(c) for c in string_split(text, '')]) AS code,
+             unnest(range(0, n_bytes)) AS i,
+             n_bytes, n_frames
+      FROM v
+    ), feat0 AS (
+      SELECT doc_id,
+             ((i + 1) * n_frames - 1) // n_bytes AS frame_idx,
+             sum(code) AS checksum
+      FROM ch GROUP BY doc_id, ((i + 1) * n_frames - 1) // n_bytes
     ), feat AS (
-      SELECT doc_id, frame_idx,
-             CAST(coalesce(list_sum(
-               [ascii(text[i + 1])
-                for i in range((frame_idx * n_bytes) // n_frames,
-                               ((frame_idx + 1) * n_bytes) // n_frames)]
-             ), 0) AS BIGINT) AS checksum
-      FROM fr
+      -- LEFT JOIN onto the frame spine: a doc shorter than its frame
+      -- count has EMPTY frames, whose checksum-0 rows the old form
+      -- emitted and a bare GROUP BY would drop
+      SELECT fr.doc_id, fr.frame_idx,
+             CAST(coalesce(f0.checksum, 0) AS BIGINT) AS checksum
+      FROM fr LEFT JOIN feat0 f0 USING (doc_id, frame_idx)
     ), d AS (
       SELECT doc_id, frame_idx, checksum,
              abs(checksum - lag(checksum) OVER (
@@ -3415,16 +3446,19 @@ def emb_cluster_purity(spark, sf_dir):
       SELECT doc_id, string_split(text, ' ') AS toks
       FROM documents WHERE length(text) > 0
     ), s AS (
-      SELECT doc_id, toks,
-             unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)))
-               AS pos
+      -- zipped unnest + grouped string_agg: the list-slice span form
+      -- (toks[p*10+1 : p*10+10] per span, list carried per row) is
+      -- O(tokens) PER SLICE in DuckDB — an O(L²) oracle stall on
+      -- ~1 MB docs (hugedoc probe); probed value-identical, empty
+      -- tokens preserved
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(0, len(toks))) AS idx
       FROM t
     ), sp AS (
-      SELECT doc_id, pos,
-             array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ')
-               AS span
-      FROM s
-    ), dfc AS (
+      SELECT doc_id, idx // 10 AS pos,
+             string_agg(tok, ' ' ORDER BY idx) AS span
+      FROM s GROUP BY doc_id, idx // 10
+    ),dfc AS (
       SELECT span, count(DISTINCT doc_id) AS span_df FROM sp GROUP BY span
     ), ratio AS (
       SELECT sp.doc_id,
