@@ -198,12 +198,11 @@ def timestamp_diff_seconds(t1: Column | str, t2: Column | str) -> Column:
     """BQ timestamp_diff(t1, t2, SECOND) = whole seconds of (t1 - t2).
 
     NTZ-pure (``F.timestamp_diff`` session-coerces NTZ operands and
-    corrupts the DST skipped hour): one NTZ subtraction, floored to
-    whole seconds (== complete-interval count for the engine's
-    non-negative uses)."""
-    return F.floor(
-        (_col(t1) - _col(t2)).cast("decimal(30,6)")
-    ).cast("long")
+    corrupts the DST skipped hour): one NTZ subtraction, then a
+    decimal→long cast, which truncates toward zero — matching BQ
+    timestamp_diff / DuckDB date_diff for NEGATIVE non-integral
+    diffs too (floor(-1.5) = -2 would not)."""
+    return (_col(t1) - _col(t2)).cast("decimal(30,6)").cast("long")
 
 
 def string_agg_ordered(col: Column | str, sep: str = ",") -> Column:

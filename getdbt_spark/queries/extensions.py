@@ -1262,8 +1262,9 @@ def join_nullsafe_eq(spark, sf_dir):
 @query(
     "sink_partitioned_read_pruned",
     oracle="""
-    WITH anchor AS (SELECT max(CAST(ts AS DATE))
-                      FILTER (WHERE ts < TIMESTAMP '2180-01-01') AS d
+    WITH anchor AS (SELECT coalesce(max(CAST(ts AS DATE))
+                      FILTER (WHERE ts < TIMESTAMP '2180-01-01'),
+                      DATE '1970-01-01') AS d
                     FROM events)
     SELECT CAST(ts AS DATE) AS evt_date, event_type,
            CAST(count(*) AS BIGINT) AS n_events
@@ -3988,8 +3989,9 @@ def agg_count_min_sketch(spark, sf_dir):
 @query(
     "dq_freshness",
     oracle="""
-    WITH anchor AS (SELECT max(CAST(ts AS DATE))
-                      FILTER (WHERE ts < TIMESTAMP '2180-01-01') AS run_d
+    WITH anchor AS (SELECT coalesce(max(CAST(ts AS DATE))
+                      FILTER (WHERE ts < TIMESTAMP '2180-01-01'),
+                      DATE '1970-01-01') AS run_d
                     FROM events),
     f AS (
       SELECT event_type,

@@ -419,8 +419,9 @@ def sort_in_cte(spark, sf_dir):
 @query(
     "fn_current_date",
     oracle="""
-    WITH anchor AS (SELECT max(CAST(ts AS DATE))
-                      FILTER (WHERE ts < TIMESTAMP '2180-01-01') AS d
+    WITH anchor AS (SELECT coalesce(max(CAST(ts AS DATE))
+                      FILTER (WHERE ts < TIMESTAMP '2180-01-01'),
+                      DATE '2024-01-30') AS d
                     FROM events),
     win AS (
       SELECT CAST((SELECT d FROM anchor) - CAST(unnest(range(9)) AS INTEGER)

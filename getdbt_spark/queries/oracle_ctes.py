@@ -24,11 +24,14 @@ _TV_FILTER = (
 
 MODEL_CTES: list[tuple[str, str]] = [
     # run date = max CREDIBLE event date (mirrors io.run_date_anchor:
-    # a poisoned far-future clock must not become "today")
+    # a poisoned far-future clock must not become "today"); COALESCE
+    # to the Spark side's empty-corpus default so both engines agree
+    # when events is empty or all-quarantined (r6 ADVICE)
     (
         "anchor",
-        """SELECT max(CAST(ts AS DATE))
-             FILTER (WHERE ts < TIMESTAMP '2180-01-01') AS d FROM events""",
+        """SELECT coalesce(max(CAST(ts AS DATE))
+             FILTER (WHERE ts < TIMESTAMP '2180-01-01'),
+             DATE '2024-01-30') AS d FROM events""",
     ),
     (
         "spine",

@@ -260,10 +260,12 @@ _COSINE_ORACLE_CORE = """
 """
 
 # Oracle twin of pipeline.finite_vec (embedding validity: every
-# component present and finite).  NOTE: DuckDB's list_sum SKIPS NULL
-# elements where Spark's fold propagates them — equivalent here
-# because the corpus schema has no NULL components, only NaN/Inf.
-_FINITE_VEC_SQL = "isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))"
+# component present and finite) appears inline in five oracles below
+# as:  isfinite(list_sum([abs(x)...])) AND no NULL component.
+# DuckDB's list_sum SKIPS NULL elements where Spark's fold propagates
+# them, so the NULL-component check is mirrored explicitly — a
+# null-component corpus variant filters the vector in BOTH engines
+# (r6 ADVICE).
 
 
 @query(
@@ -1125,6 +1127,7 @@ def sample_reservoir_per_source(spark, sf_dir):
              unnest(generate_series(1, len(embedding))) AS i
       FROM embeddings
       WHERE isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ), q AS (
       SELECT label, i - 1 AS pos,
              CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000.0)
@@ -2682,6 +2685,7 @@ def _km_round_sql(n: int, prev_c: str) -> str:
               for x in embedding] AS qv
       FROM embeddings
       WHERE isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ), c0 AS (
       SELECT vec_id AS cent_id, qv AS cvec FROM qe WHERE vec_id < 8
     ),{_km_round_sql(1, 'c0')},{_km_round_sql(2, 'c1')},
@@ -2792,6 +2796,7 @@ def text_chunk_windows(spark, sf_dir):
               for x in embedding] AS qv
       FROM embeddings
       WHERE isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ), c0 AS (
       SELECT vec_id AS cent_id, qv AS cvec FROM qe WHERE vec_id < 8
     ),{_km_round_sql(1, 'c0')},{_km_round_sql(2, 'c1')},
@@ -3192,6 +3197,7 @@ def multimodal_scene_cuts(spark, sf_dir):
               for x in embedding] AS qv
       FROM embeddings
       WHERE isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ), cell AS (
       SELECT gs.i - 1 AS dim_idx, qv[gs.i] AS v
       FROM q, generate_series(1, 64) AS gs(i)
@@ -3373,6 +3379,7 @@ def dedup_incremental_lsh(spark, sf_dir):
               for x in embedding] AS qv
       FROM embeddings
       WHERE isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ), c0 AS (
       SELECT vec_id AS cent_id, qv AS cvec FROM qe WHERE vec_id < 8
     ),{_km_round_sql(1, 'c0')},{_km_round_sql(2, 'c1')},

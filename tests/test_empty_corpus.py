@@ -146,3 +146,65 @@ def test_every_query_survives_uniform_corpus(spark, uniform_sf):
         f"{len(fails)} queries crash on a zero-variance corpus:\n"
         + "\n".join(f"  {k}: {v}" for k, v in sorted(fails.items()))
     )
+
+
+# -- anchored queries: full ORACLE PARITY on the degenerate corpus ----------
+#
+# r6 ADVICE: Spark substitutes a literal default run date when events
+# is empty (io.scalar_anchor) while the oracles' max(...) FILTER
+# anchors were NULL — so the degenerate regime was only no-crash
+# tested, never parity tested.  The oracles now COALESCE to the same
+# defaults; these tests prove both engines agree bit-for-bit when the
+# anchor source is empty.
+
+ANCHORED = [
+    "fn_current_date",             # default 2024-01-30 (model_queries)
+    "dq_freshness",                # default 1970-01-01 (extensions)
+    "sink_partitioned_read_pruned",  # default 1970-01-01 (extensions)
+    "model_dashboard_channel_weekly",  # MODEL_CTES anchor, 2024-01-30
+]
+
+
+@pytest.fixture(scope="session")
+def empty_file_sf(tmp_path_factory):
+    """Zero-row corpus as SINGLE parquet files (DuckDB's read_parquet
+    pattern expects files, not Spark part-directories)."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("empty_file_sf"))
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        src = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(src.slice(0, 0), f"{out}/{t}.parquet")
+    return out
+
+
+@pytest.mark.slow
+def test_anchored_queries_match_oracle_on_empty_corpus(spark, empty_file_sf):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ))
+    import verify_local as V
+
+    from getdbt_spark.queries import ORACLES, QUERIES, load_all
+
+    load_all()
+    con = V.duck_con(empty_file_sf)
+    bad = []
+    for qid in ANCHORED:
+        ok, _spd, _dkd = V.compare(
+            qid, QUERIES[qid](spark, empty_file_sf), con, ORACLES.get(qid),
+            verbose=False,
+        )
+        if not ok:
+            bad.append(qid)
+        spark.catalog.clearCache()
+    assert not bad, (
+        "anchored queries diverge from the oracle on an EMPTY corpus "
+        f"(default-anchor asymmetry): {bad}"
+    )

@@ -146,6 +146,15 @@ def test_timestamp_diff_seconds_sign(spark):
     assert one(spark, E.timestamp_diff_seconds(t2, t1)) == -100
 
 
+def test_timestamp_diff_seconds_negative_fractional_truncates_toward_zero(spark):
+    # BQ timestamp_diff / DuckDB date_diff count COMPLETE seconds, i.e.
+    # truncate toward zero: -1.5 s elapsed -> -1, not floor's -2.
+    t1 = F.to_timestamp(F.lit("2024-01-01 00:00:00.000"))
+    t2 = F.to_timestamp(F.lit("2024-01-01 00:00:01.500"))
+    assert one(spark, E.timestamp_diff_seconds(t1, t2)) == -1
+    assert one(spark, E.timestamp_diff_seconds(t2, t1)) == 1
+
+
 # -- spines: inclusive bounds ----------------------------------------------
 
 

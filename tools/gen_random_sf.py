@@ -128,6 +128,41 @@ def _strings(rng, prefix, n, dom):
     return [f"{prefix}{rng.integers(dom)}" for _ in range(n)]
 
 
+def _assert_ascii(texts) -> None:
+    """The text-as-bytes oracles (multimodal_audio_chunks, frame_sample,
+    scene_cuts) zip per-CHAR splits against per-BYTE ranges — exact
+    only while every document is pure ASCII (r6 ADVICE).  Enforce the
+    invariant at generation time so a future non-ASCII variant fails
+    here, loudly, instead of silently diverging at the oracle."""
+    for i, t in enumerate(texts):
+        if t is not None and not t.isascii():
+            raise AssertionError(
+                f"documents.text[{i}] is non-ASCII — the byte-position "
+                "oracles require ASCII corpora; rewrite the oracle to "
+                "byte semantics before generating non-ASCII text"
+            )
+
+
+def clustered_embeddings(seed: int, n: int, dim: int, k: int):
+    """16-component Gaussian-mixture embedding table (clustered-space
+    regime for ANN quality eval).  Component centers are seeded
+    normals (pairwise near-orthogonal in high dim → well separated);
+    noise σ=0.15 per component vs center norm ≈ √dim keeps
+    within-cluster cosine ≫ between-cluster cosine, so a correct IVF
+    (nprobe=1, centers as the codebook) must score recall@5 ≈ 1."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 1, (k, dim)).astype("float32")
+    comp = np.arange(n) % k
+    emb = centers[comp] + rng.normal(0, 0.15, (n, dim)).astype("float32")
+    emb[:k] = centers          # vec_id 0..k-1 ARE the centers
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in emb],
+                              pa.list_(pa.float32())),
+        "label": pa.array(comp.astype("int32"), pa.int32()),
+    })
+
+
 def main(seed: int = 20240814) -> None:
     rng = np.random.default_rng(seed)
     os.makedirs(OUT, exist_ok=True)
@@ -245,6 +280,7 @@ def main(seed: int = 20240814) -> None:
             texts[i + 1] = " ".join(base)
     langs = rng.choice(["en", "de", "fr", "es", "zh"], N_DOCS,
                        p=[.4, .2, .2, .1, .1])
+    _assert_ascii(texts)
     w("documents", pa.table({
         "doc_id": pa.array(range(N_DOCS), pa.int64()),
         "text": texts,
@@ -327,6 +363,7 @@ def apply_variant(variant: str) -> None:
                 texts[i] = soup
             elif i == 6:
                 texts[i] = monster_token
+        _assert_ascii(texts)
         out = pa.table({
             "doc_id": t["doc_id"],
             "text": pa.array(texts),
@@ -339,6 +376,25 @@ def apply_variant(variant: str) -> None:
         pq.write_table(out, tmp)
         os.replace(tmp, dsrc)
         print(f"variant 'hugedoc' applied to {dsrc}")
+        return
+
+    if variant == "clustered":
+        # Rewrites embeddings as a 16-component Gaussian MIXTURE so the
+        # ANN-quality measurement runs in a regime where IVF can work
+        # (VERDICT r6 #6): isotropic vectors give recall@5 ≈ 0.20 no
+        # matter what the index does — a number that cannot catch an
+        # IVF regression.  vec_ids 0..15 ARE the component centers
+        # (matching the `vec_id < 16` seed-codebook convention of
+        # sim_ann_ivf / sim_recall_at_k), the rest are center + small
+        # noise, labels = component id.
+        esrc = os.path.join(OUT, "embeddings.parquet")
+        t = pq.read_table(esrc)
+        n = t.num_rows
+        out = clustered_embeddings(4243, n, DIM, 16)
+        tmp = esrc + ".variant"
+        pq.write_table(out, tmp)
+        os.replace(tmp, esrc)
+        print(f"variant 'clustered' applied to {esrc}")
         return
 
     if variant == "nanvec":
@@ -410,6 +466,7 @@ def apply_variant(variant: str) -> None:
             ["the quick brown fox jumps over the lazy dog and then"] * 4
         )
         texts = [("", "two words", long_text)[i % 3] for i in range(n)]
+        _assert_ascii(texts)
         out = pa.table({
             "doc_id": t["doc_id"],
             "text": pa.array(texts),
