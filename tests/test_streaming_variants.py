@@ -1,0 +1,181 @@
+"""Seeded hostile-variant sweep over the stream/batch-parity suites.
+
+VERDICT r6 #7: the round-6 randomized program swept all 244 batch ids,
+but the clock pathologies it surfaced (far-future watermark poisoning,
+pre-1970 spines, DST-skipped-hour coercion) were found by HAND-shaped
+variants — the streaming parity suites only ever ran on the gentle
+January-only fixture feed.  This module fuzzes watermark accounting
+the same way batch was fuzzed: seeded random event feeds, deliberately
+hostile —
+
+- the time span STRADDLES both Europe/Amsterdam DST transitions
+  (2024-03-31 spring-forward, 2024-10-27 fall-back), with events
+  placed ON the transition nights;
+- Zipf-ish user skew, duplicated timestamps (ties), repeated
+  (user, ts) pairs — session/sliding window boundary stress;
+- poisoned clocks: far-future events (year 2500 / 9999 / the
+  2262 pandas-ns ceiling), pre-1970 events, NULL event times.
+
+Quarantine contract (streaming.PLAUSIBLE_MAX_WALL): the STREAM edge
+drops non-credible clocks (one 9999 event would otherwise fast-forward
+the global watermark and silently drop all valid data), while BATCH
+keeps exact pass-through semantics — so the parity statement is
+    stream(feed)  ==  batch_twin(feed WHERE credible_clock(ts))
+row for row.  Every transform that owns a watermark runs availableNow
+over the variant feed and must satisfy it.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from getdbt_spark.streaming import (
+    attributed_conversions,
+    daily_event_stats,
+    dedup_replays,
+    run_available_now,
+    session_stats,
+    sliding_window_stats,
+)
+
+SEEDS = [101, 202]
+
+
+def _variant_events(seed: int) -> pa.Table:
+    """Seeded hostile event feed (see module docstring)."""
+    rng = np.random.default_rng(seed)
+    n = 900
+
+    # 7-minute grid across 2024-03-28 .. 2024-11-02 (DST-straddling),
+    # with microsecond jitter on a third of the rows.
+    base = dt.datetime(2024, 3, 28, 0, 0, 0)
+    ts = [
+        base + dt.timedelta(minutes=7 * int(rng.integers(0, 44600)))
+        for _ in range(n)
+    ]
+    for i in range(0, n, 3):
+        ts[i] += dt.timedelta(microseconds=int(rng.integers(0, 1_000_000)))
+    # transition-night cluster: 40 events on each DST night
+    for j, night in enumerate(
+        (dt.datetime(2024, 3, 30, 22), dt.datetime(2024, 10, 26, 22))
+    ):
+        for k in range(40):
+            ts[40 * j + k] = night + dt.timedelta(minutes=10 * k)
+    # exact-duplicate timestamps (ties)
+    for i in range(100, 200, 5):
+        ts[i + 1] = ts[i]
+
+    # Zipf-ish user skew + repeated (user, ts) pairs
+    users = np.minimum(
+        (rng.pareto(1.2, n) * 3).astype("int64"), 49
+    )
+    for i in range(200, 260, 4):
+        users[i + 1] = users[i]
+        ts[i + 1] = ts[i]
+
+    etypes = rng.choice(
+        ["view", "purchase", "click", "signup", "error"],
+        n,
+        p=[0.45, 0.25, 0.15, 0.1, 0.05],
+    ).tolist()
+    values = np.round(rng.integers(0, 500, n) * 0.25, 2)
+
+    # poisoned clocks — quarantined at the edge on BOTH paths
+    poison = {
+        n - 1: dt.datetime(2500, 1, 1, 12),
+        n - 2: dt.datetime(9999, 12, 30, 23, 59),
+        n - 3: dt.datetime(2262, 4, 12),          # past pandas ns ceiling
+        n - 4: dt.datetime(1965, 6, 1, 3, 30),    # pre-1970
+        n - 5: dt.datetime(1890, 12, 31, 23, 59),
+        n - 6: None,
+        n - 7: None,
+    }
+    ts = [poison.get(i, t) for i, t in enumerate(ts)]
+
+    return pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(etypes),
+        "value": pa.array(values, pa.float64()),
+        "props": pa.array([f'{{"k": {i % 100}}}' for i in range(n)]),
+    })
+
+
+@pytest.fixture(scope="module", params=SEEDS)
+def variant_feed(request, spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp(f"var_feed_{request.param}")
+    path = str(out / "events")
+    pq.write_table(_variant_events(request.param), str(out / "e.parquet"))
+    # round-trip through Spark so the streaming schema (timestamp_ntz)
+    # matches what load_table produces for real corpora
+    df = spark.read.parquet(str(out / "e.parquet"))
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz", dict(df.dtypes)
+    df.write.parquet(path)
+    return path, spark.read.parquet(path)
+
+
+def _rows_key(rows):
+    return sorted(tuple(str(v) for v in r) for r in rows)
+
+
+PARITY = [
+    ("daily", daily_event_stats, "complete"),
+    ("session", session_stats, "complete"),
+    ("sliding", sliding_window_stats, "complete"),
+    ("dedup_replays", dedup_replays, "append"),
+    ("attribution", attributed_conversions, "append"),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,transform,mode", PARITY, ids=[p[0] for p in PARITY])
+def test_stream_matches_batch_on_hostile_variant(
+    spark, variant_feed, name, transform, mode
+):
+    path, src = variant_feed
+    from getdbt_spark.io import credible_clock
+
+    got = run_available_now(
+        spark, path, src, f"t_var_{name}_{abs(hash(path)) % 10**6}",
+        transform=transform, output_mode=mode,
+    )
+    want = transform(
+        spark.read.parquet(path).filter(credible_clock("ts"))
+    )
+    got_rows, want_rows = got.collect(), want.collect()
+    assert len(want_rows) > 0, "variant feed produced an empty batch twin"
+    assert _rows_key(got_rows) == _rows_key(want_rows), (
+        f"{name}: stream/batch divergence on hostile variant feed"
+    )
+
+
+@pytest.mark.slow
+def test_dedup_replays_with_duplicated_deliveries(spark, variant_feed, tmp_path):
+    """The exactly-once contract under replayed deliveries on the
+    hostile feed: every 7th event delivered twice."""
+    path, src = variant_feed
+    dup_path = str(tmp_path / "replayed")
+    batch = spark.read.parquet(path)
+    batch.unionAll(batch.filter(F.col("event_id") % 7 == 0)).write.parquet(
+        dup_path
+    )
+    from getdbt_spark.io import credible_clock
+
+    got = run_available_now(
+        spark, dup_path, src, "t_var_replay",
+        transform=dedup_replays, output_mode="append",
+    )
+    want = dedup_replays(
+        spark.read.parquet(dup_path).filter(credible_clock("ts"))
+    )
+    assert _rows_key(got.collect()) == _rows_key(want.collect())
+    # one row per surviving (credible-clock) event id
+    assert got.count() == batch.filter(credible_clock("ts")).count()
