@@ -51,9 +51,19 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SRC = "/root/testdata/sf0.1"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, ".scale_data", "sf1")
+# Overridable so the same growth law can stack one more decade
+# (VERDICT r6 #8): SRC=.scale_data/sf1 OUT=.scale_data/sf10 applies
+# the identical 10x key-shifted replication to the derived decade.
+SRC = os.environ.get("GEN_SF_SRC", "/root/testdata/sf0.1")
+OUT = os.environ.get("GEN_SF_OUT", os.path.join(REPO, ".scale_data", "sf1"))
+# Per-copy token-prefix letter for the documents table.  Stacking a
+# second decade MUST use a different letter (e.g. 'd' for sf1→sf10):
+# re-using 'c' would collide the new copies' prefixed tokens with the
+# previous decade's already-'c{i}'-prefixed vocabulary — the
+# disjointness integrity check below catches it, but only after the
+# expensive generation.
+PFX = os.environ.get("GEN_SF_PREFIX", "c")
 
 # table -> {column: shift_group}; every column in the same shift group
 # moves by the same per-copy offset so FK joins stay intact.
@@ -210,7 +220,7 @@ def _gen_documents(con) -> None:
             # disjoint per-copy vocabulary; single-space corpus
             text = (
                 "array_to_string(list_transform("
-                f"string_split(text, ' '), x -> 'c{i}' || x), ' ')"
+                f"string_split(text, ' '), x -> '{PFX}{i}' || x), ' ')"
             )
         branches.append(
             f"SELECT doc_id + {i * doc_off} AS doc_id, {text} AS text, "
