@@ -20,24 +20,30 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _driver_verified_ids(report_dir: str | None = None) -> set[str]:
-    """Ids with a green row in any prior CORRECTNESS_r*.json.
+def _verified_rounds(report_dir: str | None = None) -> dict[str, int]:
+    """Map each driver-green id to the LATEST round that proved it.
 
     The driver's correctness gate only checks the FIRST 50 entries of
     ``queries()`` per round, so ordering is coverage policy: ids that
     have never received a driver-green row must run inside that window
-    first.  Reading the accumulated round reports makes the ordering
-    self-rotating — once an id is proven it yields its slot to a
-    still-unproven one next round.
+    first, and — once everything is proven — the ids whose most recent
+    green row is OLDEST should cycle back into the window so every id
+    gets re-proven against current code every few rounds (an id green
+    in r02 says nothing about code changed in r05).
 
     ``report_dir`` overrides the report location (tests point it at a
     tmpdir of synthetic reports; production always uses the repo root).
     Malformed files/rows are skipped — a corrupt report must degrade to
     "unproven", never crash the driver's import of this module.
     """
-    verified: set[str] = set()
+    rounds: dict[str, int] = {}
     here = report_dir or os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        stem = os.path.basename(path)
+        try:
+            rnd = int(stem[len("CORRECTNESS_r") : -len(".json")])
+        except ValueError:
+            continue
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -52,8 +58,13 @@ def _driver_verified_ids(report_dir: str | None = None) -> set[str]:
             if green is None:  # rows-only check (no oracle for this id)
                 green = row.get("rows_match") and row.get("schema_match")
             if green:
-                verified.add(qid)
-    return verified
+                rounds[qid] = max(rounds.get(qid, 0), rnd)
+    return rounds
+
+
+def _driver_verified_ids(report_dir: str | None = None) -> set[str]:
+    """Ids with a green row in any prior CORRECTNESS_r*.json."""
+    return set(_verified_rounds(report_dir))
 
 
 # Hand-priority escape hatch: ids listed here jump to the very front of
@@ -65,21 +76,29 @@ _WINDOW_FIRST: list[str] = []
 
 
 def _priority_order(
-    ids: list[str], verified: set[str] | None = None
+    ids: list[str], verified: set[str] | dict[str, int] | None = None
 ) -> list[str]:
     """Never-verified ids first — hand-prioritized high-value ids, then
     the rest in registration order, fixture scans last within the
-    class (lowest-value rows) — then already-proven ids.  The sort is
-    stable, so registration order is preserved within each class.
-    ``verified`` is injectable for property tests; production derives
-    it from the accumulated driver reports."""
+    class (lowest-value rows) — then already-proven ids ordered by how
+    STALE their proof is (oldest latest-green round first), so with
+    full coverage the 50-slot window continuously re-proves the
+    longest-unchecked ids against current code.  The sort is stable,
+    so registration order is preserved within each staleness tier.
+    ``verified`` is injectable for property tests (a bare set means
+    "proven, staleness unknown" and preserves registration order);
+    production derives a {id: latest_green_round} map from the
+    accumulated driver reports."""
     if verified is None:
-        verified = _driver_verified_ids()
+        verified = _verified_rounds()
+    rounds: dict[str, int] = (
+        verified if isinstance(verified, dict) else dict.fromkeys(verified, 0)
+    )
     first = {qid: i for i, qid in enumerate(_WINDOW_FIRST)}
 
     def rank(qid: str) -> tuple[int, int]:
-        if qid in verified:
-            return (3, 0)
+        if qid in rounds:
+            return (3, rounds[qid])
         if qid in first:
             return (0, first[qid])
         return ((2, 0) if qid.startswith("fixture_") else (1, 0))

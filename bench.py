@@ -149,35 +149,47 @@ def main() -> None:
     timings: dict[str, float] = {}
     canaries: dict[str, float] = {}
     for name in names:
-        # Time build + execute: two-phase queries do real work at build
-        # time (the literal-anchor collect, connected-components rounds
-        # via eager localCheckpoint) — timing only the final action
-        # would under-report them.
-        t0 = time.perf_counter()
-        if name in MODEL_HEADLINE:
-            # Model-DAG entries run the PRODUCTION materialization mode
-            # (reuse="checkpoint": per-model lineage cut, dbt's
-            # table-per-model semantics).  The driver-correctness path
-            # keeps lazy persist; benching it would mostly measure
-            # Catalyst re-analyzing the 22-model inlined plan tree.
-            df = _run_model(
-                spark, sf_dir, _MODEL_QUERIES[name][0], reuse="checkpoint"
-            )
-        else:
-            df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Queries that persist() multi-consumer intermediates (minhash
-        # shingles, model-DAG stages) would otherwise leak cache across
-        # timings: a later query whose plan contains an identical
-        # subtree silently reads the leftover cache (CacheManager
-        # matches by logical plan), and accumulated blocks add
-        # eviction/GC noise.  Every query is timed cold-SQL-cache.
-        # (localCheckpoint blocks — checkpoint-mode models, CC rounds —
-        # are NOT freed here; they drain via ContextCleaner once the
-        # DataFrames are garbage-collected, so some residual block
-        # churn between timings is expected.)
-        spark.catalog.clearCache()
+        # MIN-OF-TWO per query: BASELINE_LOCAL records min-of-two, and
+        # a single measurement shows 2-3× cold-start variance on the
+        # iterative/checkpointing queries (the same commit measured
+        # model_streams_daily_v4 at 3.10 s and 3.71 s back-to-back —
+        # the r7 "+15% drift" was exactly this noise read as a
+        # regression).  The min measures the PLAN; the spread is the
+        # host's problem.
+        best = float("inf")
+        for _rep in range(2):
+            # Time build + execute: two-phase queries do real work at
+            # build time (the literal-anchor collect, connected-
+            # components rounds via eager localCheckpoint) — timing
+            # only the final action would under-report them.
+            t0 = time.perf_counter()
+            if name in MODEL_HEADLINE:
+                # Model-DAG entries run the PRODUCTION materialization
+                # mode (reuse="checkpoint": per-model lineage cut,
+                # dbt's table-per-model semantics).  The driver-
+                # correctness path keeps lazy persist; benching it
+                # would mostly measure Catalyst re-analyzing the
+                # 22-model inlined plan tree.
+                df = _run_model(
+                    spark, sf_dir, _MODEL_QUERIES[name][0], reuse="checkpoint"
+                )
+            else:
+                df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            # Queries that persist() multi-consumer intermediates
+            # (minhash shingles, model-DAG stages) would otherwise leak
+            # cache across timings: a later query whose plan contains
+            # an identical subtree silently reads the leftover cache
+            # (CacheManager matches by logical plan), and accumulated
+            # blocks add eviction/GC noise.  Every rep is timed
+            # cold-SQL-cache.  (localCheckpoint blocks — checkpoint-
+            # mode models, CC rounds — are NOT freed here; they drain
+            # via ContextCleaner once the DataFrames are garbage-
+            # collected, so some residual block churn between timings
+            # is expected.)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         # ~40 ms host-speed sample adjacent to THIS query's timing:
         # a load spike shows up as a correlated canary bump, a plan
         # regression doesn't.
@@ -192,6 +204,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Each per-query time is the min of two back-to-back
+                # runs (the BASELINE_LOCAL methodology) — comparable
+                # to the recorded min-of-two baseline, unlike the old
+                # single-pass number that carried 2-3× cold-start
+                # variance on iterative queries.
+                "passes": 2,
                 # Host-speed canary: identical CPU work every round —
                 # normalize cross-round query deltas by the canary
                 # ratio before reading them as plan changes.

@@ -108,6 +108,41 @@ def test_priority_order_invariants(verified, order):
     assert proven == [q for q in out if q in verified]
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    st.dictionaries(st.sampled_from(IDS), st.integers(1, 9), max_size=len(IDS)),
+    st.permutations(IDS),
+)
+def test_proven_ids_cycle_stalest_first(rounds, order):
+    """With a {id: latest_green_round} map, proven ids are ordered by
+    staleness (oldest round first), so the window re-proves the ids
+    that have gone longest without a driver check."""
+    out = e._priority_order(list(order), verified=rounds)
+    assert sorted(out) == sorted(order)
+    proven = [q for q in out if q in rounds]
+    assert [rounds[q] for q in proven] == sorted(rounds[q] for q in proven)
+    # stability within a staleness tier: registration order preserved
+    reg = {q: i for i, q in enumerate(order)}
+    for a, b in zip(proven, proven[1:]):
+        if rounds[a] == rounds[b]:
+            assert reg[a] < reg[b]
+
+
+def test_verified_rounds_takes_latest_green(tmp_path):
+    """An id green in r01 and re-green in r03 is FRESH (round 3); an id
+    green only in r01 is stale and must precede it in the window."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"stale": _green_row(), "fresh": _green_row()})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"fresh": _green_row(), "red_again": _red_row()})
+    )
+    rounds = e._verified_rounds(report_dir=str(tmp_path))
+    assert rounds == {"stale": 1, "fresh": 3}
+    out = e._priority_order(["fresh", "stale"], verified=rounds)
+    assert out == ["stale", "fresh"]
+
+
 def test_malformed_reports_never_crash(tmp_path):
     (tmp_path / "CORRECTNESS_r01.json").write_text("{broken json")
     (tmp_path / "CORRECTNESS_r02.json").write_text('["a", "list"]')
