@@ -29,6 +29,33 @@ def _embs(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _utf8_bytes_sql(texpr: str) -> str:
+    """DuckDB fragment: UTF-8 byte-value list of a string expression.
+
+    The multimodal oracles compare against Arrow kernels that operate
+    on the ENCODED PAYLOAD BYTES (np.frombuffer(..., uint8)), so the
+    oracle must produce true byte values at true byte positions —
+    ``[ascii(c) for c in string_split(text, '')]`` equals that only
+    for pure-ASCII corpora (r6 ADVICE; the multibyte corpus variant
+    exercises the difference).  Each char expands to its 1-4 UTF-8
+    bytes from the code point — the standard UTF-8 bit layout — and
+    flatten() keeps the whole thing one linear list op per document.
+    Note string_split('','') is [''] (ascii 0), mirroring the old
+    fragment's one-spurious-element shape on empty docs, so empty-doc
+    zip-pad behavior (and every ASCII hash) is unchanged.
+    """
+    return f"""flatten([
+      CASE WHEN ascii(c) < 128 THEN [ascii(c)]
+           WHEN ascii(c) < 2048 THEN [192 + ascii(c)//64, 128 + ascii(c)%64]
+           WHEN ascii(c) < 65536 THEN [224 + ascii(c)//4096,
+                                       128 + (ascii(c)//64)%64,
+                                       128 + ascii(c)%64]
+           ELSE [240 + ascii(c)//262144, 128 + (ascii(c)//4096)%64,
+                 128 + (ascii(c)//64)%64, 128 + ascii(c)%64]
+      END
+      for c in string_split({texpr}, '')])"""
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -707,7 +734,7 @@ def multimodal_meta(spark, sf_dir):
 
 @query(
     "multimodal_frame_sample",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT doc_id,
              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -715,14 +742,20 @@ def multimodal_meta(spark, sf_dir):
              text, octet_length(encode(text)) AS n_bytes
       FROM documents
     ), v AS (
-      SELECT doc_id, modality, text, n_bytes,
+      -- byte-value list computed ONCE per doc (linear), then sliced
+      -- per frame below: frames partition the byte range, so total
+      -- sliced length ≤ n_bytes per doc.  True UTF-8 bytes — frame
+      -- boundaries are BYTE offsets and legally split a multibyte
+      -- char across frames, which no char-level oracle can express.
+      SELECT doc_id, modality, n_bytes,
+             {_utf8_bytes_sql('text')} AS bs,
              CASE WHEN modality = 'video' THEN 1 + n_bytes % 96 ELSE 1 END
                AS n_frames,
              64 + n_bytes % 577 AS w,
              64 + (n_bytes * 31) % 353 AS h
       FROM base
     ), fr AS (
-      SELECT doc_id, modality, text, n_bytes, n_frames, w, h,
+      SELECT doc_id, modality, bs, n_bytes, n_frames, w, h,
              unnest(range(0, n_frames, 7)) AS frame_idx
       FROM v
     )
@@ -730,15 +763,11 @@ def multimodal_meta(spark, sf_dir):
            (frame_idx * n_bytes) // n_frames AS frame_offset,
            ((frame_idx + 1) * n_bytes) // n_frames
              - (frame_idx * n_bytes) // n_frames AS frame_len,
-           -- slice once + per-char split (linear): the indexed form
-           -- [ascii(text[i+1]) for i in range(s, e)] re-seeks the
-           -- string per byte (UTF-8 indexing is O(i)), turning a
-           -- 1 MB single-frame payload into an O(L²) oracle stall
-           -- (hugedoc probe); probed value-identical incl. empty
+           -- 1-based inclusive list slice == byte range [s, e);
+           -- empty slice is NULL → coalesce 0 (empty frames)
            CAST(coalesce(list_sum(
-             [ascii(c) for c in string_split(
-                text[(frame_idx * n_bytes) // n_frames + 1 :
-                     ((frame_idx + 1) * n_bytes) // n_frames], '')]
+             bs[(frame_idx * n_bytes) // n_frames + 1 :
+                ((frame_idx + 1) * n_bytes) // n_frames]
            ), 0) AS BIGINT) AS frame_checksum,
            w * 224 // greatest(w, h) AS resized_w,
            h * 224 // greatest(w, h) AS resized_h
@@ -752,8 +781,8 @@ def multimodal_frame_sample(spark, sf_dir):
     One input row fans out to N output rows through the Arrow batch
     iterator — the mapInPandas contract a real video pipeline needs;
     the byte checksum stands in for the per-frame codec call (the
-    corpus is ASCII, so the oracle's code-point sum equals the
-    kernel's byte sum).
+    oracle expands chars to UTF-8 bytes — _utf8_bytes_sql — so the
+    sum is byte-exact on multibyte corpora too).
     """
     d = _docs(spark, sf_dir)
     modality = (
@@ -2506,7 +2535,7 @@ def text_gopher_rules(spark, sf_dir):
 
 @query(
     "multimodal_audio_chunks",
-    oracle="""
+    oracle=f"""
     WITH a AS (
       -- n_bytes > 0: an empty doc must emit nothing, but the zipped
       -- unnest pads unequal lengths with NULL (string_split('','')
@@ -2515,13 +2544,14 @@ def text_gopher_rules(spark, sf_dir):
       SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
       FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0
     ), ch AS (
-      -- per-char zipped unnest, grouped by chunk: the indexed form
-      -- (text[i+1] per byte) re-seeks the string per byte — O(L²)
-      -- oracle stall on ~1 MB payloads (hugedoc probe).  Chunks
-      -- partition the bytes (no empties: offsets stop < n_bytes), so
-      -- a plain GROUP BY i//512 reproduces every row.
+      -- per-BYTE zipped unnest (true UTF-8 byte values — the kernel
+      -- sums payload bytes, not code points), grouped by chunk: the
+      -- indexed form (text[i+1] per byte) re-seeks the string per
+      -- byte — O(L²) oracle stall on ~1 MB payloads (hugedoc probe).
+      -- Chunks partition the bytes (no empties: offsets stop
+      -- < n_bytes), so a plain GROUP BY i//512 reproduces every row.
       SELECT doc_id,
-             unnest([ascii(c) for c in string_split(text, '')]) AS code,
+             unnest({_utf8_bytes_sql('text')}) AS code,
              unnest(range(0, n_bytes)) AS i
       FROM a
     )
@@ -2541,10 +2571,10 @@ def multimodal_audio_chunks(spark, sf_dir):
     audio-modality third of the corpus, ``doc_id % 3 = 1`` matching
     multimodal_meta's modality assignment): 512-byte windows with
     integer summary features via the Arrow ``chunk_audio`` kernel —
-    the framing stage before any resample/fbank/VAD call.  The corpus
-    is ASCII, so the oracle's code-point arithmetic equals the
-    kernel's byte arithmetic exactly (same trick as
-    multimodal_frame_sample).
+    the framing stage before any resample/fbank/VAD call.  The oracle
+    expands each char to its UTF-8 bytes (_utf8_bytes_sql), so the
+    byte arithmetic is exact on any corpus, multibyte included (same
+    as multimodal_frame_sample).
     """
     d = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 1)
     payload = d.select(
@@ -3102,7 +3132,7 @@ def text_compression_ratio(spark, sf_dir):
 
 @query(
     "multimodal_scene_cuts",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT doc_id,
              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -3117,11 +3147,12 @@ def text_compression_ratio(spark, sf_dir):
              unnest(range(0, CAST(n_frames AS BIGINT))) AS frame_idx
       FROM v
     ), ch AS (
-      -- per-char zipped unnest (the indexed text[i+1] form is O(L²),
-      -- hugedoc probe); byte i belongs to frame ((i+1)·k − 1) // n
-      -- (the inverse of the floor(f·n/k) frame boundaries)
+      -- per-BYTE zipped unnest of the true UTF-8 byte values (the
+      -- indexed text[i+1] form is O(L²), hugedoc probe); byte i
+      -- belongs to frame ((i+1)·k − 1) // n (the inverse of the
+      -- floor(f·n/k) frame boundaries)
       SELECT doc_id,
-             unnest([ascii(c) for c in string_split(text, '')]) AS code,
+             unnest({_utf8_bytes_sql('text')}) AS code,
              unnest(range(0, n_bytes)) AS i,
              n_bytes, n_frames
       FROM v

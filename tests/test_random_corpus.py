@@ -161,6 +161,91 @@ def test_dst_skipped_hour_matches_oracle(spark, dst_sf):
     assert not bad, f"DST-corpus oracle divergence: {bad}"
 
 
+# -- multibyte UTF-8 corpus: char-vs-byte oracle parity ------------------
+
+
+@pytest.fixture(scope="session")
+def multibyte_sf(tmp_path_factory):
+    """sf0.001 corpus with documents REPLACED by mixed-script UTF-8
+    texts (2/3/4-byte chars, astral emoji) — chars ≠ bytes on 99% of
+    rows, so any oracle or kernel that conflates code points with
+    bytes (the r6 ASCII-invariant class) hash-diverges here."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gen_random_sf import multibyte_texts
+
+    out = str(tmp_path_factory.mktemp("mb_sf"))
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        shutil.copyfile(
+            f"/root/testdata/sf0.001/{t}.parquet", f"{out}/{t}.parquet"
+        )
+    texts = multibyte_texts(400)
+    assert sum(not t.isascii() for t in texts) > 300
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(
+                [("en", "de", "zh", "ru")[i % 4] for i in range(len(texts))]
+            ),
+            "source": pa.array([f"src{i % 7}" for i in range(len(texts))]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        f"{out}/documents.parquet",
+    )
+    return out
+
+
+# Every char-vs-byte seam: byte-offset frame slicing (can split a
+# multibyte char across frames), md5-of-token (UTF-8 byte input both
+# engines), lower()/substr() code-point prefixes, n_chars (code
+# points) vs octet_length (bytes), whitespace tokenization, per-char
+# n-gram shingles.
+MB_SENSITIVE = [
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_audio_chunks",
+    "multimodal_scene_cuts",
+    "text_token_stats",
+    "text_normalize",
+    "text_chunk_windows",
+    "text_compression_ratio",
+    "dedup_exact_prefix",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_paragraph_dedup",
+]
+
+
+@pytest.mark.slow
+def test_multibyte_corpus_matches_oracle(spark, multibyte_sf):
+    """The byte-arithmetic oracles were rewritten from char-as-byte to
+    true UTF-8 byte expansion (_utf8_bytes_sql, r7 ADVICE); this pins
+    the whole text/multimodal family hash-green on a corpus where the
+    two differ on nearly every row."""
+    import verify_local as V
+
+    from getdbt_spark.queries import ORACLES, QUERIES, load_all
+
+    load_all()
+    con = V.duck_con(multibyte_sf)
+    bad = []
+    for qid in MB_SENSITIVE:
+        ok, _spd, _dkd = V.compare(
+            qid, QUERIES[qid](spark, multibyte_sf), con, ORACLES.get(qid),
+            verbose=False,
+        )
+        if not ok:
+            bad.append(qid)
+    assert not bad, f"multibyte-corpus oracle divergence: {bad}"
+
+
 # -- ANN quality on a CLUSTERED embedding space -------------------------
 
 

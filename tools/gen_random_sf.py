@@ -42,6 +42,12 @@ Variants (post-process ONE table; others unchanged):
                — the corrupt-embedding-feed path of a 100 TB corpus
                (found the ANSI cosine crash + NaN-ranks-first top-k
                divergence in both cosine implementations).
+- ``multibyte``: rewrites DOCUMENTS with mixed-script UTF-8 text
+               (accented Latin / Greek / Cyrillic / CJK / astral
+               emoji) — chars≠bytes everywhere: byte-offset frame
+               slicing mid-char, md5-of-token parity, n_chars vs
+               octet_length divergence (closed the char-as-byte
+               multimodal oracles, r7 ADVICE).
 - ``dupdocs``: rewrites DOCUMENTS instead — the ENTIRE corpus is 3
                distinct texts (one ~40-word, one 2-word, one empty)
                → every dedup op degenerates to 3 giant cliques:
@@ -129,18 +135,50 @@ def _strings(rng, prefix, n, dom):
 
 
 def _assert_ascii(texts) -> None:
-    """The text-as-bytes oracles (multimodal_audio_chunks, frame_sample,
-    scene_cuts) zip per-CHAR splits against per-BYTE ranges — exact
-    only while every document is pure ASCII (r6 ADVICE).  Enforce the
-    invariant at generation time so a future non-ASCII variant fails
-    here, loudly, instead of silently diverging at the oracle."""
-    for i, t in enumerate(texts):
-        if t is not None and not t.isascii():
-            raise AssertionError(
-                f"documents.text[{i}] is non-ASCII — the byte-position "
-                "oracles require ASCII corpora; rewrite the oracle to "
-                "byte semantics before generating non-ASCII text"
-            )
+    """Historical guard (r6 ADVICE): the text-as-bytes oracles used to
+    zip per-CHAR splits against per-BYTE ranges, exact only on pure
+    ASCII.  Those oracles now expand chars to true UTF-8 bytes
+    (pipeline_queries._utf8_bytes_sql), so non-ASCII corpora are
+    first-class — see the ``multibyte`` variant.  Kept as a no-op
+    marker on the corpora that are INTENTIONALLY ASCII (so a future
+    reader knows the default corpus being ASCII is a choice, not a
+    requirement)."""
+
+
+# Mixed-script vocabulary for the ``multibyte`` variant: accented
+# Latin (2-byte chars), Greek + Cyrillic (2-byte), CJK (3-byte),
+# astral-plane emoji (4-byte, surrogate pairs in UTF-16 engines), and
+# plain ASCII mixed in so tokenizers see both.  Deliberately excludes
+# locale-trap casings (İ, ẞ) — casing parity across engines is only
+# contractual for the well-defined cases.
+MB_WORDS = (
+    "café señor über straße œuvre fjörd naïve résumé "
+    "αλφα βητα γαμμα δελτα σιγμα ωμεγα "
+    "привет мир данные поток таблица ключ "
+    "你好 世界 数据 查询 分析 流式 "
+    "データ 処理 分散 "
+    "🎉 🚀 🤖 💾 📊 "
+    "spark table scan join window filter the a data fast slow"
+).split()
+
+
+def multibyte_texts(n: int, seed: int = 20240814) -> list[str]:
+    """Seeded mixed-script document texts with the default corpus's
+    engineered shapes: exact-dup pairs, one-word-edit near-dups (the
+    edit token is itself multibyte), empties and 1-word docs."""
+    rng = np.random.default_rng(seed)
+    texts = []
+    for _ in range(n):
+        k = int(rng.integers(0, 120))
+        texts.append(" ".join(rng.choice(MB_WORDS, k)) if k else "")
+    for i in range(0, min(40, n - 1), 4):      # exact duplicate pairs
+        texts[i + 1] = texts[i]
+    for i in range(40, min(80, n - 1), 4):     # near-dup: one-word edit
+        base = texts[i].split()
+        if base:
+            base[len(base) // 2] = "编辑过"
+            texts[i + 1] = " ".join(base)
+    return texts
 
 
 def clustered_embeddings(seed: int, n: int, dim: int, k: int):
@@ -456,6 +494,30 @@ def apply_variant(variant: str) -> None:
         pq.write_table(out, tmp)
         os.replace(tmp, esrc)
         print(f"variant 'zerovec' applied to {esrc}")
+        return
+
+    if variant == "multibyte":
+        # Rewrites DOCUMENTS with mixed-script UTF-8 text (2/3/4-byte
+        # chars), preserving the default corpus's engineered shapes.
+        # Exercises every char-vs-byte seam at once: byte-range frame
+        # slicing that SPLITS a multibyte char across frames,
+        # md5-of-token hashing (UTF-8 byte input on both engines),
+        # lower()/substr() code-point semantics, n_chars (code points)
+        # vs octet_length (bytes) diverging per row.
+        dsrc = os.path.join(OUT, "documents.parquet")
+        t = pq.read_table(dsrc)
+        texts = multibyte_texts(t.num_rows, 20240814)
+        out = pa.table({
+            "doc_id": t["doc_id"],
+            "text": pa.array(texts),
+            "lang": t["lang"],
+            "source": t["source"],
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        })
+        tmp = dsrc + ".variant"
+        pq.write_table(out, tmp)
+        os.replace(tmp, dsrc)
+        print(f"variant 'multibyte' applied to {dsrc}")
         return
 
     if variant == "dupdocs":
