@@ -47,3 +47,4 @@ def load_all() -> None:
     from . import pipeline_queries  # noqa: F401
     from . import model_queries  # noqa: F401
     from . import extensions  # noqa: F401
+    from . import curation  # noqa: F401

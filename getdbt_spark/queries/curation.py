@@ -1,0 +1,711 @@
+"""Training-data curation operators, round 8 (SURVEY.md §7.5 family).
+
+Seven operators a large-scale pretraining-data pipeline runs that the
+engine did not yet expose as first-class, oracle-checked queries:
+
+- ``dedup_substring_spans`` — exact duplicated-substring detection
+  (the suffix-array dedup of Lee et al. 2021, re-shaped for Spark as
+  anchored k-gram islands);
+- ``dsir_importance_weights`` — hashed-n-gram importance resampling
+  scores (DSIR, Xie et al. 2023);
+- ``mix_domain_weights`` — temperature-scaled domain mixing weights
+  (the Pile/LLaMA-style sampling table);
+- ``quality_logreg_score`` — fixed-weight logistic-regression quality
+  classifier inference (the CCNet/GPT-3-style quality filter's serve
+  path);
+- ``bpe_pair_stats`` — adjacent-pair frequency statistics (step 1 of
+  BPE tokenizer training);
+- ``text_hashed_ngram_features`` — hashed unigram+bigram sparse
+  feature extraction (fastText / DSIR feature prep);
+- ``sem_dedup`` — SemDeDup (Abbas et al. 2023): cluster-bucketed
+  embedding near-dup removal.
+
+Every query follows the repo's exactness conventions: portable
+``md5_long`` hashing, integer micro-unit quantization before any
+order-sensitive float sum (the ``text_perplexity_proxy`` technique),
+and arithmetic written in the identical order on both engines, so the
+DuckDB oracles hash-match with no tolerance knobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import functions as E
+from .. import pipeline as P
+from .pipeline_queries import _docs, _embs
+from . import query
+
+SPAN_K = 8  # anchor gram width (tokens) for substring-span dedup
+DSIR_BUCKETS = 1024
+FEATURE_BUCKETS = 64
+MIX_ALPHA_SQRT = True  # temperature alpha = 0.5 == sqrt
+MIX_TOKEN_BUDGET = 1_000_000  # tokens drawn per epoch of the mixture
+
+
+def _ws(col):
+    return P.ws_tokens(col)
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact duplicated-substring spans (suffix-array dedup, Spark-shaped)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), occ0 AS (
+      SELECT doc_id,
+             unnest([{{'pos': i,
+                      'g': ('0x' || substr(md5(
+                              w[i] || '|' || w[i+1] || '|' || w[i+2] || '|' ||
+                              w[i+3] || '|' || w[i+4] || '|' || w[i+5] || '|' ||
+                              w[i+6] || '|' || w[i+7]), 1, 15))::BIGINT}}
+                     for i in range(1, len(w) - {SPAN_K - 2})]) AS s
+      FROM toks WHERE len(w) >= {SPAN_K}
+    ), occ AS (
+      SELECT doc_id, s.pos AS pos, s.g AS g FROM occ0
+    ), dupg AS (
+      SELECT g FROM occ GROUP BY g HAVING count(*) > 1
+    ), dup AS (
+      SELECT occ.doc_id, occ.pos FROM occ JOIN dupg USING (g)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + {SPAN_K - 1}) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR pos > max(pos + {SPAN_K - 1}) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM dup
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             sum(new_island) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, island,
+             max(pos) + {SPAN_K - 1} - min(pos) + 1 AS span_tokens
+      FROM isl2 GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+             sum(span_tokens)::BIGINT AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+           coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+           coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+           round(coalesce(p.dup_tokens, 0) / len(t.w), 6) AS dup_fraction
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Per-document duplicated-substring coverage — the Spark shape of
+    suffix-array exact-substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better").
+
+    A span is duplicated iff every length-``SPAN_K`` token window in it
+    occurs elsewhere in the corpus, so anchoring on k-grams loses no
+    span of length >= k: explode every k-gram with its position, keep
+    grams whose GLOBAL occurrence count exceeds 1, then merge each
+    document's surviving [pos, pos+k-1] extents into maximal islands
+    with one gaps-and-islands window. Output: per-doc duplicated-span
+    count, covered-token count, and covered fraction.
+
+    Scale: the gram explode is map-side; the only wide stages are one
+    groupBy on the 60-bit gram hash (map-combinable count) and one
+    shuffle join back (duplicated grams are a small minority of a
+    healthy corpus; identical-gram skew means literally-duplicated
+    text, which is exactly the data this operator exists to find and
+    is bounded per key by the dup cluster size). The island merge is
+    one window partitioned by doc_id — the natural key, never hot.
+    At 100 TB nothing here is all-pairs and no stage holds more than
+    a doc's gram list in memory.
+    """
+    d = _docs(spark, sf_dir)
+    toks = _ws(F.col("text"))
+    n = F.size(toks)
+    grams = F.when(
+        n >= SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (SPAN_K - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                P.md5_long(
+                    F.concat_ws(
+                        "|",
+                        *[F.element_at(toks, i + j) for j in range(SPAN_K)],
+                    )
+                ).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array())
+    occ = (
+        d.select("doc_id", F.explode(grams).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    )
+    dupg = occ.groupBy("g").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") > 1
+    )
+    dup = occ.join(dupg.select("g"), "g")
+
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max(F.col("pos") + (SPAN_K - 1)).over(w_prev)
+    new_island = (
+        prev_end.isNull() | (F.col("pos") > prev_end + 1)
+    ).cast("int")
+    isl = dup.select(
+        "doc_id", "pos", F.sum(new_island).over(w_run).alias("island")
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        (F.max("pos") + (SPAN_K - 1) - F.min("pos") + 1).alias("span_tokens")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    base = d.select("doc_id", n.alias("n_tokens"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        E.round_to(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. DSIR hashed-n-gram importance weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH w1 AS (
+      SELECT doc_id, lang,
+             unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ), wds AS (
+      SELECT doc_id, (lang = 'en') AS is_t,
+             ('0x' || substr(md5(word), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b
+      FROM w1
+    ), freq AS (
+      SELECT b, count(*)::BIGINT AS r,
+             coalesce(count(*) FILTER (is_t), 0)::BIGINT AS t
+      FROM wds GROUP BY b
+    ), tot AS (
+      SELECT count(*)::BIGINT AS rr,
+             coalesce(count(*) FILTER (is_t), 0)::BIGINT AS tt
+      FROM wds
+    ), lam AS (
+      SELECT b,
+             floor((ln((t + 1)::DOUBLE / (tt + {DSIR_BUCKETS}))
+                    - ln((r + 1)::DOUBLE / (rr + {DSIR_BUCKETS})))
+                   * 1000000)::BIGINT AS lam_micro
+      FROM freq, tot
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(sum(lam_micro) / count(*) / 1000000.0, 6)
+             AS dsir_log_weight
+    FROM wds JOIN lam USING (b)
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR (Xie et al. 2023) importance-resampling score: per document,
+    the average hashed-unigram log importance ratio between a target
+    distribution (here the ``lang = 'en'`` slice) and the raw corpus,
+    with Laplace smoothing over ``DSIR_BUCKETS`` hash buckets.
+
+    Cross-engine determinism: the per-bucket log-ratio is quantized to
+    integer micro-nats BEFORE the per-doc aggregation (the
+    ``text_perplexity_proxy`` technique), so the per-doc sum is an
+    order-free integer sum; the trailing divisions are single
+    deterministic ops. Same 1-ULP ``ln`` caveat as perplexity.
+
+    Scale: one map-combinable groupBy builds the bucket table (bounded
+    at ``DSIR_BUCKETS`` rows however big the corpus), the bucket
+    totals are a 1-row anchor, and scoring is a broadcast join into a
+    second map-combinable groupBy — the token stream is never shuffled
+    on a data-sized key.
+    """
+    d = _docs(spark, sf_dir)
+    wds = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        F.explode(_ws(F.col("text"))).alias("word"),
+    ).select(
+        "doc_id",
+        "is_t",
+        (P.md5_long(F.col("word")) % DSIR_BUCKETS).alias("b"),
+    )
+    freq = wds.groupBy("b").agg(
+        F.count("*").alias("r"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("t"),
+    )
+    # 1-row scalar anchor (repo convention for distribution totals);
+    # `or 0` keeps the empty-corpus sweep alive (sum over 0 rows = NULL)
+    tot = freq.agg(F.sum("r").alias("rr"), F.sum("t").alias("tt")).first()
+    rr, tt = int(tot["rr"] or 0), int(tot["tt"] or 0)
+    lam = freq.select(
+        "b",
+        F.floor(
+            (
+                F.log((F.col("t") + 1).cast("double") / F.lit(float(tt + DSIR_BUCKETS)))
+                - F.log((F.col("r") + 1).cast("double") / F.lit(float(rr + DSIR_BUCKETS)))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("lam_micro"),
+    )
+    return (
+        wds.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            E.round_to(
+                F.sum("lam_micro") / F.count("*") / 1000000.0, 6
+            ).alias("dsir_log_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Domain mixture weights (temperature sampling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mix_domain_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(len(string_split(lower(text), ' ')))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT source, n_docs, n_tokens,
+             (sum(n_tokens) OVER ())::BIGINT AS tot
+      FROM s
+    ), q AS (
+      SELECT source, n_docs, n_tokens, tot,
+             floor(sqrt(n_tokens / tot) * 1000000)::BIGINT AS micro_w
+      FROM t
+    ), n AS (
+      SELECT source, n_docs, n_tokens, tot, micro_w,
+             (sum(micro_w) OVER ())::BIGINT AS norm
+      FROM q
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / tot, 6) AS token_share,
+           round(micro_w / norm, 6) AS mix_weight,
+           round({MIX_TOKEN_BUDGET}.0 * micro_w / norm / n_tokens, 6)
+             AS effective_epochs
+    FROM n
+    """,
+)
+def mix_domain_weights(spark, sf_dir):
+    """Temperature-scaled domain sampling table (alpha = 0.5): the
+    Pile/LLaMA-style mixture where domain s is drawn with weight
+    proportional to ``p_s^alpha`` — upsampling small high-value
+    domains without letting any single domain dominate. Also reports
+    effective epochs over each domain at a fixed token budget (>1
+    means that domain repeats per mixture epoch).
+
+    Complements ``sample_alpha_temperature`` (extensions.py), which
+    rebalances LANGUAGES by document count; this one mixes SOURCE
+    domains by TOKEN mass and adds the epoch bookkeeping a data-order
+    planner needs. The float discipline also differs: here the
+    normalizer is an order-free integer sum of quantized weights.
+
+    Determinism: ``sqrt`` is IEEE-exact on both engines; the
+    normalizer sums ``floor(sqrt(share)*1e6)`` integers (order-free),
+    so no float accumulation order leaks into the output.
+
+    Scale: the only data-sized stage is one map-combinable groupBy on
+    ``source``; the two global windows run over the grouped table,
+    which is catalog-sized (#domains), not data-sized.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_ws(F.col("text")))).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    t = s.withColumn("tot", F.sum("n_tokens").over(w_all))
+    q = t.withColumn(
+        "micro_w",
+        F.floor(F.sqrt(F.col("n_tokens") / F.col("tot")) * 1000000).cast(
+            "long"
+        ),
+    )
+    nrm = q.withColumn("norm", F.sum("micro_w").over(w_all))
+    return nrm.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        E.round_to(F.col("n_tokens") / F.col("tot"), 6).alias("token_share"),
+        E.round_to(F.col("micro_w") / F.col("norm"), 6).alias("mix_weight"),
+        E.round_to(
+            F.lit(float(MIX_TOKEN_BUDGET))
+            * F.col("micro_w")
+            / F.col("norm")
+            / F.col("n_tokens"),
+            6,
+        ).alias("effective_epochs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Quality classifier inference (fixed-weight logistic regression)
+# ---------------------------------------------------------------------------
+
+_LR_STOPLIST = "('the', 'a', 'of', 'and', 'to')"  # == pipeline.STOPWORDS
+
+
+@query(
+    "quality_logreg_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), f AS (
+      SELECT doc_id,
+             list_sum([length(x) for x in w]) / len(w) AS mean_tok_len,
+             len(list_filter(w, x -> x IN {_LR_STOPLIST})) / len(w)
+               AS stop_ratio,
+             len(list_distinct(w)) / len(w) AS distinct_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           round(mean_tok_len, 6) AS mean_tok_len,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(distinct_ratio, 6) AS distinct_ratio,
+           round(-0.2 + 4.0 * distinct_ratio + 3.0 * stop_ratio
+                 - 0.4 * mean_tok_len, 6) AS quality_logit,
+           (-0.2 + 4.0 * distinct_ratio + 3.0 * stop_ratio
+                 - 0.4 * mean_tok_len) > 0.0 AS keep
+    FROM f
+    """,
+)
+def quality_logreg_score(spark, sf_dir):
+    """Serve path of a CCNet/GPT-3-style learned quality filter: a
+    logistic regression over cheap interpretable features (mean token
+    length, stopword ratio, type-token ratio) with FIXED published
+    weights — inference only, as a pipeline would run it after
+    training offline. The keep decision is the sign of the logit (the
+    sigmoid is monotone, so thresholding probability at 0.5 ==
+    thresholding the logit at 0 — no transcendental in the hot path,
+    which also makes the output bit-deterministic cross-engine: every
+    feature is a ratio of integer counts and the linear form is
+    written in the identical order on both engines).
+
+    Scale: pure map — one projection, no shuffle, no UDF.
+    """
+    d = _docs(spark, sf_dir)
+    toks = _ws(F.col("text"))
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    stop_cnt = F.size(
+        F.filter(toks, lambda x: x.isin(*P.STOPWORDS))
+    )
+    mean_tok_len = sum_len / n
+    stop_ratio = stop_cnt / n
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    logit = (
+        F.lit(-0.2)
+        + F.lit(4.0) * distinct_ratio
+        + F.lit(3.0) * stop_ratio
+        - F.lit(0.4) * mean_tok_len
+    )
+    return d.select(
+        "doc_id",
+        E.round_to(mean_tok_len, 6).alias("mean_tok_len"),
+        E.round_to(stop_ratio, 6).alias("stop_ratio"),
+        E.round_to(distinct_ratio, 6).alias("distinct_ratio"),
+        E.round_to(logit, 6).alias("quality_logit"),
+        (logit > 0.0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. BPE pair statistics (tokenizer training, step 1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_pair_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{P.BPE_TOKEN_RE}') AS bp
+      FROM documents
+    ), pr AS (
+      SELECT doc_id,
+             unnest([bp[i] || '|' || bp[i+1] for i in range(1, len(bp))])
+               AS pair
+      FROM t WHERE len(bp) >= 2
+    ), g AS (
+      SELECT pair, count(*)::BIGINT AS n_occurrences,
+             count(DISTINCT doc_id)::BIGINT AS n_docs
+      FROM pr GROUP BY pair
+    )
+    SELECT rank, pair, n_occurrences, n_docs FROM (
+      SELECT pair, n_occurrences, n_docs,
+             row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+      FROM g) WHERE rank <= 50
+    """,
+)
+def bpe_pair_stats(spark, sf_dir):
+    """Adjacent-token-pair frequencies — the statistic BPE tokenizer
+    training computes at every merge step (Sennrich et al. 2016); the
+    top pair is the next merge. Reports the top 50 pairs with corpus
+    occurrence and document frequency, deterministically tie-broken
+    by pair string.
+
+    Scale: pair explode is map-side; the groupBy key space is bounded
+    by vocabulary squared (in practice the head is tiny), partials
+    combine map-side, and the final top-50 runs over the GROUPED
+    table. Exact ``count(DISTINCT doc_id)`` is kept for oracle parity;
+    at 100 TB swap in approx_count_distinct exactly as documented for
+    ``agg_count_distinct``.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    bp = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(P.BPE_TOKEN_RE), F.lit(0)
+    )
+    nb = F.size(bp)
+    pairs = F.when(
+        nb >= 2,
+        F.transform(
+            F.sequence(F.lit(1), nb - 1),
+            lambda i: F.concat(
+                F.element_at(bp, i), F.lit("|"), F.element_at(bp, i + 1)
+            ),
+        ),
+    ).otherwise(F.array())
+    g = (
+        d.select("doc_id", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "pair", "n_occurrences", "n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. Hashed n-gram feature extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_hashed_ngram_features",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), gr AS (
+      SELECT doc_id,
+             unnest(list_concat(
+               w, [w[i] || '|' || w[i+1] for i in range(1, len(w))])) AS g
+      FROM t
+    )
+    SELECT doc_id,
+           ('0x' || substr(md5(g), 1, 15))::BIGINT % {FEATURE_BUCKETS}
+             AS bucket,
+           count(*)::BIGINT AS cnt
+    FROM gr GROUP BY doc_id, bucket
+    """,
+)
+def text_hashed_ngram_features(spark, sf_dir):
+    """Hashed unigram+bigram sparse feature counts per document — the
+    feature-prep step shared by fastText-style quality classifiers and
+    DSIR: every token and adjacent pair hashes into a fixed bucket
+    space so the downstream model's dimensionality is corpus-
+    independent. Output is the sparse (doc, bucket, count) triple
+    form, the natural distributed layout (dense vectors assemble per
+    consumer via ``collect_list`` when needed).
+
+    Scale: map-side explode into one map-combinable groupBy on
+    (doc_id, bucket) — partial aggregation collapses each doc's
+    repeats before the shuffle, and the key carries doc_id so the
+    shuffle is perfectly spread.
+    """
+    d = _docs(spark, sf_dir)
+    toks = _ws(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit("|"), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array())
+    grams = F.concat(toks, bigrams)
+    return (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .select(
+            "doc_id",
+            (P.md5_long(F.col("g")) % FEATURE_BUCKETS).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. SemDeDup — cluster-bucketed semantic dedup
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.45  # cosine keep-threshold (matches dedup_embedding_cosine)
+
+
+@query(
+    "sem_dedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding]))
+               AS norm
+      FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cent_id, embedding AS cvec, norm AS cnorm
+      FROM e WHERE vec_id < 16
+    ), ascore AS (
+      SELECT vec_id, cent_id, CASE WHEN isfinite(c0) THEN c0 END AS c
+      FROM (
+        SELECT e.vec_id, cent.cent_id,
+               list_sum([e.embedding[i]::DOUBLE * cent.cvec[i]::DOUBLE
+                         for i in range(1, len(e.embedding) + 1)])
+                 / (e.norm * cent.cnorm) AS c0
+        FROM e CROSS JOIN cent)
+    ), assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+        FROM ascore) WHERE rn = 1
+    ), ee AS (
+      SELECT e.vec_id, e.embedding, e.norm, assign.cent_id
+      FROM e JOIN assign USING (vec_id)
+    ), pr AS (
+      SELECT vec_id, CASE WHEN isfinite(c0) THEN c0 END AS c
+      FROM (
+        SELECT a.vec_id,
+               list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                         for i in range(1, len(a.embedding) + 1)])
+                 / (a.norm * b.norm) AS c0
+        FROM ee a JOIN ee b
+          ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id)
+    ), dominated AS (
+      SELECT DISTINCT vec_id FROM pr WHERE round(c, 6) >= {SEMDEDUP_TAU}
+    )
+    SELECT ee.vec_id, ee.cent_id,
+           (d.vec_id IS NULL) AS is_kept
+    FROM ee LEFT JOIN dominated d USING (vec_id)
+    """,
+)
+def sem_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): assign every embedding to a
+    cluster, compare pairs ONLY within a cluster, and drop any vector
+    whose cosine to a lower-id cluster-mate clears the threshold —
+    semantic near-dup removal that never goes all-pairs.
+
+    Centroids are the first 16 vectors (deterministic, so the oracle
+    replicates the assignment exactly — same convention as
+    ``sim_ann_ivf``); production swaps in k-means centroids without
+    changing the plan. The codebook fan-out is the allow-listed
+    bounded broadcast NLJ; the within-cluster self-join shuffles on
+    cent_id; the keep decision is one anti-join shape (left join +
+    null flag) on vec_id. At 100 TB the cluster count scales with the
+    corpus so per-bucket pair counts stay bounded — the paper's own
+    scaling argument.
+    """
+    from pyspark.sql import Window
+
+    e = P.with_norm(_embs(spark, sf_dir))
+    cent = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        P.cosine(
+            F.col("embedding"), F.col("cvec"), F.col("norm"), F.col("cnorm")
+        ).alias("c"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cent_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    ee = e.join(assign, "vec_id").persist()
+    a = ee.select(
+        "cent_id",
+        "vec_id",
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = ee.select(
+        "cent_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dominated = (
+        a.join(b, "cent_id")
+        .filter(F.col("neighbor_id") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            P.cosine(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("c"),
+        )
+        .filter(E.round_to(F.col("c"), 6) >= SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dom", F.lit(1))
+    )
+    return (
+        ee.select("vec_id", "cent_id")
+        .join(dominated, "vec_id", "left")
+        .select("vec_id", "cent_id", F.col("dom").isNull().alias("is_kept"))
+    )

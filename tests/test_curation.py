@@ -1,0 +1,208 @@
+"""Property tests for the round-8 curation operators (queries/curation.py).
+
+Planted-truth tests build tiny purpose-made corpora (disjoint
+per-document vocabularies so no accidental gram collisions); the
+distribution-level properties run on the driver corpus at sf0.001.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from getdbt_spark.queries import QUERIES, load_all
+
+SF = "/root/testdata/sf0.001"
+
+load_all()
+
+
+def _write_docs(spark, tmp_path_factory, name, texts, langs=None):
+    out = str(tmp_path_factory.mktemp(name))
+    langs = langs or ["en"] * len(texts)
+    rows = [
+        (i, t, langs[i], f"src{i % 3}", len(t))
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_substring_spans_planted_duplicate(spark, tmp_path_factory):
+    """A 12-token span shared by exactly two docs must surface in both
+    with the exact extent (k=8 anchoring covers spans >= k fully),
+    and an all-unique doc must report zero coverage."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    a = " ".join(f"a{i}" for i in range(20))
+    b = " ".join(f"b{i}" for i in range(20))
+    c = " ".join(f"c{i}" for i in range(20))
+    d = " ".join(f"d{i}" for i in range(20))
+    e = " ".join(f"e{i}" for i in range(40))
+    sf = _write_docs(
+        spark,
+        tmp_path_factory,
+        "span_sf",
+        [f"{a} {shared} {b}", f"{c} {shared} {d}", e],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_substring_spans"](spark, sf).collect()
+    }
+    for doc in (0, 1):
+        assert rows[doc]["n_dup_spans"] == 1
+        assert rows[doc]["dup_tokens"] == 12
+        assert rows[doc]["n_tokens"] == 52
+    assert rows[2]["n_dup_spans"] == 0
+    assert rows[2]["dup_tokens"] == 0
+    assert rows[2]["dup_fraction"] == 0.0
+
+
+def test_substring_spans_identical_docs_fully_covered(spark, tmp_path_factory):
+    text = " ".join(f"w{i}" for i in range(30))
+    sf = _write_docs(spark, tmp_path_factory, "dupdoc_sf", [text, text])
+    for r in QUERIES["dedup_substring_spans"](spark, sf).collect():
+        assert r["dup_tokens"] == 30
+        assert r["dup_fraction"] == 1.0
+        assert r["n_dup_spans"] == 1
+
+
+def test_substring_spans_below_k_invisible(spark, tmp_path_factory):
+    """A shared run shorter than SPAN_K tokens anchors no k-gram and
+    must not count — the operator's documented resolution floor."""
+    shared = " ".join(f"s{i}" for i in range(7))  # k-1 tokens
+    a = " ".join(f"a{i}" for i in range(15))
+    b = " ".join(f"b{i}" for i in range(15))
+    sf = _write_docs(
+        spark, tmp_path_factory, "short_sf", [f"{a} {shared}", f"{b} {shared}"]
+    )
+    for r in QUERIES["dedup_substring_spans"](spark, sf).collect():
+        assert r["n_dup_spans"] == 0
+
+
+def test_dsir_upweights_target_distribution(spark, tmp_path_factory):
+    """Docs drawn from the target (en) vocabulary must score a higher
+    importance weight than docs from a disjoint non-target vocab."""
+    en = [" ".join(f"t{i % 30}" for i in range(j, j + 40)) for j in range(6)]
+    zh = [" ".join(f"z{i % 30}" for i in range(j, j + 40)) for j in range(6)]
+    sf = _write_docs(
+        spark,
+        tmp_path_factory,
+        "dsir_sf",
+        en + zh,
+        langs=["en"] * 6 + ["zh"] * 6,
+    )
+    rows = QUERIES["dsir_importance_weights"](spark, sf).collect()
+    w = {r["doc_id"]: r["dsir_log_weight"] for r in rows}
+    en_mean = sum(w[i] for i in range(6)) / 6
+    zh_mean = sum(w[i] for i in range(6, 12)) / 6
+    assert en_mean > 0 > zh_mean
+
+
+def test_mix_weights_normalized_and_temperature_flattens(spark):
+    rows = QUERIES["mix_domain_weights"](spark, SF).collect()
+    total_w = sum(r["mix_weight"] for r in rows)
+    assert abs(total_w - 1.0) < 1e-4  # rounding of 20 six-decimal weights
+    # temperature 0.5 upsamples small domains: the smallest domain's
+    # weight/share ratio must exceed the largest domain's
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    largest = max(rows, key=lambda r: r["n_tokens"])
+    assert smallest["n_tokens"] < largest["n_tokens"]
+    assert (
+        smallest["mix_weight"] / smallest["token_share"]
+        > largest["mix_weight"] / largest["token_share"]
+    )
+    # epochs bookkeeping: budget * weight == epochs * domain tokens
+    for r in rows:
+        assert (
+            abs(r["effective_epochs"] * r["n_tokens"] - 1_000_000 * r["mix_weight"])
+            < 0.01 * r["n_tokens"]
+        )
+
+
+def test_quality_logreg_keep_is_logit_sign_and_splits(spark):
+    rows = QUERIES["quality_logreg_score"](spark, SF).collect()
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)  # the weights actually separate
+    for r in rows:
+        if abs(r["quality_logit"]) > 1e-5:  # away from the rounding seam
+            assert r["keep"] == (r["quality_logit"] > 0)
+        assert 0.0 <= r["stop_ratio"] <= 1.0
+        assert 0.0 < r["distinct_ratio"] <= 1.0
+
+
+def test_bpe_pair_stats_rank_contract(spark):
+    rows = QUERIES["bpe_pair_stats"](spark, SF).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    occs = [r["n_occurrences"] for r in rows]
+    assert occs == sorted(occs, reverse=True)
+    for r in rows:
+        assert 1 <= r["n_docs"] <= r["n_occurrences"]
+        assert "|" in r["pair"]
+
+
+def test_hashed_features_conserve_gram_mass(spark):
+    """Sum of bucket counts == total unigrams + bigrams (2n-1 per doc):
+    hashing relocates grams, never drops or invents them."""
+    feats = QUERIES["text_hashed_ngram_features"](spark, SF)
+    got = feats.agg(F.sum("cnt")).collect()[0][0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = F.size(F.split(F.lower("text"), " "))
+    want = docs.agg(F.sum(2 * n - 1)).collect()[0][0]
+    assert got == want
+    assert feats.filter((F.col("bucket") < 0) | (F.col("bucket") >= 64)).count() == 0
+
+
+def test_sem_dedup_matches_numpy_replay(spark):
+    """Exact replay of assignment + within-cluster domination in numpy:
+    the Spark plan's keep set must match brute force bit-for-bit."""
+    res = {
+        r["vec_id"]: (r["cent_id"], r["is_kept"])
+        for r in QUERIES["sem_dedup"](spark, SF).collect()
+    }
+    embs = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in embs]
+    m = np.array([r["embedding"] for r in embs], dtype=np.float64)
+    norms = np.sqrt((m * m).sum(axis=1))
+    cent_rows = [i for i, v in enumerate(ids) if v < 16]
+    cm, cn = m[cent_rows], norms[cent_rows]
+    cids = [ids[i] for i in cent_rows]
+    cos = (m @ cm.T) / np.outer(norms, cn)
+    # argmax with tie -> lowest cent_id (cids ascending keeps argmax first)
+    assign = {ids[i]: cids[int(np.argmax(cos[i]))] for i in range(len(ids))}
+    for vid, (cent, _) in res.items():
+        assert assign[vid] == cent, vid
+    full = (m @ m.T) / np.outer(norms, norms)
+    for i, vid in enumerate(ids):
+        dominated = any(
+            assign[ids[j]] == assign[vid]
+            and ids[j] < vid
+            and round(full[i, j], 6) >= 0.45
+            for j in range(len(ids))
+        )
+        assert res[vid][1] == (not dominated), vid
+
+
+@pytest.mark.parametrize(
+    "qid",
+    [
+        "dedup_substring_spans",
+        "dsir_importance_weights",
+        "mix_domain_weights",
+        "quality_logreg_score",
+        "bpe_pair_stats",
+        "text_hashed_ngram_features",
+    ],
+)
+def test_curation_ops_survive_single_token_docs(spark, tmp_path_factory, qid):
+    """Degenerate docs (one token, empty-ish) exercise every n<k guard."""
+    sf = _write_docs(
+        spark, tmp_path_factory, f"tiny_{qid}", ["x", "y y", "z"]
+    )
+    QUERIES[qid](spark, sf).count()  # must not raise
