@@ -199,35 +199,69 @@ def _shingles_and_sig(k: int = 3, max_token_bytes: int = 24, with_sig: bool = Tr
         else:
             h = np.zeros(0, dtype=np.uint64)
         offs = np.concatenate(([0], np.cumsum(counts)))
+        ndocs = len(tok_lists)
+        # Whole-batch gram build: one rotation-XOR pass over the FLAT
+        # token-hash array (gram starts that would straddle a document
+        # boundary are simply never indexed), replacing the former
+        # per-document Python loop — bit-identical grams, ~batch-size
+        # fewer numpy dispatches.
+        n_grams = np.maximum(counts - k + 1, 0)
+        nflat = len(h)
+        if nflat >= k:
+            g_full = np.zeros(nflat - k + 1, dtype=np.uint64)
+            for j, r in enumerate(rots):
+                hj = h[j : nflat - k + 1 + j]
+                g_full ^= (hj << np.uint64(r)) | (hj >> np.uint64(64 - r))
+        else:
+            g_full = np.zeros(0, dtype=np.uint64)
+        doc_idx = np.repeat(np.arange(ndocs), n_grams)
+        gram_offs = np.concatenate(([0], np.cumsum(n_grams)))
+        within = np.arange(len(doc_idx)) - np.repeat(gram_offs[:-1], n_grams)
+        g = g_full[np.repeat(offs[:-1], n_grams) + within]
+        # Per-doc distinct, batch-global: lexsort by (doc, gram) then a
+        # neighbor-change mask == np.unique per document (ascending
+        # order per doc, exactly the old output).
+        order = np.lexsort((g, doc_idx))
+        ds, gs = doc_idx[order], g[order]
+        keep = np.ones(len(gs), dtype=bool)
+        keep[1:] = (ds[1:] != ds[:-1]) | (gs[1:] != gs[:-1])
+        ds_u, gs_u = ds[keep], gs[keep]
+        u_counts = np.bincount(ds_u, minlength=ndocs)
+        u_offs = np.concatenate(([0], np.cumsum(u_counts)))
+        if with_sig and len(gs_u):
+            # Proper per-seed permutation: splitmix64 finalizer of
+            # (shingle ^ seed_i), minned per seed.  The previous
+            # ``min(lo + i*hi)`` double-hash NEVER WRAPPED uint64
+            # (i*hi <= 2^39), so for growing i the argmin converged
+            # to the global smallest-hi shingle — all 128 slots
+            # correlated, and editing one word near that shingle
+            # flipped essentially the whole signature (measured
+            # 1/128 matching slots at J=0.94; the banded LSH then
+            # MISSED a true near-dup the exact oracle reports —
+            # round-6 random-corpus find).  _mix64 makes each slot
+            # an independent-ish permutation, restoring the
+            # textbook (1-J^r)^b miss bound (~1e-60 at J=0.94).
+            # One seed at a time: segment-min via minimum.reduceat
+            # over the doc boundaries keeps peak memory at one
+            # batch-length vector (a single book-scale doc would make
+            # the (n_shingles, 128) matrix gigabytes), same op count.
+            doc_starts = u_offs[:-1][u_counts > 0]
+            sig_mat = np.empty((len(doc_starts), MINHASH_N), dtype=np.uint64)
+            for s in range(MINHASH_N):
+                sig_mat[:, s] = np.minimum.reduceat(
+                    _mix64(gs_u ^ seeds[s]), doc_starts
+                )
         sh_out, sig_out = [], []
-        for i in range(len(tok_lists)):
-            hd = h[offs[i] : offs[i + 1]]
-            n = len(hd) - k + 1
-            if n <= 0:
+        row = 0
+        for i in range(ndocs):
+            if u_counts[i] == 0:
                 sh_out.append(None)
                 sig_out.append(None)
                 continue
-            g = np.zeros(n, dtype=np.uint64)
-            for j, r in enumerate(rots):
-                hj = hd[j : j + n]
-                g ^= (hj << np.uint64(r)) | (hj >> np.uint64(64 - r))
-            sh = np.unique(g)
-            sh_out.append(sh.view(np.int64))
+            sh_out.append(gs_u[u_offs[i] : u_offs[i + 1]].view(np.int64))
             if with_sig:
-                # Proper per-seed permutation: splitmix64 finalizer of
-                # (shingle ^ seed_i), minned per seed.  The previous
-                # ``min(lo + i*hi)`` double-hash NEVER WRAPPED uint64
-                # (i*hi <= 2^39), so for growing i the argmin converged
-                # to the global smallest-hi shingle — all 128 slots
-                # correlated, and editing one word near that shingle
-                # flipped essentially the whole signature (measured
-                # 1/128 matching slots at J=0.94; the banded LSH then
-                # MISSED a true near-dup the exact oracle reports —
-                # round-6 random-corpus find).  _mix64 makes each slot
-                # an independent-ish permutation, restoring the
-                # textbook (1-J^r)^b miss bound (~1e-60 at J=0.94).
-                sig = _mix64(sh[:, None] ^ seeds[None, :]).min(axis=0)
-                sig_out.append(sig.view(np.int64))
+                sig_out.append(sig_mat[row].view(np.int64))
+                row += 1
             else:
                 # shingles-only callers (the exact-Jaccard path) skip
                 # the n_shingles×128 fold — the kernel's heaviest op —

@@ -131,21 +131,33 @@ def dedup_substring_spans(spark, sf_dir):
     d = _docs(spark, sf_dir)
     toks = _ws(F.col("text"))
     n = F.size(toks)
-    grams = F.when(
-        n >= SPAN_K,
-        F.transform(
-            F.sequence(F.lit(1), n - (SPAN_K - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                P.md5_long(
-                    F.concat_ws(
-                        "|",
-                        *[F.element_at(toks, i + j) for j in range(SPAN_K)],
-                    )
-                ).alias("g"),
+
+    # tk is re-bound as a LAMBDA VARIABLE (single-element-array wrap):
+    # a raw expression captured inside a HOF lambda re-evaluates per
+    # element — the split would run once per position, O(words²) on a
+    # book-scale doc (the word_shingles hugedoc find; same fix).
+    def _grams(tk):
+        m = F.size(tk)
+        return F.when(
+            m >= SPAN_K,
+            F.transform(
+                F.sequence(F.lit(1), m - (SPAN_K - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    P.md5_long(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at(tk, i + j)
+                                for j in range(SPAN_K)
+                            ],
+                        )
+                    ).alias("g"),
+                ),
             ),
-        ),
-    ).otherwise(F.array())
+        ).otherwise(F.array())
+
+    grams = F.flatten(F.transform(F.array(toks), _grams))
     occ = (
         d.select("doc_id", F.explode(grams).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
@@ -501,16 +513,22 @@ def bpe_pair_stats(spark, sf_dir):
     bp = F.regexp_extract_all(
         F.lower(F.col("text")), F.lit(P.BPE_TOKEN_RE), F.lit(0)
     )
-    nb = F.size(bp)
-    pairs = F.when(
-        nb >= 2,
-        F.transform(
-            F.sequence(F.lit(1), nb - 1),
-            lambda i: F.concat(
-                F.element_at(bp, i), F.lit("|"), F.element_at(bp, i + 1)
+
+    # lambda-variable re-bind: element_at(bp, i) inside the transform
+    # would re-run the regex extraction per pair — O(tokens²) on a
+    # book-scale doc (hugedoc probe measured a >7 min stall).
+    def _pairs(b):
+        return F.when(
+            F.size(b) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(b) - 1),
+                lambda i: F.concat(
+                    F.element_at(b, i), F.lit("|"), F.element_at(b, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array())
+        ).otherwise(F.array())
+
+    pairs = F.flatten(F.transform(F.array(bp), _pairs))
     g = (
         d.select("doc_id", F.explode(pairs).alias("pair"))
         .groupBy("pair")
@@ -566,17 +584,22 @@ def text_hashed_ngram_features(spark, sf_dir):
     """
     d = _docs(spark, sf_dir)
     toks = _ws(F.col("text"))
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit("|"), F.element_at(toks, i + 1)
+
+    # lambda-variable re-bind (the word_shingles quadratic guard):
+    # unigrams + bigrams from ONE evaluation of the split per row.
+    def _grams(w):
+        bigrams = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat(
+                    F.element_at(w, i), F.lit("|"), F.element_at(w, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array())
-    grams = F.concat(toks, bigrams)
+        ).otherwise(F.array())
+        return F.concat(w, bigrams)
+
+    grams = F.flatten(F.transform(F.array(toks), _grams))
     return (
         d.select("doc_id", F.explode(grams).alias("g"))
         .select(
