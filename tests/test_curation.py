@@ -206,3 +206,29 @@ def test_curation_ops_survive_single_token_docs(spark, tmp_path_factory, qid):
         spark, tmp_path_factory, f"tiny_{qid}", ["x", "y y", "z"]
     )
     QUERIES[qid](spark, sf).count()  # must not raise
+
+
+@pytest.mark.slow
+def test_curation_ops_linear_on_book_scale_doc(spark, tmp_path_factory):
+    """Pins the HOF quadratic-re-evaluation class (the hugedoc find):
+    referencing the token-array EXPRESSION inside a transform lambda
+    re-evaluates it per element — O(words²), a >7-minute stall on a
+    ~1 MB document. With the lambda-variable re-bind these ops are
+    linear; a 100k-token doc must finish in seconds, so a generous
+    wall bound distinguishes linear from quadratic by ~two orders of
+    magnitude without being flaky."""
+    import time
+
+    big = " ".join(f"w{i % 97}" for i in range(100_000))
+    sf = _write_docs(
+        spark, tmp_path_factory, "book_sf", [big, "a b c d e f g h i j"]
+    )
+    for qid in (
+        "dedup_substring_spans",
+        "bpe_pair_stats",
+        "text_hashed_ngram_features",
+    ):
+        t0 = time.time()
+        QUERIES[qid](spark, sf).count()
+        took = time.time() - t0
+        assert took < 90, f"{qid} took {took:.0f}s on a 100k-token doc"

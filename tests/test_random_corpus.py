@@ -220,6 +220,13 @@ MB_SENSITIVE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "text_paragraph_dedup",
+    # round-8 curation family: md5-of-token bucketing, whitespace
+    # tokenization, and char-count features over multibyte text
+    "dedup_substring_spans",
+    "dsir_importance_weights",
+    "quality_logreg_score",
+    "bpe_pair_stats",
+    "text_hashed_ngram_features",
 ]
 
 
