@@ -612,6 +612,136 @@ def text_hashed_ngram_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # gram width (tokens)
+WINNOW_W = 4  # window width (grams); guarantee length = w + k - 1 tokens
+
+
+@query(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), occ0 AS (
+      SELECT doc_id,
+             unnest([{{'pos': i,
+                      'g': ('0x' || substr(md5(
+                              w[i] || '|' || w[i+1] || '|' || w[i+2]),
+                            1, 15))::BIGINT}}
+                     for i in range(1, len(w) - 1)]) AS s
+      FROM toks WHERE len(w) >= {WINNOW_K}
+    ), occ AS (
+      SELECT doc_id, s.pos AS pos, s.g AS g FROM occ0
+    ), wins AS (
+      SELECT doc_id, pos AS wstart,
+             min(g) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_W - 1} FOLLOWING) AS minh,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS wlen
+      FROM occ
+    ), full_wins AS (
+      SELECT doc_id, wstart, minh FROM wins WHERE wlen = {WINNOW_W}
+    ), members AS (
+      SELECT doc_id, wstart, minh, unnest(range(wstart, wstart + {WINNOW_W}))
+               AS mpos
+      FROM full_wins
+    ), picked AS (
+      SELECT m.doc_id, m.wstart, max(o.pos) AS fp_pos, m.minh AS fp_hash
+      FROM members m
+      JOIN occ o ON o.doc_id = m.doc_id AND o.pos = m.mpos
+                AND o.g = m.minh
+      GROUP BY m.doc_id, m.wstart, m.minh
+    )
+    SELECT DISTINCT doc_id, fp_pos, fp_hash FROM picked
+    """,
+)
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer et al. 2003, the
+    MOSS algorithm): over the k-gram hash sequence, every w-window
+    contributes its minimum hash (rightmost position on ties), and
+    the distinct selected (position, hash) set is the document's
+    fingerprint. Guarantee: two documents sharing any run of at least
+    ``w + k - 1`` tokens share at least one fingerprint — the
+    index-friendly robust sketch between full shingling (too big) and
+    MinHash (no positions, no substring guarantee).
+
+    Plan shape: gram build is the substring-span map stage (lambda
+    re-bound, linear); the window min/count is one partitionBy(doc_id)
+    window; the rightmost-argmin resolves by exploding each full
+    window into its ``w`` member positions and equi-joining back on
+    (doc_id, pos, hash) — no range join, no BNLJ, and the fan-out is
+    a constant ``w``. Everything shuffles on doc_id only. Integer-only
+    math — no cross-engine float surface at all.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = _ws(F.col("text"))
+
+    def _grams(tk):
+        m = F.size(tk)
+        return F.when(
+            m >= WINNOW_K,
+            F.transform(
+                F.sequence(F.lit(1), m - (WINNOW_K - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    P.md5_long(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at(tk, i + j)
+                                for j in range(WINNOW_K)
+                            ],
+                        )
+                    ).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array())
+
+    occ = (
+        d.select("doc_id", F.explode(F.flatten(F.transform(F.array(toks), _grams))).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    )
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    wins = occ.select(
+        "doc_id",
+        F.col("pos").alias("wstart"),
+        F.min("g").over(wf).alias("minh"),
+        F.count("*").over(wf).alias("wlen"),
+    ).filter(F.col("wlen") == WINNOW_W)
+    members = wins.select(
+        "doc_id",
+        "wstart",
+        "minh",
+        F.explode(
+            F.sequence(F.col("wstart"), F.col("wstart") + (WINNOW_W - 1))
+        ).alias("mpos"),
+    )
+    picked = (
+        members.join(
+            occ.select(
+                "doc_id", F.col("pos").alias("mpos"), F.col("g").alias("minh")
+            ),
+            ["doc_id", "mpos", "minh"],
+        )
+        .groupBy("doc_id", "wstart", "minh")
+        .agg(F.max("mpos").alias("fp_pos"))
+    )
+    return picked.select(
+        "doc_id", "fp_pos", F.col("minh").alias("fp_hash")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
 # 7. SemDeDup — cluster-bucketed semantic dedup
 # ---------------------------------------------------------------------------
 

@@ -208,6 +208,34 @@ def test_curation_ops_survive_single_token_docs(spark, tmp_path_factory, qid):
     QUERIES[qid](spark, sf).count()  # must not raise
 
 
+def test_winnowing_guarantee_and_determinism(spark, tmp_path_factory):
+    """The MOSS guarantee: two docs sharing a run of >= w + k - 1 = 6
+    tokens share at least one fingerprint hash; and identical docs
+    produce identical fingerprint sets (position-stable selection)."""
+    shared = "s1 s2 s3 s4 s5 s6"  # exactly the guarantee length
+    a = " ".join(f"a{i}" for i in range(10))
+    b = " ".join(f"b{i}" for i in range(10))
+    sf = _write_docs(
+        spark,
+        tmp_path_factory,
+        "winnow_sf",
+        [f"{a} {shared}", f"{shared} {b}", a, a],
+    )
+    rows = QUERIES["doc_winnow_fingerprints"](spark, sf).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[0] & by_doc[1], "guarantee violated: no shared fingerprint"
+    assert not (by_doc[2] & by_doc[0] - by_doc[0]), "sanity"
+    # identical docs -> identical (pos, hash) fingerprint sets
+    fp2 = {(r["fp_pos"], r["fp_hash"]) for r in rows if r["doc_id"] == 2}
+    fp3 = {(r["fp_pos"], r["fp_hash"]) for r in rows if r["doc_id"] == 3}
+    assert fp2 == fp3 and fp2
+    # density: winnowing selects ~2/(w+1) of grams, never more than all
+    n_grams = 10 - 2
+    assert 1 <= len(fp2) <= n_grams
+
+
 @pytest.mark.slow
 def test_curation_ops_linear_on_book_scale_doc(spark, tmp_path_factory):
     """Pins the HOF quadratic-re-evaluation class (the hugedoc find):
