@@ -1,6 +1,6 @@
-"""Training-data curation operators, round 8 (SURVEY.md §7.5 family).
+"""Training-data curation operators, round 8+ (SURVEY.md §7.5 family).
 
-Seven operators a large-scale pretraining-data pipeline runs that the
+Operators a large-scale pretraining-data pipeline runs that the
 engine did not yet expose as first-class, oracle-checked queries:
 
 - ``dedup_substring_spans`` — exact duplicated-substring detection
@@ -18,7 +18,10 @@ engine did not yet expose as first-class, oracle-checked queries:
 - ``text_hashed_ngram_features`` — hashed unigram+bigram sparse
   feature extraction (fastText / DSIR feature prep);
 - ``sem_dedup`` — SemDeDup (Abbas et al. 2023): cluster-bucketed
-  embedding near-dup removal.
+  embedding near-dup removal;
+- ``doc_winnow_fingerprints`` — winnowing document fingerprints
+  (Schleimer et al. 2003, the MOSS algorithm): position-stable
+  minimum-hash selection with the w+k−1 match guarantee.
 
 Every query follows the repo's exactness conventions: portable
 ``md5_long`` hashing, integer micro-unit quantization before any

@@ -226,7 +226,9 @@ def test_winnowing_guarantee_and_determinism(spark, tmp_path_factory):
     for r in rows:
         by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
     assert by_doc[0] & by_doc[1], "guarantee violated: no shared fingerprint"
-    assert not (by_doc[2] & by_doc[0] - by_doc[0]), "sanity"
+    # doc 2's vocabulary (a0..a9) is disjoint from doc 1's (shared+b*),
+    # so they must share no fingerprint hash
+    assert not (by_doc[2] & by_doc[1]), "disjoint-vocab docs share a hash"
     # identical docs -> identical (pos, hash) fingerprint sets
     fp2 = {(r["fp_pos"], r["fp_hash"]) for r in rows if r["doc_id"] == 2}
     fp3 = {(r["fp_pos"], r["fp_hash"]) for r in rows if r["doc_id"] == 3}

@@ -227,6 +227,7 @@ MB_SENSITIVE = [
     "quality_logreg_score",
     "bpe_pair_stats",
     "text_hashed_ngram_features",
+    "doc_winnow_fingerprints",
 ]
 
 
