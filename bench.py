@@ -129,6 +129,33 @@ def _host_canary(scale: float = 1.0) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _spark_canary(spark) -> float:
+    """Fixed PARALLEL Spark workload (32-slice range → hash shuffle →
+    count), timed.  The single-core ``_host_canary`` cannot see
+    multi-core contention: SCALING.md documents 1.7× cross-session
+    variance in MULTI-core throughput between VM boots while the
+    single-core canary stayed flat (frequency vs core-allocation
+    drift).  This canary saturates all executor threads with
+    identical work every round, so a driver reading where queries and
+    the spark canary drift TOGETHER is host allocation, not plan —
+    divide per-query deltas by (canary_spark_sec / reference) before
+    reading them as regressions.  Runs AFTER warm-up, so it measures
+    steady-state parallel throughput, not JVM spin-up."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 64_000_000, 1, 32)
+        .select((F.col("id") % 4096).alias("k"))
+        .groupBy("k")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -143,6 +170,7 @@ def main() -> None:
     names += [q for q in MODEL_HEADLINE if q in QUERIES]
 
     _warmup(spark, sf_dir)
+    spark_canary = _spark_canary(spark)
 
     from getdbt_spark.queries.model_queries import _MODEL_QUERIES, _run_model
 
@@ -214,6 +242,11 @@ def main() -> None:
                 # normalize cross-round query deltas by the canary
                 # ratio before reading them as plan changes.
                 "canary_cpu_sec": _host_canary(),
+                # Multi-core canary: fixed 32-slice shuffle job timed
+                # after warm-up — when queries and this number drift
+                # together across rounds, the cause is host core
+                # allocation (the SCALING.md 1.7× class), not plans.
+                "canary_spark_sec": spark_canary,
                 # Per-query 1/8-scale canaries (compare to
                 # canary_cpu_sec/8): a correlated bump marks the
                 # adjacent query timing as host-noise, not plan.

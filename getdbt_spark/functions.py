@@ -34,6 +34,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _col(c: Column | str) -> Column:
@@ -360,3 +361,89 @@ def concat_bq(*cols: Column | str) -> Column:
     """CONCAT — NULL if any argument is NULL (both engines agree;
     helper exists so builders are explicit about the semantics)."""
     return F.concat(*[_col(c) for c in cols])
+
+
+def with_global_rank(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    rank_col: str = "rnk",
+    num_slices: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number`` over a total order WITHOUT a
+    single-partition window — the scale-safe shape for global-rank
+    statistics (Gini, Zipf fits) whose input is data-sized.
+
+    ``Window.orderBy(...)`` with no partition spec funnels the entire
+    input through ONE task: fine on a 50-row top-k, a scale-killer on
+    an entity-grain table (billions of rows at the 100 TB target).
+    This helper is the zipWithIndex shape, kept in DataFrames:
+
+    1. ``repartitionByRange`` on the order expressions — each slice
+       holds a contiguous run of the total order, slice *i*'s keys all
+       sort before slice *i+1*'s (range partitions are assigned in
+       ascending partition-id order);
+    2. ``sortWithinPartitions`` + an Arrow ``mapInPandas`` kernel that
+       assigns 1-based LOCAL ranks by counting batches — no extra
+       shuffle (a ``Window.partitionBy(pid)`` would re-exchange on
+       pid because Catalyst cannot see that range slices already
+       cluster it);
+    3. one ``localCheckpoint`` so the per-slice counts and the final
+       projection read the SAME materialized ranking (and the lineage
+       is traversed once, not twice);
+    4. per-slice counts collapse to ≤ ``num_slices`` rows, cumulative
+       offsets are computed driver-side (the repo's bounded
+       scalar-anchor collect class — this is partition metadata, not
+       data), and a broadcast join adds ``offset + local_rank``.
+
+    ``order`` must be a TOTAL order (include a unique tie-break
+    column) for the rank to be deterministic — the same contract as
+    ``row_number`` itself.  Ties that straddle a slice boundary would
+    otherwise rank arbitrarily, exactly as an unpartitioned
+    ``row_number`` would order them arbitrarily.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    spark = df.sparkSession
+    n = num_slices or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [_col(c) for c in order]
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__gr_pid", F.spark_partition_id())
+    )
+    # fresh StructType — .add() would MUTATE the frame's cached schema
+    out_schema = T.StructType(
+        list(ranged.schema.fields)
+        + [T.StructField("__gr_lrnk", T.LongType())]
+    )
+
+    def _local_rank(batches):
+        off = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__gr_lrnk"] = range(off + 1, off + 1 + len(pdf))
+            off += len(pdf)
+            yield pdf
+
+    ranked = ranged.mapInPandas(_local_rank, out_schema).localCheckpoint()
+    counts = {
+        r["__gr_pid"]: r["n"]
+        for r in ranked.groupBy("__gr_pid").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        offsets, schema="__gr_pid int, __gr_off long"
+    )
+    return (
+        ranked.join(F.broadcast(off_df), "__gr_pid")
+        .withColumn(
+            rank_col,
+            (F.col("__gr_off") + F.col("__gr_lrnk")).cast("long"),
+        )
+        .drop("__gr_pid", "__gr_lrnk", "__gr_off")
+    )

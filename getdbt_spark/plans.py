@@ -42,6 +42,38 @@ BOUNDED_NLJ_ALLOW: dict[str, int] = {
     "sim_ann_ivf": 1,
     "emb_kmeans_train": 4,
     "sim_ann_ivf_trained": 4,  # embeds the k-means rounds
+    "sem_dedup_trained": 4,    # same embedded k-means rounds
+}
+
+# Per-query unpartitioned-window allow-list: {query_id: max Window
+# nodes with no PARTITION BY}.  An unpartitioned window funnels its
+# entire input through ONE task — a scale-killer when the input is
+# data-sized (the r8 ``bpe_pair_stats`` finding: a vocab²-scale pair
+# table sorted in one task).  Two shapes are legitimate, each bounded
+# BY CONSTRUCTION, not merely small at the test SF:
+#
+# (a) post-limit: the window sits above ``orderBy().limit(k)``
+#     (TakeOrderedAndProject), so ≤ k rows ever reach the single
+#     window task regardless of data volume;
+# (b) catalog-grain: the window's input is a groupBy aggregate whose
+#     KEY SPACE is fixed by schema or catalog, not by row count —
+#     nations (25), ISO languages, source domains, calendar days,
+#     embedding dimensions.  The reduced table is a few orders of
+#     magnitude below task capacity at any fact volume.
+#
+# Data-sized global ranks (customer/user/document grain) use
+# ``functions.with_global_rank`` (range repartition + per-slice
+# offsets) instead — see agg_gini_concentration / agg_power_law_fit.
+# Everything not listed must plan ZERO unpartitioned windows —
+# enforced registry-wide by ``tests/test_plans.py``.
+GLOBAL_WINDOW_ALLOW: dict[str, int] = {
+    "bpe_pair_stats": 1,            # (a) rank over the top-50 survivor set
+    "win_pareto_share": 1,          # (a) cumsum/rank over the top-200 head
+    "win_percent_of_total": 1,      # (b) nation grain (25 rows)
+    "sample_alpha_temperature": 2,  # (b) language grain
+    "mix_domain_weights": 2,        # (b) source-domain grain
+    "agg_new_vs_returning": 1,      # (b) calendar-day grain
+    "emb_dim_variance_prune": 1,    # (b) embedding-dimension grain
 }
 
 
@@ -52,6 +84,66 @@ def _formatted(df: DataFrame) -> str:
             "formatted"
         )
     )
+
+
+def _toplevel_bracket_groups(s: str) -> list[str]:
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes with no PARTITION BY in a formatted plan.
+
+    A Window node's detail block prints ``Arguments:`` with up to
+    three top-level bracket groups — [windowExprs], then the partition
+    spec and/or the order spec, each omitted when empty:
+
+    - 3 groups → partitioned (partition spec present) — fine;
+    - 1 group → no partition, no order — GLOBAL, single task;
+    - 2 groups → the second is EITHER a partition spec (unordered
+      partitioned window — fine) or an order spec (unpartitioned
+      ordered window — single task).  Order specs always print a sort
+      direction (``ASC NULLS`` / ``DESC NULLS``); partition specs are
+      bare expressions.
+
+    An unpartitioned window executes as ONE task sorting its whole
+    input — only acceptable above a limit-bounded input
+    (GLOBAL_WINDOW_ALLOW); data-sized global ranks use
+    ``functions.with_global_rank`` instead.
+    """
+    lines = plan.splitlines()
+    count = 0
+    for i, ln in enumerate(lines):
+        if not re.match(r"^\(\d+\) Window\b", ln.strip()):
+            continue
+        for nxt in lines[i + 1 :]:
+            nxt = nxt.strip()
+            if not nxt:
+                break
+            if not nxt.startswith("Arguments: "):
+                continue
+            groups = _toplevel_bracket_groups(nxt)
+            if len(groups) == 1:
+                count += 1
+            elif len(groups) == 2 and re.search(
+                r"\b(ASC|DESC) NULLS\b", groups[1]
+            ):
+                count += 1
+            break
+    return count
 
 
 def plan_report(df: DataFrame) -> dict:
@@ -71,6 +163,7 @@ def plan_report(df: DataFrame) -> dict:
         "pushed": sum(1 for p in pushed if p.strip()),
         "scans": nodes.get("Scan", 0) + nodes.get("FileScan", 0),
         "codegen": len(set(re.findall(r"\*\((\d+)\)", simple))),
+        "global_windows": unpartitioned_windows(plan),
     }
 
 

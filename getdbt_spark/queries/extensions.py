@@ -3397,12 +3397,17 @@ def win_pareto_share(spark, sf_dir):
     50%/80% cumulative-revenue cuts — the concentration report behind
     every "top X% of customers drive Y%" decision.
 
-    The ranking and both running sums share ONE global ordering over
-    the customer-grain aggregate (not the raw facts); output is capped
-    to the head of the curve, which TakeOrdered-style bounds at any
-    customer count.  Exact integer cents make the global cumsum
-    engine-deterministic; the deterministic tie-break keeps equal-
-    revenue customers in one order on both engines.
+    Output is capped to the top-200 head of the curve, so the head is
+    fetched with ``orderBy().limit(200)`` — TakeOrderedAndProject,
+    each task keeps a local top-200 and the driver merges, distributed
+    at any customer count.  The running cumsum for rank i only needs
+    ranks 1..i, which all live INSIDE the top-200 set, so the global
+    window runs over a 200-row bounded input (GLOBAL_WINDOW_ALLOW);
+    the whole-population denominators (total cents, customer count)
+    come from one map-combinable aggregate collected as a 1-row scalar
+    anchor.  Exact integer cents make the cumsum engine-deterministic;
+    the deterministic tie-break keeps equal-revenue customers in one
+    order on both engines (and makes the 200-row cut exact).
     """
     from pyspark.sql import Window
 
@@ -3410,29 +3415,31 @@ def win_pareto_share(spark, sf_dir):
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(_cents("o_totalprice")).alias("cents")
     )
+    tot = per_cust.agg(
+        F.sum("cents").alias("t"), F.count("*").alias("n")
+    ).collect()[0]
+    tot_cents, n_cust = (tot["t"] or 0), (tot["n"] or 0)
     order = [F.col("cents").desc(), F.col("o_custkey")]
+    top = per_cust.orderBy(*order).limit(200)
     w_run = (
         Window.orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = per_cust.select(
+    ranked = top.select(
         F.row_number().over(Window.orderBy(*order)).cast("long").alias("rnk"),
         "o_custkey",
         "cents",
         (F.sum("cents").over(w_run).cast("double")
-         / F.sum("cents").over(w_all)).alias("rev_share"),
+         / F.lit(tot_cents)).alias("rev_share"),
         (F.row_number().over(Window.orderBy(*order)).cast("double")
-         / F.count("*").over(w_all)).alias("cust_share"),
+         / F.lit(n_cust)).alias("cust_share"),
     )
     abc = (
         F.when(F.col("rev_share") <= 0.5, "A")
         .when(F.col("rev_share") <= 0.8, "B")
         .otherwise("C")
     )
-    return ranked.filter(F.col("rnk") <= 200).select(
+    return ranked.select(
         "rnk",
         "o_custkey",
         "cents",
@@ -3473,19 +3480,21 @@ def agg_gini_concentration(spark, sf_dir):
     over exact integer cents and integer ranks — Σi·xᵢ is an
     order-free integer sum, so the coefficient is engine- and
     partitioning-exact; doubles enter only in the final expression.
-    One global sort of the CUSTOMER-grain aggregate (not the facts),
-    then a single map-combinable reduction.
-    """
-    from pyspark.sql import Window
 
+    The global ranks come from ``E.with_global_rank`` (range-
+    repartition → per-slice Arrow rank → driver-side slice offsets),
+    NOT an unpartitioned ``row_number`` window — the customer grain is
+    data-sized (billions of rows at 100 TB) and must never funnel
+    through one task.  The ranked table then feeds a single
+    map-combinable reduction.
+    """
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(_cents("o_totalprice")).alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = per_cust.select(
-        "cents", F.row_number().over(w).cast("long").alias("i")
-    )
+    ranked = E.with_global_rank(
+        per_cust, ["cents", "o_custkey"], rank_col="i"
+    ).select("cents", "i")
     return ranked.agg(
         F.count("*").cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("total_cents"),
@@ -5460,18 +5469,17 @@ def agg_power_law_fit(spark, sf_dir):
     text_perplexity_proxy).  Σx² of micro-lns stays well inside
     BIGINT at any corpus size that fits a rank (ln ≤ 40 ⇒ x ≤ 4e7 ⇒
     x² ≤ 1.6e15 per term).
-    """
-    from pyspark.sql import Window
 
+    Ranks come from ``E.with_global_rank`` (range-repartition +
+    per-slice offsets), not an unpartitioned window — the user grain
+    is data-sized and must never sort through one task.
+    """
     cnt = _t(spark, sf_dir, "events").groupBy("user_id").agg(
         F.count("*").alias("n")
     )
-    ranked = cnt.select(
-        "n",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n"), F.asc("user_id")))
-        .alias("rnk"),
-    )
+    ranked = E.with_global_rank(
+        cnt, [F.desc("n"), F.asc("user_id")], rank_col="rnk"
+    ).select("n", "rnk")
     pts = ranked.select(
         F.floor(F.log("rnk") * 1e6).cast("long").alias("x"),
         F.floor(F.log("n") * 1e6).cast("long").alias("y"),

@@ -262,3 +262,113 @@ def test_curation_ops_linear_on_book_scale_doc(spark, tmp_path_factory):
         QUERIES[qid](spark, sf).count()
         took = time.time() - t0
         assert took < 90, f"{qid} took {took:.0f}s on a 100k-token doc"
+
+
+def _write_embs(spark, tmp_path_factory, name, vecs):
+    out = str(tmp_path_factory.mktemp(name))
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def test_sem_dedup_trained_agrees_with_first16_on_planted_dups(
+    spark, tmp_path_factory
+):
+    """Planted truth: two duplicate groups (exact copies of an axis
+    vector, scaled — cosine 1.0) and one far-from-everything diagonal
+    vector (cosine 1/sqrt(8) ~ 0.354 < tau to every axis).  BOTH the
+    first-16-codebook variant and the k-means-trained variant must
+    drop exactly the non-minimal members of each duplicate group and
+    keep everything else — the trained codebook changes the buckets,
+    never the verdict, on a corpus whose dups are unambiguous."""
+    dim = 8
+    vecs = []
+    for i in range(dim):  # ids 0-7: one-hot axes (also the kmeans init)
+        v = [0.0] * dim
+        v[i] = 1.0
+        vecs.append(v)
+    for _ in range(2):  # ids 8,9: scaled copies of axis 0
+        v = [0.0] * dim
+        v[0] = 0.9
+        vecs.append(v)
+    for _ in range(2):  # ids 10,11: scaled copies of axis 3
+        v = [0.0] * dim
+        v[3] = 1.1
+        vecs.append(v)
+    vecs.append([0.5] * dim)  # id 12: diagonal, near nothing
+    sf = _write_embs(spark, tmp_path_factory, "semtrained_sf", vecs)
+
+    want_dropped = {8, 9, 10, 11}
+    for qid in ("sem_dedup", "sem_dedup_trained"):
+        rows = QUERIES[qid](spark, sf).collect()
+        assert len(rows) == len(vecs), qid
+        dropped = {r["vec_id"] for r in rows if not r["is_kept"]}
+        assert dropped == want_dropped, (qid, dropped)
+
+
+def test_winnow_match_planted_recall(spark, tmp_path_factory):
+    """Pair-level MOSS guarantee: docs sharing a run of >= w + k - 1
+    = 6 tokens must surface as a pair (n_shared >= 1); a 12-token
+    shared run has 7 all-inside windows whose identical content picks
+    identical mins, and one hash can be the min of at most w = 4
+    consecutive windows, so >= ceil(7/4) = 2 distinct shared hashes —
+    an is_match verdict.  Disjoint-vocab docs must pair with nobody."""
+    m = " ".join(f"m{i}" for i in range(12))
+    s = " ".join(f"s{i}" for i in range(6))  # exactly guarantee length
+    a = " ".join(f"a{i}" for i in range(10))
+    b = " ".join(f"b{i}" for i in range(10))
+    c = " ".join(f"c{i}" for i in range(10))
+    d = " ".join(f"d{i}" for i in range(10))
+    e = " ".join(f"e{i}" for i in range(20))
+    sf = _write_docs(
+        spark,
+        tmp_path_factory,
+        "winnow_match_sf",
+        [f"{a} {m}", f"{m} {b}", f"{c} {s}", f"{s} {d}", e],
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in QUERIES["dedup_winnow_match"](spark, sf).collect()
+    }
+    assert (0, 1) in rows and rows[(0, 1)]["is_match"]
+    assert rows[(0, 1)]["n_shared"] >= 2
+    assert (2, 3) in rows and rows[(2, 3)]["n_shared"] >= 1
+    assert 0.0 < rows[(0, 1)]["fp_jaccard"] <= 1.0
+    for pair in rows:
+        assert 4 not in pair, f"disjoint doc paired: {pair}"
+        assert pair not in {(0, 2), (0, 3), (1, 2), (1, 3)}, pair
+
+
+def test_bpe_encode_roundtrip_and_greedy_runs(spark, tmp_path_factory):
+    """Decode invariant: merged units join with ' ', so concatenating
+    each doc's units in pos order must restore the original regex
+    token stream exactly — merges reshape boundaries, never content.
+    Run parity: with top pair (a, a), a run 'a a a a a' merges
+    greedy-leftmost into ('a a', 'a a', 'a') before later rounds."""
+    import re
+
+    from getdbt_spark import pipeline as P
+
+    texts = [
+        "a a a a a b c",
+        "a a b c a a",
+        "x y z",
+        "q",
+    ]
+    sf = _write_docs(spark, tmp_path_factory, "bpe_sf", texts)
+    rows = QUERIES["bpe_encode"](spark, sf).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["unit"]))
+    for i, t in enumerate(texts):
+        toks = re.findall(P.BPE_TOKEN_RE, t.lower())
+        units = [u for _, u in sorted(by_doc[i])]
+        assert " ".join(units) == " ".join(toks), i
+        assert [p for p, _ in sorted(by_doc[i])] == list(range(len(units)))
+    # round 1 merges (a, a): doc 0's five-a run becomes aa|aa|a
+    units0 = [u for _, u in sorted(by_doc[0])]
+    assert units0[0].startswith("a a"), units0
+    n_raw = sum(len(re.findall(P.BPE_TOKEN_RE, t.lower())) for t in texts)
+    assert len(rows) < n_raw  # merges actually compressed the corpus

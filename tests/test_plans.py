@@ -348,3 +348,75 @@ class TestPlanLintApi:
         agg = o.groupBy("o_orderstatus").count()
         assert plan_lint(agg, max_exchanges=0) != []
         assert plan_lint(agg, max_exchanges=5) == []
+
+
+class TestGlobalWindowGuard:
+    """No unpartitioned window over a non-catalog-sized input — the r8
+    ``bpe_pair_stats`` class (a data-sized table sorted through ONE
+    task) pinned registry-wide.  The only legal shapes are the two
+    bounded-by-construction classes documented on
+    ``plans.GLOBAL_WINDOW_ALLOW``; data-sized global ranks must use
+    ``functions.with_global_rank``."""
+
+    def test_detector_classifies_all_window_spec_shapes(self, spark):
+        from pyspark.sql import Window
+
+        from getdbt_spark.plans import _formatted, unpartitioned_windows
+
+        df = spark.range(100).select(
+            (F.col("id") % 7).alias("k"), F.col("id")
+        )
+        cases = [
+            # (window column, expected unpartitioned count)
+            (F.row_number().over(Window.partitionBy("k").orderBy("id")), 0),
+            (F.min("id").over(Window.partitionBy("k")), 0),
+            (F.row_number().over(Window.orderBy("id")), 1),
+            (F.row_number().over(Window.orderBy(F.desc("id"))), 1),
+            (F.min("id").over(Window.partitionBy()), 1),
+        ]
+        for col, want in cases:
+            got = unpartitioned_windows(_formatted(df.withColumn("x", col)))
+            assert got == want, f"{col} -> {got}, want {want}"
+
+    @pytest.mark.slow
+    def test_no_unpartitioned_window_outside_allow_list(self, spark):
+        from getdbt_spark.plans import (
+            GLOBAL_WINDOW_ALLOW,
+            _formatted,
+            unpartitioned_windows,
+        )
+
+        load_all()
+        bad = {}
+        for qid, fn in QUERIES.items():
+            n = unpartitioned_windows(_formatted(fn(spark, SF)))
+            if n > GLOBAL_WINDOW_ALLOW.get(qid, 0):
+                bad[qid] = n
+            spark.catalog.clearCache()
+        assert not bad, (
+            f"unpartitioned window(s) over unbounded input: {bad} — "
+            "bound the input (orderBy().limit) or use with_global_rank"
+        )
+
+    def test_with_global_rank_matches_row_number(self, spark):
+        """The zipWithIndex-shaped rank equals an unpartitioned
+        row_number over the same total order, on a multi-slice input
+        with boundary-adjacent duplicate sort prefixes."""
+        from pyspark.sql import Window
+
+        from getdbt_spark.functions import with_global_rank
+        from getdbt_spark.plans import _formatted, unpartitioned_windows
+
+        df = spark.range(1000).select(
+            (F.col("id") % 13).alias("k"), F.col("id")
+        )
+        got = with_global_rank(df, ["k", "id"], rank_col="r", num_slices=7)
+        want = df.withColumn(
+            "r", F.row_number().over(Window.orderBy("k", "id")).cast("long")
+        )
+        assert unpartitioned_windows(_formatted(got)) == 0
+        assert sorted(got.collect()) == sorted(want.collect())
+        # empty input survives the driver-side offset path
+        assert with_global_rank(
+            df.filter(F.col("id") < 0), ["id"], rank_col="r"
+        ).count() == 0
