@@ -272,6 +272,29 @@ def _shingles_and_sig(k: int = 3, max_token_bytes: int = 24, with_sig: bool = Tr
     return _kernel
 
 
+def _plan_with_real_stats(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a persisted kernel-stage frame so Catalyst
+    plans every downstream join against the cache's TRUE size.
+
+    Catalyst estimates an Arrow/pandas kernel's output size from its
+    INPUT columns' pruned widths — it cannot see the kernel's
+    expansion factor (a shingle+signature struct is ~30× the source
+    text column; measured at sf10: estimate 10.7 MiB, true cached
+    size hundreds of MiB).  With the under-estimate, the planner
+    BROADCASTS data-sized join sides: harmless at sf0.1, but at the
+    sf10 decade it planned a 32M-row band table into the 8 GB driver
+    and died in BroadcastExchange (the r9 scale find — AQE cannot
+    demote a statically planned broadcast).  Counting the persisted
+    frame first swaps the estimate for the measured cached size, so
+    broadcast-vs-shuffle decisions stay correct at EVERY scale: small
+    corpora keep their broadcast fast path, large ones shuffle.  The
+    extra action costs one traversal the first consumer was about to
+    pay anyway — the cache fills now instead of then.
+    """
+    df.count()
+    return df
+
+
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Near-duplicate pairs (a_id < b_id, jaccard >= threshold).
 
@@ -310,6 +333,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sh = _plan_with_real_stats(sh)
     sig = sh.select("doc_id", "sig")
     # Band explode as ONE small HOF expression instead of an unrolled
     # 64-struct array literal: same rows, but a plan node of constant
@@ -414,6 +438,7 @@ def ngram_jaccard_pairs(
         .select("doc_id", F.col("ss.shingles").alias("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sh = _plan_with_real_stats(sh)
     # Gram set size rides along from the array (free — no count
     # aggregation or window needed for |A|).
     grams = sh.select(
@@ -438,6 +463,7 @@ def ngram_jaccard_pairs(
         .select("doc_id", "n", "pos", "g")
         .persist(StorageLevel.MEMORY_AND_DISK)  # both sides of the self-join
     )
+    pre = _plan_with_real_stats(pre)
     # Required overlap for J >= t: O(A,B) >= ceil(t/(1+t) * (|A|+|B|)).
     # Positional filter (PPJoin): at a shared prefix gram sitting at
     # sorted positions (pa, pb), the remaining overlap is bounded by
@@ -1411,6 +1437,9 @@ def minhash_lsh_pairs_incremental(
     n_cores = new_docs.sparkSession.sparkContext.defaultParallelism
 
     def _sh(docs):
+        return _plan_with_real_stats(_sh_raw(docs))
+
+    def _sh_raw(docs):
         return (
             docs.select("doc_id", "text")
             .repartition(n_cores)

@@ -29,6 +29,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE upgrade sort-merge joins to broadcast from MEASURED
+    # runtime sizes well past the static 10 MB threshold.  Static
+    # estimates lie below Arrow kernels (pipeline._plan_with_real_
+    # stats documents the sf10 broadcast-OOM this caused), so the
+    # kernel paths plan conservative shuffle joins and rely on THIS
+    # conf to win back the broadcast fast path when the materialized
+    # side is genuinely small.  64 MB against an 8 GB driver; a
+    # runtime-measured size cannot OOM the way a 50×-off estimate
+    # can.
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
 }
 
 
