@@ -3710,6 +3710,11 @@ def dedup_simhash_radius(spark, sf_dir):
         )
         .persist()
     )
+    # Plan the block self-join below against the MEASURED cached size:
+    # static estimates below Arrow kernels are ~50× low and would
+    # statically broadcast a data-sized fingerprint table at scale
+    # (the r9 sf10 broadcast-OOM class, pipeline._plan_with_real_stats).
+    sh = P._plan_with_real_stats(sh)
     blocks = sh.select(
         "doc_id",
         "simhash",
