@@ -420,3 +420,44 @@ class TestGlobalWindowGuard:
         assert with_global_rank(
             df.filter(F.col("id") < 0), ["id"], rank_col="r"
         ).count() == 0
+
+
+def test_kernel_stage_stats_correct_after_materialization(spark):
+    """Pins the r9 sf10 broadcast-OOM mechanism: Catalyst sizes an
+    Arrow-kernel output from its INPUT columns (blind to the kernel's
+    expansion factor), so a data-sized frame can look broadcastable;
+    after ``_plan_with_real_stats`` the estimate must be the measured
+    cached size — orders of magnitude larger for an expanding kernel —
+    which is what flips downstream joins from broadcast to shuffle at
+    scale."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from getdbt_spark.pipeline import _plan_with_real_stats
+
+    df = spark.range(20_000).select(F.col("id"), F.lit("xy").alias("t"))
+
+    def expand(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": pdf["id"], "payload": ["z" * 2000] * len(pdf)}
+            )
+
+    big = df.mapInPandas(expand, "id long, payload string").persist()
+
+    def est():
+        # a FRESH derived frame each time — downstream consumers (the
+        # joins that matter) re-plan and look the cache up anew; the
+        # original DF object's own queryExecution is frozen
+        d = big.filter(F.lit(True))
+        return int(
+            d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+
+    before = est()
+    _plan_with_real_stats(big)
+    after = est()
+    big.unpersist()
+    # true size ~40 MB; the input-derived estimate is a tiny fraction
+    assert after > 20 * before, (before, after)
+    assert after > 20_000 * 1000
