@@ -1414,3 +1414,71 @@ def pack_bpe_budget(spark, sf_dir):
         start.alias("start_offset"),
         F.floor(start / F.lit(2048.0)).cast("long").alias("bin_id"),
     )
+
+
+@query(
+    "dedup_winnow_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_WINNOW_FPS_SQL},
+    rare AS (
+      SELECT fp_hash FROM fps GROUP BY fp_hash
+      HAVING count(*) <= {WINNOW_MAXDF}
+    ), f2 AS (
+      SELECT fps.doc_id, fps.fp_hash FROM fps JOIN rare USING (fp_hash)
+    ), mpairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM f2 a JOIN f2 b
+        ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {WINNOW_MATCH_MIN}
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM mpairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM mpairs
+    ), walk(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
+    ), comp AS (
+      SELECT id, min(comp) AS canonical FROM walk GROUP BY id
+    )
+    SELECT d.doc_id,
+           coalesce(c.canonical, d.doc_id) AS canonical_id,
+           d.doc_id = coalesce(c.canonical, d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def dedup_winnow_cluster(spark, sf_dir):
+    """Winnowing near-dup CLUSTERS with a canonical survivor — the
+    same cluster/canonical/keep contract as ``dedup_cluster_canonical``
+    but over the winnowing match graph instead of exact trigram
+    Jaccard: edges are document pairs sharing >= WINNOW_MATCH_MIN
+    culled fingerprint hashes (``dedup_winnow_match``'s is_match
+    verdict), components labeled by the alternating large-star/
+    small-star rounds (pipeline.connected_components), minimum doc_id
+    elected canonical, exactly one survivor per cluster.
+
+    Why both graphs exist: the winnow graph is ~10× cheaper to build
+    (fingerprints are a 2/(w+1) sample of grams, no per-pair exact
+    Jaccard verify) and carries the w+k−1 substring guarantee, at the
+    cost of hash-sample recall for scattered small overlaps — the
+    fast first-pass cluster dedup a 100 TB pipeline runs before any
+    exact pass.  The oracle replays the match graph and a
+    recursive-CTE transitive closure — exact at oracle scale, and
+    precisely the plan shape Spark must NOT use.
+    """
+    pairs = (
+        dedup_winnow_match(spark, sf_dir)
+        .filter(F.col("is_match"))
+        .select(F.col("doc_a").alias("a_id"), F.col("doc_b").alias("b_id"))
+    )
+    comp = P.connected_components(pairs)
+    d = _docs(spark, sf_dir).select("doc_id")
+    return (
+        d.join(comp, d.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", "doc_id").alias("canonical_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("canonical_id"))
+    )

@@ -372,3 +372,30 @@ def test_bpe_encode_roundtrip_and_greedy_runs(spark, tmp_path_factory):
     assert units0[0].startswith("a a"), units0
     n_raw = sum(len(re.findall(P.BPE_TOKEN_RE, t.lower())) for t in texts)
     assert len(rows) < n_raw  # merges actually compressed the corpus
+
+
+def test_winnow_cluster_transitive_canonical(spark, tmp_path_factory):
+    """Transitivity: doc 0 pairs with 1 (shared run M), 1 pairs with 2
+    (shared run N), 0 and 2 share nothing — all three must land in one
+    cluster with canonical 0 and exactly one survivor; the disjoint
+    doc 3 stays its own canonical."""
+    m = " ".join(f"m{i}" for i in range(12))
+    n = " ".join(f"n{i}" for i in range(12))
+    a = " ".join(f"a{i}" for i in range(10))
+    b = " ".join(f"b{i}" for i in range(10))
+    e = " ".join(f"e{i}" for i in range(20))
+    sf = _write_docs(
+        spark,
+        tmp_path_factory,
+        "winnow_cc_sf",
+        [f"{a} {m}", f"{m} {n}", f"{n} {b}", e],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_winnow_cluster"](spark, sf).collect()
+    }
+    assert len(rows) == 4
+    for doc in (0, 1, 2):
+        assert rows[doc]["canonical_id"] == 0, rows
+    assert rows[0]["keep"] and not rows[1]["keep"] and not rows[2]["keep"]
+    assert rows[3]["canonical_id"] == 3 and rows[3]["keep"]
