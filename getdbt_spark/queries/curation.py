@@ -1221,6 +1221,87 @@ def _bpe_round_sql(n: int) -> str:
     )"""
 
 
+
+
+def _bpe_train_apply(spark, sf_dir):
+    """Shared BPE training+apply chain: iterate BPE_MERGES rounds of
+    (recount adjacent pairs -> collect the argmax rule as a 1-row
+    scalar anchor -> greedy-leftmost merge via run-parity windows),
+    localCheckpoint per round.  Returns the final (doc_id, pos, tok)
+    rows AND the learned rule list [(rank, t1, t2, n_occurrences)] —
+    ``bpe_encode`` formats the rows, ``bpe_merge_table`` the rules, so
+    the two registered views of the trainer can never drift."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    bp = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(P.BPE_TOKEN_RE), F.lit(0)
+    )
+    rows = d.select("doc_id", F.posexplode(bp).alias("pos", "tok"))
+
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rules = []
+    for rnd in range(1, BPE_MERGES + 1):
+        top = (
+            rows.select("doc_id", "pos", "tok")
+            .withColumn("nxt", F.lead("tok").over(wo))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy("tok", "nxt")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "tok", "nxt")
+            .limit(1)
+            .collect()
+        )
+        if not top:  # no adjacent pairs anywhere: remaining rounds no-op
+            break
+        x, y = top[0]["tok"], top[0]["nxt"]
+        rules.append((rnd, x, y, top[0]["c"]))
+        l1 = rows.select(
+            "doc_id",
+            "pos",
+            "tok",
+            F.row_number().over(wo).alias("rn"),
+            F.lead("tok").over(wo).alias("nxt"),
+        )
+        l2 = l1.withColumn(
+            "mt",
+            F.coalesce(
+                (F.col("tok") == F.lit(x)) & (F.col("nxt") == F.lit(y)),
+                F.lit(False),
+            ),
+        )
+        l3 = l2.withColumn(
+            "run_start",
+            F.coalesce(
+                F.max(F.when(~F.col("mt"), F.col("rn"))).over(wrun) + 1,
+                F.lit(1),
+            ),
+        )
+        l4 = l3.withColumn(
+            "mstart",
+            F.col("mt") & ((F.col("rn") - F.col("run_start")) % 2 == 0),
+        )
+        l5 = l4.withColumn(
+            "consumed",
+            F.coalesce(F.lag("mstart").over(wo), F.lit(False)),
+        )
+        rows = (
+            l5.filter(~F.col("consumed"))
+            .select(
+                "doc_id",
+                "pos",
+                F.when(
+                    F.col("mstart"), F.concat_ws(" ", "tok", "nxt")
+                )
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .localCheckpoint()
+        )
+    return rows, rules
+
+
 @query(
     "bpe_encode",
     oracle=f"""
@@ -1274,70 +1355,8 @@ def bpe_encode(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir)
-    bp = F.regexp_extract_all(
-        F.lower(F.col("text")), F.lit(P.BPE_TOKEN_RE), F.lit(0)
-    )
-    rows = d.select("doc_id", F.posexplode(bp).alias("pos", "tok"))
-
+    rows, _rules = _bpe_train_apply(spark, sf_dir)
     wo = Window.partitionBy("doc_id").orderBy("pos")
-    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    for _ in range(BPE_MERGES):
-        top = (
-            rows.select("doc_id", "pos", "tok")
-            .withColumn("nxt", F.lead("tok").over(wo))
-            .filter(F.col("nxt").isNotNull())
-            .groupBy("tok", "nxt")
-            .agg(F.count("*").alias("c"))
-            .orderBy(F.desc("c"), "tok", "nxt")
-            .limit(1)
-            .collect()
-        )
-        if not top:  # no adjacent pairs anywhere: remaining rounds no-op
-            break
-        x, y = top[0]["tok"], top[0]["nxt"]
-        l1 = rows.select(
-            "doc_id",
-            "pos",
-            "tok",
-            F.row_number().over(wo).alias("rn"),
-            F.lead("tok").over(wo).alias("nxt"),
-        )
-        l2 = l1.withColumn(
-            "mt",
-            F.coalesce(
-                (F.col("tok") == F.lit(x)) & (F.col("nxt") == F.lit(y)),
-                F.lit(False),
-            ),
-        )
-        l3 = l2.withColumn(
-            "run_start",
-            F.coalesce(
-                F.max(F.when(~F.col("mt"), F.col("rn"))).over(wrun) + 1,
-                F.lit(1),
-            ),
-        )
-        l4 = l3.withColumn(
-            "mstart",
-            F.col("mt") & ((F.col("rn") - F.col("run_start")) % 2 == 0),
-        )
-        l5 = l4.withColumn(
-            "consumed",
-            F.coalesce(F.lag("mstart").over(wo), F.lit(False)),
-        )
-        rows = (
-            l5.filter(~F.col("consumed"))
-            .select(
-                "doc_id",
-                "pos",
-                F.when(
-                    F.col("mstart"), F.concat_ws(" ", "tok", "nxt")
-                )
-                .otherwise(F.col("tok"))
-                .alias("tok"),
-            )
-            .localCheckpoint()
-        )
     return rows.select(
         "doc_id",
         (F.row_number().over(wo) - 1).cast("long").alias("pos"),
@@ -1481,4 +1500,48 @@ def dedup_winnow_cluster(spark, sf_dir):
             F.coalesce("comp", "doc_id").alias("canonical_id"),
         )
         .withColumn("keep", F.col("doc_id") == F.col("canonical_id"))
+    )
+
+
+@query(
+    "bpe_merge_table",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{P.BPE_TOKEN_RE}') AS bp
+      FROM documents
+    ), r0 AS (
+      SELECT doc_id, s.i AS pos, s.t AS tok FROM (
+        SELECT doc_id,
+               unnest([{{'i': i, 't': bp[i]}}
+                       for i in range(1, len(bp) + 1)]) AS s
+        FROM t)
+    ),{",".join(_bpe_round_sql(n) for n in range(1, BPE_MERGES + 1))}
+    {" UNION ALL ".join(
+        f"SELECT {n}::BIGINT AS merge_rank, t1, t2, c::BIGINT"
+        f" AS n_occurrences FROM top{n}"
+        for n in range(1, BPE_MERGES + 1)
+    )}
+    """,
+)
+def bpe_merge_table(spark, sf_dir):
+    """The learned BPE merge list as a first-class table —
+    (merge_rank, t1, t2, n_occurrences): the tokenizer ARTIFACT a
+    training pipeline ships alongside the encoded corpus (apply the
+    rules in rank order anywhere and you reproduce ``bpe_encode``'s
+    units exactly; the shared ``_bpe_train_apply`` chain guarantees
+    the two views never drift).
+
+    n_occurrences is the pair's count in the CORPUS STATE its round
+    saw (post-previous-merges) — the monotone non-increasing head of
+    the merge schedule, a training-health signal (a flat head means
+    the corpus has no dominant collocations left to merge).
+
+    Output is the k collected scalar anchors re-emitted as a k-row
+    frame — catalog-sized by construction; the oracle replays the
+    trainer's unrolled rounds and unions the per-round argmax rows.
+    """
+    _rows, rules = _bpe_train_apply(spark, sf_dir)
+    return spark.createDataFrame(
+        rules, "merge_rank long, t1 string, t2 string, n_occurrences long"
     )
