@@ -3465,8 +3465,11 @@ def win_pareto_share(spark, sf_dir):
     )
     SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
            CAST(any_value(tot) AS BIGINT) AS total_cents,
+           -- n·tot in DOUBLE: the BIGINT product overflows at the
+           -- sf10 decade (r9 overflow class); sum(i*cents) is already
+           -- HUGEINT-exact in DuckDB, double at the division only
            round(2.0 * sum(i * cents)::DOUBLE
-                   / (any_value(n) * any_value(tot))
+                   / (CAST(any_value(n) AS DOUBLE) * any_value(tot))
                  - (any_value(n) + 1.0) / any_value(n), 6) AS gini
     FROM ranked
     """,
@@ -3495,13 +3498,20 @@ def agg_gini_concentration(spark, sf_dir):
     ranked = E.with_global_rank(
         per_cust, ["cents", "o_custkey"], rank_col="i"
     ).select("cents", "i")
+    # Σi·xᵢ accumulates as DECIMAL(38,0) and n·Σx multiplies in double:
+    # per-row i·cents fits BIGINT, but at the sf10 decade the SUM
+    # (~2e19) and the n·total product (~1e20) both overflow long —
+    # the same r9 overflow class as agg_power_law_fit; DuckDB's
+    # HUGEINT sums hid it on the oracle side.
     return ranked.agg(
         F.count("*").cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("total_cents"),
         E.round_to(
             2.0
-            * F.sum(F.col("i") * F.col("cents")).cast("double")
-            / (F.count("*") * F.sum("cents"))
+            * F.sum(
+                (F.col("i") * F.col("cents")).cast("decimal(38,0)")
+            ).cast("double")
+            / (F.count("*").cast("double") * F.sum("cents").cast("double"))
             - (F.count("*") + 1.0) / F.count("*"),
             6,
         ).alias("gini"),
@@ -5437,20 +5447,28 @@ def agg_interarrival_stats(spark, sf_dir):
              CAST(floor(ln(n) * 1000000) AS BIGINT) AS y
       FROM ranked
     ), s AS (
+      -- sums stay HUGEINT (DuckDB's native exact promotion) — the
+      -- BIGINT casts overflowed at the measured sf1 decade exactly
+      -- like Spark's long sums; the Spark side now accumulates
+      -- DECIMAL(38,0), the same exact-integers-then-one-double-cast
+      -- arithmetic as below
       SELECT count(*) AS k,
-             CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(x * y) AS BIGINT) AS sxy
+             sum(x) AS sx,
+             sum(y) AS sy,
+             sum(x * x) AS sxx,
+             sum(x * y) AS sxy
       FROM pts
     )
     SELECT CAST(k AS BIGINT) AS n_points,
-           round((k * sxy - sx * sy)
-                 / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+           round(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
                  4) AS zipf_slope,
-           round((sy - sx * ((k * sxy - sx * sy)
-                  / (CAST(k AS DOUBLE) * sxx
-                     - CAST(sx AS DOUBLE) * sx))) / k / 1000000.0,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * (CAST(k * sxy - sx * sy AS DOUBLE)
+                    / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+                 / k / 1000000.0,
                  4) AS intercept_ln
     FROM s
     """,
@@ -5464,11 +5482,15 @@ def agg_power_law_fit(spark, sf_dir):
 
     Exactness discipline: each point's ln() is quantized to integer
     micro-units FIRST, so every OLS sum (Σx, Σy, Σx², Σxy) is an
-    order-free BIGINT — the final slope division is one identical
-    IEEE chain on both engines (same floor(·ln·) boundary caveat as
-    text_perplexity_proxy).  Σx² of micro-lns stays well inside
-    BIGINT at any corpus size that fits a rank (ln ≤ 40 ⇒ x ≤ 4e7 ⇒
-    x² ≤ 1.6e15 per term).
+    order-free exact integer — the final slope division is one
+    identical IEEE chain on both engines (same floor(·ln·) boundary
+    caveat as text_perplexity_proxy).  Per-row products stay inside
+    BIGINT (x ≤ 4e7 ⇒ x² ≤ 1.6e15), but the SUMS do not at scale —
+    the sf1 decade measured Σx·y ≈ 1e18 and k·Σxy ≈ 5e22, a BIGINT
+    overflow (the r9 find; DuckDB silently promotes its sums to
+    HUGEINT, so only Spark died).  The moments therefore accumulate
+    as DECIMAL(38,0) — exact to 1e38, order-free — and drop to double
+    only in the final slope expression, identically on both engines.
 
     Ranks come from ``E.with_global_rank`` (range-repartition +
     per-slice offsets), not an unpartitioned window — the user grain
@@ -5484,26 +5506,35 @@ def agg_power_law_fit(spark, sf_dir):
         F.floor(F.log("rnk") * 1e6).cast("long").alias("x"),
         F.floor(F.log("n") * 1e6).cast("long").alias("y"),
     )
+    dec = "decimal(38,0)"
     s = pts.agg(
         F.count("*").alias("k"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
     )
     kd = F.col("k").cast("double")
     # try_divide: one distinct rank (single-user corpus) zeroes the OLS
     # denominator; DuckDB's double division returns NULL there, ANSI
-    # Spark throws — NULL slope/intercept is the cross-engine answer
+    # Spark throws — NULL slope/intercept is the cross-engine answer.
+    # Numerator exact in decimal, one cast to double at the division —
+    # DuckDB's HUGEINT numerator makes the identical single cast.
     slope = F.try_divide(
-        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"),
-        kd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"),
+        (
+            F.col("k").cast(dec) * F.col("sxy")
+            - F.col("sx") * F.col("sy")
+        ).cast("double"),
+        kd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double"),
     )
     return s.select(
         F.col("k").cast("long").alias("n_points"),
         E.round_to(slope, 4).alias("zipf_slope"),
         E.round_to(
-            (F.col("sy") - F.col("sx") * slope) / F.col("k") / 1e6, 4
+            (F.col("sy").cast("double") - F.col("sx").cast("double") * slope)
+            / F.col("k") / 1e6,
+            4,
         ).alias("intercept_ln"),
     )
 
