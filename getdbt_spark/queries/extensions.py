@@ -5208,6 +5208,12 @@ def win_rolling_zscore(spark, sf_dir):
     SFs constant weeks actually occur: the sf0.001 cross-scale sweep
     caught this as an ANSI DIVIDE_BY_ZERO).  One exchange on the
     stream key.
+
+    Integer-moment domain bound (the r9 overflow-class audit): all
+    moments here fit BIGINT while the DAILY PER-TYPE count stays
+    below ~3×10⁹ (n² is the first to go); measured fine at sf10.
+    Beyond that, apply agg_power_law_fit's DECIMAL(38,0) moment
+    pattern to ``n·n``, ``sxx·k`` and ``sx·sx`` on both engines.
     """
     from pyspark.sql import Window
 

@@ -3233,14 +3233,17 @@ def multimodal_scene_cuts(spark, sf_dir):
       SELECT gs.i - 1 AS dim_idx, qv[gs.i] AS v
       FROM q, generate_series(1, 64) AS gs(i)
     ), s AS (
+      -- var_num stays HUGEINT here (n·Σv² ≈ 1e20 at the sf10 decade —
+      -- the r9 BIGINT-overflow class) and is emitted as DOUBLE: one
+      -- deterministic cast of the same exact integer on both engines;
+      -- the rank is taken on the EXACT value before the cast
       SELECT dim_idx,
              count(*) AS n,
              CAST(sum(v) AS BIGINT) AS sum_q,
-             CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT)
-               AS var_num
+             count(*) * sum(v * v) - sum(v) * sum(v) AS var_num
       FROM cell GROUP BY dim_idx
     )
-    SELECT dim_idx, n, sum_q, var_num,
+    SELECT dim_idx, n, sum_q, CAST(var_num AS DOUBLE) AS var_num,
            CAST(row_number() OVER (ORDER BY var_num DESC, dim_idx)
                 AS BIGINT) AS var_rank,
            CAST(row_number() OVER (ORDER BY var_num DESC, dim_idx) <= 16
@@ -3272,12 +3275,18 @@ def emb_dim_variance_prune(spark, sf_dir):
             )
         ).alias("dim_idx", "v")
     )
+    # var_num accumulates in DECIMAL(38,0): per-row v² fits BIGINT but
+    # n·Σv² is ~1e20 at the sf10 decade (the r9 overflow class — the
+    # DuckDB oracle's HUGEINT hid it).  Rank on the EXACT decimal,
+    # emit it as one deterministic double cast, same as the oracle.
+    dec = "decimal(38,0)"
     s = q.groupBy("dim_idx").agg(
         F.count("*").alias("n"),
         F.sum("v").alias("sum_q"),
         (
-            F.count("*") * F.sum(F.col("v") * F.col("v"))
-            - F.sum("v") * F.sum("v")
+            F.count("*").cast(dec)
+            * F.sum((F.col("v") * F.col("v")).cast(dec))
+            - F.sum(F.col("v").cast(dec)) * F.sum(F.col("v").cast(dec))
         ).alias("var_num"),
     )
     w = Window.orderBy(F.desc("var_num"), F.asc("dim_idx"))
@@ -3286,7 +3295,7 @@ def emb_dim_variance_prune(spark, sf_dir):
         F.col("dim_idx").cast("long").alias("dim_idx"),
         "n",
         F.col("sum_q").cast("long").alias("sum_q"),
-        F.col("var_num").cast("long").alias("var_num"),
+        F.col("var_num").cast("double").alias("var_num"),
         rnk.cast("long").alias("var_rank"),
         (rnk <= 16).cast("int").alias("keep"),
     )
