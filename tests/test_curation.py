@@ -399,3 +399,37 @@ def test_winnow_cluster_transitive_canonical(spark, tmp_path_factory):
         assert rows[doc]["canonical_id"] == 0, rows
     assert rows[0]["keep"] and not rows[1]["keep"] and not rows[2]["keep"]
     assert rows[3]["canonical_id"] == 3 and rows[3]["keep"]
+
+
+def test_embedding_cluster_ivf_matches_planted_truth(spark, tmp_path_factory):
+    """The IVF-bucketed cluster dedup must agree with the planted
+    truth on the sem-dedup corpus: each duplicate group collapses to
+    its minimum vec_id, the far-from-everything diagonal vector
+    survives alone."""
+    dim = 8
+    vecs = []
+    for i in range(dim):
+        v = [0.0] * dim
+        v[i] = 1.0
+        vecs.append(v)
+    for _ in range(2):
+        v = [0.0] * dim
+        v[0] = 0.9
+        vecs.append(v)
+    for _ in range(2):
+        v = [0.0] * dim
+        v[3] = 1.1
+        vecs.append(v)
+    vecs.append([0.5] * dim)
+    sf = _write_embs(spark, tmp_path_factory, "ivfcc_sf", vecs)
+    rows = {
+        r["vec_id"]: r
+        for r in QUERIES["dedup_embedding_cluster_ivf"](spark, sf).collect()
+    }
+    assert len(rows) == len(vecs)
+    assert rows[8]["canonical_id"] == 0 and not rows[8]["keep"]
+    assert rows[9]["canonical_id"] == 0 and not rows[9]["keep"]
+    assert rows[10]["canonical_id"] == 3 and not rows[10]["keep"]
+    assert rows[11]["canonical_id"] == 3 and not rows[11]["keep"]
+    for vid in (0, 1, 2, 3, 4, 5, 6, 7, 12):
+        assert rows[vid]["keep"] and rows[vid]["canonical_id"] == vid
