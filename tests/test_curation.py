@@ -433,3 +433,24 @@ def test_embedding_cluster_ivf_matches_planted_truth(spark, tmp_path_factory):
     assert rows[11]["canonical_id"] == 3 and not rows[11]["keep"]
     for vid in (0, 1, 2, 3, 4, 5, 6, 7, 12):
         assert rows[vid]["keep"] and rows[vid]["canonical_id"] == vid
+
+
+def test_winnow_match_culls_boilerplate_hashes(spark, tmp_path_factory):
+    """MOSS common-code elimination: 70 IDENTICAL boilerplate docs
+    (> WINNOW_MAXDF = 64) select identical fingerprint sets, so every
+    hash has df = 70 and is culled BEFORE pairing — zero pairs among
+    them (2,415 otherwise); the rare 12-token run shared by exactly
+    two docs still matches.  (Docs that merely EMBED boilerplate keep
+    their boundary-window fingerprints and may still pair — that is
+    MOSS's intended near-dup evidence, not a cull failure.)"""
+    boiler = " ".join(f"s{i}" for i in range(12))
+    rare = " ".join(f"m{i}" for i in range(12))
+    texts = [boiler for _ in range(70)]
+    texts += [f"p0 p1 p2 p3 {rare}", f"{rare} q0 q1 q2 q3"]
+    sf = _write_docs(spark, tmp_path_factory, "winnow_cull_sf", texts)
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in QUERIES["dedup_winnow_match"](spark, sf).collect()
+    }
+    assert set(rows) == {(70, 71)}, sorted(rows)[:5]
+    assert rows[(70, 71)]["is_match"]

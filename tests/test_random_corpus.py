@@ -228,6 +228,14 @@ MB_SENSITIVE = [
     "bpe_pair_stats",
     "text_hashed_ngram_features",
     "doc_winnow_fingerprints",
+    # round-9 additions sharing the same md5-of-token / lower() /
+    # regex-tokenization seams (BPE_TOKEN_RE treats every non-ascii
+    # char as a single-char token — both engines must agree)
+    "dedup_winnow_match",
+    "dedup_winnow_cluster",
+    "bpe_encode",
+    "bpe_merge_table",
+    "pack_bpe_budget",
 ]
 
 
