@@ -1669,3 +1669,93 @@ def dedup_embedding_cluster_ivf(spark, sf_dir):
         )
         .withColumn("keep", F.col("vec_id") == F.col("canonical_id"))
     )
+
+
+DSIR_SAMPLE_RATE = 0.5  # global acceptance rate of the resample
+
+
+@query(
+    "dsir_resample",
+    oracle=f"""
+    WITH w1 AS (
+      SELECT doc_id, lang,
+             unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ), wds AS (
+      SELECT doc_id, (lang = 'en') AS is_t,
+             ('0x' || substr(md5(word), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b
+      FROM w1
+    ), freq AS (
+      SELECT b, count(*)::BIGINT AS r,
+             coalesce(count(*) FILTER (is_t), 0)::BIGINT AS t
+      FROM wds GROUP BY b
+    ), tot AS (
+      SELECT count(*)::BIGINT AS rr,
+             coalesce(count(*) FILTER (is_t), 0)::BIGINT AS tt
+      FROM wds
+    ), lam AS (
+      SELECT b,
+             floor((ln((t + 1)::DOUBLE / (tt + {DSIR_BUCKETS}))
+                    - ln((r + 1)::DOUBLE / (rr + {DSIR_BUCKETS})))
+                   * 1000000)::BIGINT AS lam_micro
+      FROM freq, tot
+    ), dw AS (
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             round(sum(lam_micro) / count(*) / 1000000.0, 6)
+               AS dsir_log_weight
+      FROM wds JOIN lam USING (b)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, dsir_log_weight,
+           least(1000000, floor(exp(dsir_log_weight) * 500000.0))::BIGINT
+             AS keep_prob_micro,
+           ('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT % 1000000 AS coin_micro,
+           (('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT % 1000000)
+           < least(1000000, floor(exp(dsir_log_weight) * 500000.0))::BIGINT
+             AS keep
+    FROM dw
+    """,
+)
+def dsir_resample(spark, sf_dir):
+    """DSIR's actual SAMPLING step (Xie et al. 2023 §3): accept each
+    document with probability ∝ min(1, exp(importance) · rate), so
+    the resampled corpus approximates the target distribution.  The
+    coin is a salted hash of the doc_id — deterministic, replayable,
+    partitioning-independent (rerun the job anywhere and the same
+    documents survive), and independent of the feature hash by the
+    ``dsir|`` salt.
+
+    Composes ``dsir_importance_weights`` by call (any fix to the
+    weight estimator propagates); the acceptance test compares two
+    INTEGERS — the micro-quantized acceptance probability
+    ``least(1e6, floor(exp(w)·rate·1e6))`` against the coin
+    ``md5('dsir|'||doc_id) % 1e6`` — so the verdict carries no float
+    boundary beyond the one exp() chain (same accepted 1-ULP libm
+    caveat as every ln() in the family; w is pre-rounded to 6
+    decimals, keeping the exp argument identical on both engines).
+
+    Scale: inherits the weight query's shape (bucket table bounded at
+    DSIR_BUCKETS, broadcast join, map-combinable rollups) plus one
+    map-side projection — no new shuffle.
+    """
+    w = dsir_importance_weights(spark, sf_dir)
+    p = F.least(
+        F.lit(1000000).cast("long"),
+        F.floor(
+            F.exp(F.col("dsir_log_weight")) * F.lit(500000.0)
+        ).cast("long"),
+    )
+    coin = (
+        P.md5_long(F.concat(F.lit("dsir|"), F.col("doc_id").cast("string")))
+        % 1000000
+    )
+    return w.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_log_weight",
+        p.alias("keep_prob_micro"),
+        coin.alias("coin_micro"),
+        (coin < p).alias("keep"),
+    )

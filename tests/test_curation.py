@@ -454,3 +454,27 @@ def test_winnow_match_culls_boilerplate_hashes(spark, tmp_path_factory):
     }
     assert set(rows) == {(70, 71)}, sorted(rows)[:5]
     assert rows[(70, 71)]["is_match"]
+
+
+def test_dsir_resample_is_deterministic_and_rate_sensible(spark, tmp_path_factory):
+    """The keep verdict must be a pure function of (doc_id, weight):
+    two runs agree row-for-row; target-distribution (en) docs must be
+    accepted at a higher rate than the disjoint-vocab non-target docs
+    (the entire point of importance resampling); keep matches the
+    integer coin/threshold comparison exactly."""
+    en = [" ".join(f"t{i % 30}" for i in range(j, j + 40)) for j in range(8)]
+    zh = [" ".join(f"z{i % 30}" for i in range(j, j + 40)) for j in range(8)]
+    sf = _write_docs(
+        spark, tmp_path_factory, "dsir_rs_sf",
+        en + zh, langs=["en"] * 8 + ["zh"] * 8,
+    )
+    r1 = sorted(QUERIES["dsir_resample"](spark, sf).collect())
+    r2 = sorted(QUERIES["dsir_resample"](spark, sf).collect())
+    assert r1 == r2
+    for r in r1:
+        assert 0 <= r["coin_micro"] < 1_000_000
+        assert 0 <= r["keep_prob_micro"] <= 1_000_000
+        assert r["keep"] == (r["coin_micro"] < r["keep_prob_micro"])
+    p_en = sum(r["keep_prob_micro"] for r in r1 if r["doc_id"] < 8)
+    p_zh = sum(r["keep_prob_micro"] for r in r1 if r["doc_id"] >= 8)
+    assert p_en > p_zh
