@@ -236,6 +236,7 @@ MB_SENSITIVE = [
     "bpe_encode",
     "bpe_merge_table",
     "pack_bpe_budget",
+    "dsir_resample",
 ]
 
 
