@@ -404,7 +404,15 @@ def with_global_rank(
     import pandas as pd  # noqa: F401  (mapInPandas contract)
 
     spark = df.sparkSession
-    n = num_slices or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_slices:
+        n = num_slices
+    else:
+        # shuffle.partitions may be non-numeric ("auto") on managed
+        # Spark distributions — fall back to the cluster's parallelism.
+        try:
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (ValueError, TypeError):
+            n = spark.sparkContext.defaultParallelism
     cols = [_col(c) for c in order]
     ranged = (
         df.repartitionByRange(n, *cols)

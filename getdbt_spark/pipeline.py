@@ -1091,41 +1091,65 @@ def kmeans_quantized(
     long-running trainer would localCheckpoint per round like
     connected_components.
     """
-    from pyspark.sql import Window
+    q = _kmeans_quantize_valid(embs)
+    cents = _kmeans_train(q, k, iters)
+    return _kmeans_assign(q, cents).select(
+        "vec_id",
+        F.col("cent_id").alias("cluster"),
+        F.col("dist").alias("dist_q"),
+    )
 
-    # Train and assign over VALID vectors only (finite_vec): a NaN
-    # component would abort the micro-unit quantization under ANSI,
-    # and an Inf would overflow the integer distance — and even a
-    # non-crashing float trainer would silently smear one corrupt row
-    # across every centroid it touches (the nanvec find).  Corrupt
-    # vectors simply receive no cluster; oracles mirror the predicate.
-    q = embs.filter(finite_vec("embedding")).select(
+
+def _kmeans_quantize_valid(embs: DataFrame) -> DataFrame:
+    """Micro-unit quantized ``(vec_id, qv)`` over VALID vectors only
+    (finite_vec): a NaN component would abort the micro-unit
+    quantization under ANSI, and an Inf would overflow the integer
+    distance — and even a non-crashing float trainer would silently
+    smear one corrupt row across every centroid it touches (the
+    nanvec find).  Corrupt vectors simply receive no cluster; oracles
+    mirror the predicate."""
+    return embs.filter(finite_vec("embedding")).select(
         "vec_id",
         F.transform(
             "embedding", lambda x: F.floor(x.cast("double") * 1e6).cast("long")
         ).alias("qv"),
     )
-    cents = q.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cvec")
-    )
+
+
+def _kmeans_assign(
+    q: DataFrame, cents_df: DataFrame, nprobe: int = 1
+) -> DataFrame:
+    """Score every quantized vector against the broadcast codebook and
+    keep its ``nprobe`` nearest cells (integer distance, cent_id
+    tie-break): ``(vec_id, cent_id, dist, probe_rank)``.  The one
+    deliberate BroadcastNestedLoopJoin shape (BOUNDED_NLJ_ALLOW) — the
+    build side is the k-row codebook by construction."""
+    from pyspark.sql import Window
+
     dist = F.aggregate(
         F.zip_with("qv", "cvec", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     wa = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    return (
+        q.crossJoin(F.broadcast(cents_df))
+        .withColumn("dist", dist)
+        .withColumn("probe_rank", F.row_number().over(wa))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("vec_id", "cent_id", "dist", "probe_rank")
+    )
 
-    def _assign(cents_df):
-        return (
-            q.crossJoin(F.broadcast(cents_df))
-            .withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(wa))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cent_id", "dist")
-        )
 
+def _kmeans_train(q: DataFrame, k: int, iters: int) -> DataFrame:
+    """The Lloyd's loop over pre-quantized vectors: returns the
+    trained k-row ``(cent_id, cvec)`` codebook after ``iters`` rounds
+    from the deterministic first-``k`` init."""
+    cents = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cvec")
+    )
     for _ in range(iters):
-        assign = _assign(cents)
+        assign = _kmeans_assign(q, cents)
         comp = assign.join(q, "vec_id").select(
             "cent_id", F.posexplode("qv").alias("pos", "val")
         )
@@ -1141,10 +1165,30 @@ def kmeans_quantized(
         cents = cents.join(newc, "cent_id", "left").select(
             "cent_id", F.coalesce("cvec_new", "cvec").alias("cvec")
         )
+    return cents
 
-    return _assign(cents).select(
+
+def kmeans_probe_assign(
+    embs: DataFrame, k: int = 8, iters: int = 2, nprobe: int = 2
+) -> DataFrame:
+    """IVF MULTIPROBE assignment: each valid vector's ``nprobe``
+    nearest trained cells as ``(vec_id, cent_id, probe_rank,
+    dist_q)`` — ``nprobe`` rows per vector.
+
+    This is the standard IVF recall dial: candidates generated within
+    ANY shared probed cell recover most near-dup pairs that straddle
+    a single-cell boundary (the documented recall caveat of
+    ``dedup_embedding_cluster_ivf``), at ``nprobe×`` the candidate
+    mass — still Σ|cell|²-bounded, never all-pairs.  The trainer,
+    init, quantization, and tie-breaks are byte-identical to
+    ``kmeans_quantized`` (same helpers), so a SQL oracle replays it
+    with one extra rank bound."""
+    q = _kmeans_quantize_valid(embs)
+    cents = _kmeans_train(q, k, iters)
+    return _kmeans_assign(q, cents, nprobe).select(
         "vec_id",
-        F.col("cent_id").alias("cluster"),
+        "cent_id",
+        "probe_rank",
         F.col("dist").alias("dist_q"),
     )
 

@@ -43,6 +43,12 @@ BOUNDED_NLJ_ALLOW: dict[str, int] = {
     "emb_kmeans_train": 4,
     "sim_ann_ivf_trained": 4,  # embeds the k-means rounds
     "sem_dedup_trained": 4,    # same embedded k-means rounds
+    # Same embedded k-means rounds, but the cell self-join's a/b
+    # branches BOTH consume the assignment frame, so the codebook
+    # subtree (and its NLJ nodes) prints again through the second
+    # branch of the lazy lineage: 4 + 3 deduplicated-by-reuse = 7
+    # observed, all k-row build sides by construction.
+    "dedup_embedding_cluster_ivf": 7,
 }
 
 # Per-query unpartitioned-window allow-list: {query_id: max Window

@@ -1223,6 +1223,22 @@ def _bpe_round_sql(n: int) -> str:
 
 
 
+# Trained-artifact memo: {(applicationId, sf_dir): (rows_df, rules)}.
+# At 100 TB a BPE merge table is a TRAINED ARTIFACT produced once and
+# consumed by every encoder/packer downstream, not a per-query
+# recomputation — three consumers (bpe_encode, bpe_merge_table,
+# pack_bpe_budget) retraining independently triples the most expensive
+# chain in the curation family (VERDICT r9 #4).  The memoized frame is
+# localCheckpointed, so it stays valid exactly as long as the owning
+# SparkSession — which is what the applicationId key scopes; a fresh
+# session (new app id) retrains, and distinct corpora (sf_dir) never
+# share an entry.
+_BPE_TRAINED: dict = {}
+# Number of ACTUAL training executions (memo misses) — lets tests
+# assert the once-per-(session, corpus) contract directly.
+_BPE_TRAIN_RUNS = 0
+
+
 def _bpe_train_apply(spark, sf_dir):
     """Shared BPE training+apply chain: iterate BPE_MERGES rounds of
     (recount adjacent pairs -> collect the argmax rule as a 1-row
@@ -1230,8 +1246,17 @@ def _bpe_train_apply(spark, sf_dir):
     localCheckpoint per round.  Returns the final (doc_id, pos, tok)
     rows AND the learned rule list [(rank, t1, t2, n_occurrences)] —
     ``bpe_encode`` formats the rows, ``bpe_merge_table`` the rules, so
-    the two registered views of the trainer can never drift."""
+    the two registered views of the trainer can never drift.  Trains
+    AT MOST ONCE per (session, corpus): results are memoized in
+    ``_BPE_TRAINED`` (see above) and every consumer reuses the same
+    checkpointed frame."""
     from pyspark.sql import Window
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key in _BPE_TRAINED:
+        return _BPE_TRAINED[memo_key]
+    global _BPE_TRAIN_RUNS
+    _BPE_TRAIN_RUNS += 1
 
     d = _docs(spark, sf_dir)
     bp = F.regexp_extract_all(
@@ -1299,6 +1324,7 @@ def _bpe_train_apply(spark, sf_dir):
             )
             .localCheckpoint()
         )
+    _BPE_TRAINED[memo_key] = (rows, rules)
     return rows, rules
 
 
@@ -1672,6 +1698,11 @@ def dedup_embedding_cluster_ivf(spark, sf_dir):
 
 
 DSIR_SAMPLE_RATE = 0.5  # global acceptance rate of the resample
+# Micro-unit forms of the rate, interpolated into BOTH the Spark
+# expression and the DuckDB oracle so the two literals cannot drift:
+# acceptance = min(1e6, floor(exp(w) * rate * 1e6)) in micro-units.
+DSIR_RATE_MICRO = DSIR_SAMPLE_RATE * 1_000_000.0  # 500000.0
+DSIR_MICRO = 1_000_000
 
 
 @query(
@@ -1707,13 +1738,13 @@ DSIR_SAMPLE_RATE = 0.5  # global acceptance rate of the resample
       GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, dsir_log_weight,
-           least(1000000, floor(exp(dsir_log_weight) * 500000.0))::BIGINT
+           least({DSIR_MICRO}, floor(exp(dsir_log_weight) * {DSIR_RATE_MICRO}))::BIGINT
              AS keep_prob_micro,
            ('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 15))
-             ::BIGINT % 1000000 AS coin_micro,
+             ::BIGINT % {DSIR_MICRO} AS coin_micro,
            (('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 15))
-             ::BIGINT % 1000000)
-           < least(1000000, floor(exp(dsir_log_weight) * 500000.0))::BIGINT
+             ::BIGINT % {DSIR_MICRO})
+           < least({DSIR_MICRO}, floor(exp(dsir_log_weight) * {DSIR_RATE_MICRO}))::BIGINT
              AS keep
     FROM dw
     """,
@@ -1742,14 +1773,14 @@ def dsir_resample(spark, sf_dir):
     """
     w = dsir_importance_weights(spark, sf_dir)
     p = F.least(
-        F.lit(1000000).cast("long"),
+        F.lit(DSIR_MICRO).cast("long"),
         F.floor(
-            F.exp(F.col("dsir_log_weight")) * F.lit(500000.0)
+            F.exp(F.col("dsir_log_weight")) * F.lit(DSIR_RATE_MICRO)
         ).cast("long"),
     )
     coin = (
         P.md5_long(F.concat(F.lit("dsir|"), F.col("doc_id").cast("string")))
-        % 1000000
+        % DSIR_MICRO
     )
     return w.select(
         "doc_id",

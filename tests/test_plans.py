@@ -30,6 +30,8 @@ GUARDED = [
     "text_paragraph_dedup",
     "emb_kmeans_train",
     "sim_ann_ivf_trained",
+    "sem_dedup_trained",
+    "dedup_embedding_cluster_ivf",
 ]
 
 # The former vertaaltabel × week-spine crossJoins are now join-free
