@@ -49,6 +49,7 @@ BOUNDED_NLJ_ALLOW: dict[str, int] = {
     # branch of the lazy lineage: 4 + 3 deduplicated-by-reuse = 7
     # observed, all k-row build sides by construction.
     "dedup_embedding_cluster_ivf": 7,
+    "dedup_cluster_multiprobe": 7,  # same doubled codebook lineage
 }
 
 # Per-query unpartitioned-window allow-list: {query_id: max Window

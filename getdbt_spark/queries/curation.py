@@ -42,7 +42,14 @@ from pyspark.sql import functions as F
 
 from .. import functions as E
 from .. import pipeline as P
-from .pipeline_queries import _docs, _embs, _km_dist_sql, _km_round_sql
+from .pipeline_queries import (
+    _docs,
+    _emb_exact_pairs,
+    _embs,
+    _km_dist_sql,
+    _km_round_sql,
+    dedup_embedding_cluster,
+)
 from . import query
 
 SPAN_K = 8  # anchor gram width (tokens) for substring-span dedup
@@ -1789,4 +1796,356 @@ def dsir_resample(spark, sf_dir):
         p.alias("keep_prob_micro"),
         coin.alias("coin_micro"),
         (coin < p).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF cluster-dedup quality: multiprobe variant + measured recall
+# (VERDICT r9 #3)
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB text for the trained k-means probe ranking: replay the
+# quantized trainer (identical rounds to the registered emb_kmeans_*
+# oracles) and rank every vector's cells by integer distance with the
+# cent_id tie-break.  ``ranked`` is consumed at rn = 1 (single probe)
+# and rn <= 2 (multiprobe) by the two oracles below.
+_PROBE_CHAIN_SQL = f"""
+    qe AS (
+      SELECT vec_id,
+             [CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+      WHERE isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ), c0 AS (
+      SELECT vec_id AS cent_id, qv AS cvec FROM qe WHERE vec_id < 8
+    ),{_km_round_sql(1, 'c0')},{_km_round_sql(2, 'c1')},
+    sfin AS (
+      SELECT e2.vec_id, c.cent_id,
+             {_km_dist_sql('e2.qv', 'c.cvec')} AS dist
+      FROM qe e2, c2 c
+    ), ranked AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+      FROM sfin
+    ), e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding]))
+               AS norm
+      FROM embeddings
+    )"""
+
+# All pairs over the cosine threshold — the exact near-dup graph (the
+# dedup_embedding_cluster oracle's p CTE, verbatim semantics).
+_EXACT_PAIRS_SQL = """
+    xp AS (
+      SELECT a_id, b_id FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                         for i in range(1, len(a.embedding) + 1)])
+                 / (a.norm * b.norm) AS c0
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      WHERE isfinite(c0) AND round(c0, 6) >= 0.45
+    )"""
+
+
+def _probe_cell_pairs(e, assign):
+    """Matched near-dup pairs among candidates sharing ANY probed cell:
+    join the (vec_id, cent_id) probe table to itself on cent_id,
+    de-duplicate candidates that share BOTH probed cells, then score
+    the survivors — cosine is evaluated once per DISTINCT candidate
+    pair, so multiprobe pays ≤ nprobe× the single-probe candidate
+    mass and never re-scores.  Scale shape: equi-joins on cent_id and
+    vec_id only (hash-partitionable), Σ|cell|² candidates, no
+    all-pairs anything."""
+    ax = assign.select(F.col("vec_id").alias("a_id"), "cent_id")
+    ay = assign.select(F.col("vec_id").alias("b_id"), "cent_id")
+    cand = (
+        ax.join(ay, "cent_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ea = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    return (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            E.round_to(
+                P.cosine(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.45)
+        .select("a_id", "b_id")
+    )
+
+
+@query(
+    "dedup_cluster_multiprobe",
+    oracle=f"""
+    WITH RECURSIVE {_PROBE_CHAIN_SQL},
+    af AS (
+      SELECT vec_id, cent_id FROM ranked WHERE rn <= 2
+    ), cand AS (
+      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM af x JOIN af y
+        ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+    ), mpairs AS (
+      SELECT cand.a_id, cand.b_id
+      FROM cand
+      JOIN e a ON a.vec_id = cand.a_id
+      JOIN e b ON b.vec_id = cand.b_id
+      WHERE round(CASE WHEN isfinite(
+               list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                         for i in range(1, len(a.embedding) + 1)])
+                 / (a.norm * b.norm))
+             THEN list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                            for i in range(1, len(a.embedding) + 1)])
+                 / (a.norm * b.norm) END, 6) >= 0.45
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM mpairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM mpairs
+    ), walk(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e2.dst, w.comp FROM walk w JOIN edges e2 ON e2.src = w.id
+    ), comp AS (
+      SELECT id, min(comp) AS canonical FROM walk GROUP BY id
+    ), base AS (
+      SELECT DISTINCT vec_id FROM af
+    )
+    SELECT base.vec_id,
+           coalesce(c.canonical, base.vec_id) AS canonical_id,
+           base.vec_id = coalesce(c.canonical, base.vec_id) AS keep
+    FROM base LEFT JOIN comp c ON c.id = base.vec_id
+    """,
+)
+def dedup_cluster_multiprobe(spark, sf_dir):
+    """``dedup_embedding_cluster_ivf`` with the standard IVF recall
+    dial turned to nprobe=2: every vector probes its TWO nearest
+    trained cells, and candidate pairs form within ANY shared probed
+    cell — recovering the near-dup pairs that straddle a single-cell
+    boundary (the single-probe variant's one documented loss mode)
+    at ≤ 2× the candidate mass, still Σ|cell|²-bounded, never
+    all-pairs.  The ``sim_ann_lsh_multiprobe`` pattern applied to the
+    dedup family; ``dedup_cluster_recall`` quantifies exactly how
+    much of the single-probe miss this recovers.
+
+    Same trainer, init, quantization, threshold and canonical
+    election as the single-probe variant (shared helpers), so the two
+    verdict tables differ ONLY by candidate reach; the oracle replays
+    the trainer and ranks cells with one extra rank bound.
+    """
+    e = P.with_norm(_embs(spark, sf_dir))
+    assign = P.kmeans_probe_assign(e, k=8, iters=2, nprobe=2).select(
+        "vec_id", "cent_id"
+    ).persist()
+    pairs = _probe_cell_pairs(e, assign)
+    comp = P.connected_components(pairs)
+    base = assign.select("vec_id").distinct()
+    return (
+        base.join(comp, base.vec_id == comp.id, "left")
+        .select(
+            "vec_id",
+            F.coalesce("comp", "vec_id").alias("canonical_id"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("canonical_id"))
+    )
+
+
+@query(
+    "dedup_cluster_recall",
+    oracle=f"""
+    WITH RECURSIVE {_PROBE_CHAIN_SQL},
+    {_EXACT_PAIRS_SQL},
+    af1 AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+    af2 AS (SELECT vec_id, cent_id FROM ranked WHERE rn <= 2),
+    c1p AS (
+      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM af1 x JOIN af1 y
+        ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+    ), c2p AS (
+      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM af2 x JOIN af2 y
+        ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+    ),
+    ivp AS (SELECT c1p.a_id, c1p.b_id FROM c1p JOIN xp USING (a_id, b_id)),
+    mpp AS (SELECT c2p.a_id, c2p.b_id FROM c2p JOIN xp USING (a_id, b_id)),
+    xe AS (
+      SELECT a_id AS src, b_id AS dst FROM xp
+      UNION ALL SELECT b_id, a_id FROM xp
+    ), xw(id, comp) AS (
+      SELECT src, src FROM xe
+      UNION
+      SELECT e2.dst, w.comp FROM xw w JOIN xe e2 ON e2.src = w.id
+    ), xc AS (SELECT id, min(comp) AS canonical FROM xw GROUP BY id),
+    ie AS (
+      SELECT a_id AS src, b_id AS dst FROM ivp
+      UNION ALL SELECT b_id, a_id FROM ivp
+    ), iw(id, comp) AS (
+      SELECT src, src FROM ie
+      UNION
+      SELECT e2.dst, w.comp FROM iw w JOIN ie e2 ON e2.src = w.id
+    ), ic AS (SELECT id, min(comp) AS canonical FROM iw GROUP BY id),
+    me AS (
+      SELECT a_id AS src, b_id AS dst FROM mpp
+      UNION ALL SELECT b_id, a_id FROM mpp
+    ), mw(id, comp) AS (
+      SELECT src, src FROM me
+      UNION
+      SELECT e2.dst, w.comp FROM mw w JOIN me e2 ON e2.src = w.id
+    ), mc AS (SELECT id, min(comp) AS canonical FROM mw GROUP BY id),
+    xcp AS (
+      SELECT a.id AS a_id, b.id AS b_id FROM xc a JOIN xc b
+        ON a.canonical = b.canonical AND a.id < b.id
+    ), icp AS (
+      SELECT a.id AS a_id, b.id AS b_id FROM ic a JOIN ic b
+        ON a.canonical = b.canonical AND a.id < b.id
+    ), mcp AS (
+      SELECT a.id AS a_id, b.id AS b_id FROM mc a JOIN mc b
+        ON a.canonical = b.canonical AND a.id < b.id
+    )
+    SELECT 'ivf' AS variant,
+      (SELECT count(*) FROM xp)::BIGINT AS n_exact_pairs,
+      (SELECT count(*) FROM ivp)::BIGINT AS n_pairs,
+      (SELECT count(*) FROM ivp JOIN xp USING (a_id, b_id))::BIGINT
+        AS n_pair_hits,
+      round((SELECT count(*) FROM ivp JOIN xp USING (a_id, b_id))::DOUBLE
+            / nullif((SELECT count(*) FROM xp), 0), 6) AS pair_recall,
+      (SELECT count(*) FROM xcp)::BIGINT AS n_exact_copairs,
+      (SELECT count(*) FROM icp JOIN xcp USING (a_id, b_id))::BIGINT
+        AS n_copair_hits,
+      round((SELECT count(*) FROM icp JOIN xcp USING (a_id, b_id))::DOUBLE
+            / nullif((SELECT count(*) FROM xcp), 0), 6) AS cluster_recall
+    UNION ALL
+    SELECT 'multiprobe',
+      (SELECT count(*) FROM xp)::BIGINT,
+      (SELECT count(*) FROM mpp)::BIGINT,
+      (SELECT count(*) FROM mpp JOIN xp USING (a_id, b_id))::BIGINT,
+      round((SELECT count(*) FROM mpp JOIN xp USING (a_id, b_id))::DOUBLE
+            / nullif((SELECT count(*) FROM xp), 0), 6),
+      (SELECT count(*) FROM xcp)::BIGINT,
+      (SELECT count(*) FROM mcp JOIN xcp USING (a_id, b_id))::BIGINT,
+      round((SELECT count(*) FROM mcp JOIN xcp USING (a_id, b_id))::DOUBLE
+            / nullif((SELECT count(*) FROM xcp), 0), 6)
+    """,
+)
+def dedup_cluster_recall(spark, sf_dir):
+    """The IVF dedup family's one previously-unquantified claim made a
+    NUMBER (VERDICT r9 #3): pair-level and cluster-level recall of the
+    single-probe and nprobe=2 variants against the exact brute-force
+    baseline (``dedup_embedding_cluster``) — one row per variant.
+
+    - **pair recall**: matched near-dup pairs found / exact matched
+      pairs.  Variant pairs are a SUBSET of exact pairs by
+      construction (same threshold, candidates ⊂ all pairs), so
+      ``n_pair_hits == n_pairs`` — the join re-proves the subset
+      property rather than assuming it.
+    - **cluster recall**: co-clustered pairs (same canonical) found /
+      exact co-clustered pairs — the transitive metric that penalizes
+      a missed BRIDGE pair for splitting a whole cluster, not just
+      for itself.
+
+    The denominators reuse ``_emb_exact_pairs`` / the exact verdict
+    frame and the numerators reuse ``_probe_cell_pairs`` + the
+    registered variant queries, so every number is derived from the
+    SAME frames the verdicts ship — the evaluation cannot drift from
+    the evaluated.  The six counts are bounded scalar anchors
+    (components and pair lists are metric-grain); the returned frame
+    is a 2-row literal, which is the right shape for an evaluation
+    report at any corpus size — the expensive inputs stay distributed.
+    """
+    from pyspark.sql import types as T
+
+    xp = _emb_exact_pairs(spark, sf_dir).select("a_id", "b_id")
+    xp = xp.localCheckpoint()
+    e = P.with_norm(_embs(spark, sf_dir))
+    ex = dedup_embedding_cluster(spark, sf_dir).localCheckpoint()
+
+    def co_pairs(verdict):
+        a = verdict.select(F.col("vec_id").alias("a_id"), "canonical_id")
+        b = verdict.select(F.col("vec_id").alias("b_id"), "canonical_id")
+        return (
+            a.join(b, "canonical_id")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+
+    n_exact_pairs = xp.count()
+    xcp = co_pairs(ex).localCheckpoint()
+    n_exact_copairs = xcp.count()
+
+    rows = []
+    for variant, nprobe, verdict_q in (
+        ("ivf", 1, dedup_embedding_cluster_ivf),
+        ("multiprobe", 2, dedup_cluster_multiprobe),
+    ):
+        assign = P.kmeans_probe_assign(
+            e, k=8, iters=2, nprobe=nprobe
+        ).select("vec_id", "cent_id").persist()
+        vp = _probe_cell_pairs(e, assign).localCheckpoint()
+        vc = co_pairs(verdict_q(spark, sf_dir)).localCheckpoint()
+        rows.append(
+            (
+                variant,
+                n_exact_pairs,
+                vp.count(),
+                vp.join(xp, ["a_id", "b_id"]).count(),
+                None,
+                n_exact_copairs,
+                vc.join(xcp, ["a_id", "b_id"]).count(),
+                None,
+            )
+        )
+        assign.unpersist()
+    out = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("variant", T.StringType()),
+                T.StructField("n_exact_pairs", T.LongType()),
+                T.StructField("n_pairs", T.LongType()),
+                T.StructField("n_pair_hits", T.LongType()),
+                T.StructField("pair_recall", T.DoubleType()),
+                T.StructField("n_exact_copairs", T.LongType()),
+                T.StructField("n_copair_hits", T.LongType()),
+                T.StructField("cluster_recall", T.DoubleType()),
+            ]
+        ),
+    )
+    # ratios computed ENGINE-side with the repo's round_to so the
+    # float boundary matches the oracle's round(x, 6) exactly
+    return out.select(
+        "variant",
+        "n_exact_pairs",
+        "n_pairs",
+        "n_pair_hits",
+        E.round_to(
+            F.col("n_pair_hits").cast("double")
+            / F.nullif(F.col("n_exact_pairs"), F.lit(0)),
+            6,
+        ).alias("pair_recall"),
+        "n_exact_copairs",
+        "n_copair_hits",
+        E.round_to(
+            F.col("n_copair_hits").cast("double")
+            / F.nullif(F.col("n_exact_copairs"), F.lit(0)),
+            6,
+        ).alias("cluster_recall"),
     )

@@ -1,0 +1,130 @@
+"""Driver-visible degenerate-input probe (VERDICT r9 #7).
+
+Round 6's registry-wide sweeps (``tests/test_empty_corpus.py``) found
+and fixed 26 crash classes on zero-row and all-NULL corpora — but that
+hardening lived only in pytest, invisible to the driver's per-round
+gate.  ``dq_degenerate_probe`` registers a representative operator
+battery as a first-class query: it materializes a zero-row corpus and
+an all-NULL-documents corpus from the live ``sf_dir`` schemas, runs
+REAL registered operators (the same ``QUERIES`` entries the driver
+verifies) over each, and returns the per-operator row-count table.
+The DuckDB oracle replays every battery operator's own registered
+oracle over identically-degenerate CTE views, so a regression in any
+operator's empty/NULL semantics — a crash OR a silent row-count
+drift — turns this id red in ``CORRECTNESS_r{N}.json``.
+
+At 100 TB the degenerate case is routine, not exotic: a new tenant's
+empty slice, a pruned date range, a feed outage writing NULL payloads.
+The probe's own cost is bounded by construction — the battery runs on
+zero or |documents| rows regardless of corpus scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from . import ORACLES, query
+
+# The battery: one representative, oracle-checked operator per family
+# whose degenerate behavior the round-6 sweeps hardened.  Doc ops run
+# on BOTH probes; table ops only on the empty probe (the all-NULL
+# probe nulls document payload columns specifically).
+_DOC_OPS = [
+    "text_token_stats",        # tokenization on NULL text ≡ empty text
+    "text_quality_score",      # ratio metrics with zero denominators
+    "text_langid",             # classifier on NULL text + NULL label
+    "dedup_exact",             # hash-groupBy over NULL fingerprints
+    "dedup_minhash_lsh",       # shingle kernel on zero shingles
+    "dsir_importance_weights", # bucket stats over an empty token feed
+]
+_TABLE_OPS = [
+    "sim_topk_cosine",         # ANN over zero vectors
+    "agg_basic",               # aggregate over zero fact rows
+    "win_row_number_dedup",    # window over zero fact rows
+]
+
+_TABLES = ["documents", "lineitem", "embeddings"]
+
+
+def _rewire(sql: str, suffix: str) -> str:
+    """Re-point an oracle's base-table references at the degenerate
+    CTE views (``documents`` → ``documents_e`` etc.).  Word-boundary
+    replace — the battery oracles reference tables as plain tokens
+    (asserted by the probe's own hash gate: a miss would produce a
+    DuckDB binder error, not a silent wrong answer)."""
+    for t in _TABLES:
+        sql = re.sub(rf"\b{t}\b", f"{t}_{suffix}", sql)
+    return sql
+
+
+def _degen_oracle() -> str:
+    defs = """
+    documents_e AS (SELECT * FROM documents WHERE false),
+    lineitem_e AS (SELECT * FROM lineitem WHERE false),
+    embeddings_e AS (SELECT * FROM embeddings WHERE false),
+    documents_n AS (
+      SELECT doc_id, NULL::VARCHAR AS text, NULL::VARCHAR AS lang,
+             NULL::VARCHAR AS source, n_chars
+      FROM documents
+    )"""
+    arms = []
+    for op in _DOC_OPS + _TABLE_OPS:
+        arms.append(
+            f"SELECT 'empty' AS probe, '{op}' AS operator,\n"
+            f"       (SELECT count(*) FROM ({_rewire(ORACLES[op], 'e')}) q)"
+            f"::BIGINT AS n_rows"
+        )
+    for op in _DOC_OPS:
+        arms.append(
+            f"SELECT 'nulldoc', '{op}',\n"
+            f"       (SELECT count(*) FROM ({_rewire(ORACLES[op], 'n')}) q)"
+            f"::BIGINT"
+        )
+    return "WITH " + defs + "\n" + "\nUNION ALL\n".join(arms)
+
+
+@query("dq_degenerate_probe", oracle=_degen_oracle())
+def dq_degenerate_probe(spark, sf_dir):
+    """Run the degenerate-input battery and return
+    ``(probe, operator, n_rows)`` — one row per (corpus pathology,
+    representative operator).
+
+    The probe corpora are derived from the LIVE ``sf_dir`` schemas
+    (``limit(0)`` writes and NULL-cast payload columns), written once
+    to a session temp dir, and the battery calls the REGISTERED query
+    builders against them — the probe exercises production code paths,
+    not re-implementations.  A battery operator that crashes fails the
+    whole id (the driver sees ``err``); one whose degenerate row count
+    drifts from its own oracle's replay hash-mismatches.
+
+    Scale: every battery input is 0 or |documents| rows by
+    construction; the only full-scale work is one column-pruned scan
+    of ``documents`` to build the all-NULL variant.
+    """
+    import tempfile
+
+    from . import QUERIES
+
+    base = tempfile.mkdtemp(prefix="dq_degen_probe_")
+    empty, nulld = f"{base}/empty", f"{base}/nulldoc"
+    for t in _TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.limit(0).write.mode("overwrite").parquet(f"{empty}/{t}.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    types = dict(d.dtypes)
+    for c in ("text", "lang", "source"):
+        d = d.withColumn(c, F.lit(None).cast(types[c]))
+    d.write.mode("overwrite").parquet(f"{nulld}/documents.parquet")
+
+    rows = []
+    for probe, pdir, ops in (
+        ("empty", empty, _DOC_OPS + _TABLE_OPS),
+        ("nulldoc", nulld, _DOC_OPS),
+    ):
+        for op in ops:
+            rows.append((probe, op, QUERIES[op](spark, pdir).count()))
+    return spark.createDataFrame(
+        rows, "probe string, operator string, n_rows long"
+    )

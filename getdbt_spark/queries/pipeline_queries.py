@@ -2294,6 +2294,27 @@ def dedup_embedding_cluster(spark, sf_dir):
     keys (sim_ann_*) as the documented candidate generator at 100 TB.
     The oracle walks the same graph with a recursive CTE.
     """
+    pairs = _emb_exact_pairs(spark, sf_dir)
+    comp = P.connected_components(pairs)
+    emb = _embs(spark, sf_dir).select("vec_id")
+    return (
+        emb.join(comp, emb.vec_id == comp.id, "left")
+        .select(
+            "vec_id",
+            F.coalesce("comp", "vec_id").alias("canonical_id"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("canonical_id"))
+    )
+
+
+def _emb_exact_pairs(spark, sf_dir):
+    """The brute-force near-dup pair graph (cos ≥ 0.45 over all a<b
+    pairs, NULL-scored corrupt vectors never pass the threshold) —
+    ``dedup_embedding_cluster``'s candidate generator, shared with
+    ``dedup_cluster_recall`` so the recall denominator is BY
+    CONSTRUCTION the same graph the exact baseline clusters.
+    Quadratic in the corpus — the measured ground-truth path, never
+    the 100 TB one (that's the IVF variants)."""
     e = P.with_norm(_embs(spark, sf_dir))
     a = e.select(
         F.col("vec_id").alias("a_id"),
@@ -2305,7 +2326,7 @@ def dedup_embedding_cluster(spark, sf_dir):
         F.col("embedding").alias("vb"),
         F.col("norm").alias("nb"),
     )
-    pairs = (
+    return (
         a.join(b, F.col("a_id") < F.col("b_id"))
         .select(
             "a_id",
@@ -2318,16 +2339,6 @@ def dedup_embedding_cluster(spark, sf_dir):
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.45)
-    )
-    comp = P.connected_components(pairs)
-    emb = _embs(spark, sf_dir).select("vec_id")
-    return (
-        emb.join(comp, emb.vec_id == comp.id, "left")
-        .select(
-            "vec_id",
-            F.coalesce("comp", "vec_id").alias("canonical_id"),
-        )
-        .withColumn("keep", F.col("vec_id") == F.col("canonical_id"))
     )
 
 

@@ -463,6 +463,66 @@ def test_embedding_cluster_ivf_matches_planted_truth(spark, tmp_path_factory):
         assert rows[vid]["keep"] and rows[vid]["canonical_id"] == vid
 
 
+def test_multiprobe_matches_planted_truth_and_dominates_ivf(
+    spark, tmp_path_factory
+):
+    """nprobe=2 widens candidate reach MONOTONICALLY: on the planted
+    corpus the multiprobe verdicts must collapse both duplicate
+    groups exactly as the single-probe variant does (its candidates
+    are a superset, and the exact graph has nothing more to find),
+    and its pair count must be >= the single-probe count."""
+    dim = 8
+    vecs = []
+    for i in range(dim):
+        v = [0.0] * dim
+        v[i] = 1.0
+        vecs.append(v)
+    for _ in range(2):
+        v = [0.0] * dim
+        v[0] = 0.9
+        vecs.append(v)
+    for _ in range(2):
+        v = [0.0] * dim
+        v[3] = 1.1
+        vecs.append(v)
+    vecs.append([0.5] * dim)
+    sf = _write_embs(spark, tmp_path_factory, "mpcc_sf", vecs)
+    rows = {
+        r["vec_id"]: r
+        for r in QUERIES["dedup_cluster_multiprobe"](spark, sf).collect()
+    }
+    assert len(rows) == len(vecs)
+    assert rows[8]["canonical_id"] == 0 and not rows[8]["keep"]
+    assert rows[9]["canonical_id"] == 0 and not rows[9]["keep"]
+    assert rows[10]["canonical_id"] == 3 and not rows[10]["keep"]
+    assert rows[11]["canonical_id"] == 3 and not rows[11]["keep"]
+    for vid in (0, 1, 2, 3, 4, 5, 6, 7, 12):
+        assert rows[vid]["keep"] and rows[vid]["canonical_id"] == vid
+
+
+def test_cluster_recall_invariants_and_multiprobe_recovery(spark):
+    """The recall report's structural invariants on the driver corpus:
+    variant pairs are a SUBSET of exact pairs (hits == pairs), recalls
+    live in [0, 1], the denominators agree across variants, and
+    multiprobe recall is >= single-probe recall on BOTH metrics (its
+    candidate set is a superset by construction)."""
+    rows = {
+        r["variant"]: r
+        for r in QUERIES["dedup_cluster_recall"](spark, SF).collect()
+    }
+    assert set(rows) == {"ivf", "multiprobe"}
+    iv, mp = rows["ivf"], rows["multiprobe"]
+    assert iv["n_exact_pairs"] == mp["n_exact_pairs"] > 0
+    assert iv["n_exact_copairs"] == mp["n_exact_copairs"] > 0
+    for r in (iv, mp):
+        assert r["n_pair_hits"] == r["n_pairs"], "variant found a non-exact pair"
+        assert 0.0 <= r["pair_recall"] <= 1.0
+        assert 0.0 <= r["cluster_recall"] <= 1.0
+    assert mp["n_pairs"] >= iv["n_pairs"]
+    assert mp["pair_recall"] >= iv["pair_recall"]
+    assert mp["cluster_recall"] >= iv["cluster_recall"]
+
+
 def test_winnow_match_culls_boilerplate_hashes(spark, tmp_path_factory):
     """MOSS common-code elimination: 70 IDENTICAL boilerplate docs
     (> WINNOW_MAXDF = 64) select identical fingerprint sets, so every

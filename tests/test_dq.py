@@ -142,3 +142,33 @@ def test_table_diff_counts_adds_drops_and_value_changes(spark):
         assert (r.n_only_a, r.n_only_b, r.n_common) == (1, 2, 9)
     assert rows["s"].n_value_diff == 2
     assert rows["n"].n_value_diff == 0
+
+
+def test_degenerate_probe_battery_semantics(spark):
+    """The driver-visible degenerate battery (VERDICT r9 #7): empty
+    corpus → every operator yields zero rows without crashing;
+    all-NULL documents → per-doc operators keep doc grain (NULL text
+    ≡ empty text), dedup_exact collapses to ONE all-NULL fingerprint
+    group, and token-feed operators yield nothing (no tokens, no
+    buckets, no shingles)."""
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = {
+        (r["probe"], r["operator"]): r["n_rows"]
+        for r in QUERIES["dq_degenerate_probe"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) == 15
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    for (probe, op), n in rows.items():
+        if probe == "empty":
+            assert n == 0, (op, n)
+    for op in ("text_token_stats", "text_quality_score", "text_langid"):
+        assert rows[("nulldoc", op)] == n_docs, op
+    assert rows[("nulldoc", "dedup_exact")] == 1
+    assert rows[("nulldoc", "dedup_minhash_lsh")] == 0
+    assert rows[("nulldoc", "dsir_importance_weights")] == 0

@@ -32,6 +32,7 @@ GUARDED = [
     "sim_ann_ivf_trained",
     "sem_dedup_trained",
     "dedup_embedding_cluster_ivf",
+    "dedup_cluster_multiprobe",
 ]
 
 # The former vertaaltabel × week-spine crossJoins are now join-free
