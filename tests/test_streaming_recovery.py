@@ -204,3 +204,94 @@ def test_attribution_join_exactly_once_across_kill_restart(
     # buffer pre-kill (file 0 — inside the first committed batch) and
     # its purchase arrived post-restart (last file)
     assert (7700, 7701) in key(got_rows)
+
+
+# ---------------------------------------------------------------------------
+# Windowed-aggregation recovery: sliding + session variants (VERDICT r9 #8)
+# ---------------------------------------------------------------------------
+#
+# Unlike the row-emitting transforms above, the windowed aggregations
+# emit in APPEND mode only when the watermark finalizes a window, so
+# the feed gains one far-later "flush" sentinel (BASE + 20 days, past
+# the 8-day watermark for every real window): after the restart drains
+# it, every January-10 window MUST be in the sink exactly once — the
+# partial aggregates of windows straddling the kill recover from the
+# state store, committed windows do not re-emit on the replayed batch.
+# The sentinel's own (unfinalized) windows are excluded from the batch
+# twin by its unique event_type / user_id.
+
+FLUSH_TS = BASE + dt.timedelta(days=20)
+FLUSH_USER = 999
+
+
+@pytest.fixture()
+def drip_feed_flush(spark, tmp_path):
+    src = str(tmp_path / "srcf")
+    for i in range(N_FILES):
+        spark.createDataFrame(_feed_file(i), SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    spark.createDataFrame(
+        [(99990, FLUSH_TS, FLUSH_USER, "flush", 0.0, "wm-flush")], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def test_sliding_stats_exactly_once_across_kill_restart(
+    spark, drip_feed_flush, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from getdbt_spark.streaming import sliding_window_stats
+
+    sink, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    processed = _kill_mid_feed(
+        spark, drip_feed_flush, sliding_window_stats, sink, ck
+    )
+    total = spark.read.parquet(drip_feed_flush).count()
+    assert 0 < processed < total
+    _drain(spark, drip_feed_flush, sliding_window_stats, sink, ck)
+
+    got = spark.read.parquet(sink)
+    want = sliding_window_stats(
+        spark.read.parquet(drip_feed_flush)
+    ).filter(F.col("event_type") != "flush")
+    key = lambda rows: sorted(  # noqa: E731
+        (str(r["win_start"]), r["event_type"], r["n_events"],
+         str(r["total_value"]))
+        for r in rows
+    )
+    got_rows, want_rows = got.collect(), want.collect()
+    assert len(want_rows) > 0
+    assert key(got_rows) == key(want_rows), (
+        "sliding windows lost or duplicated across the kill/restart"
+    )
+
+
+def test_session_stats_exactly_once_across_kill_restart(
+    spark, drip_feed_flush, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from getdbt_spark.streaming import session_stats
+
+    sink, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    processed = _kill_mid_feed(spark, drip_feed_flush, session_stats, sink, ck)
+    total = spark.read.parquet(drip_feed_flush).count()
+    assert 0 < processed < total
+    _drain(spark, drip_feed_flush, session_stats, sink, ck)
+
+    got = spark.read.parquet(sink)
+    want = session_stats(spark.read.parquet(drip_feed_flush)).filter(
+        F.col("user_id") != FLUSH_USER
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"], str(r["total_value"]))
+        for r in rows
+    )
+    got_rows, want_rows = got.collect(), want.collect()
+    assert len(want_rows) > 0
+    assert key(got_rows) == key(want_rows), (
+        "sessions lost or duplicated across the kill/restart"
+    )
