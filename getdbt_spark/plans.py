@@ -50,6 +50,11 @@ BOUNDED_NLJ_ALLOW: dict[str, int] = {
     # observed, all k-row build sides by construction.
     "dedup_embedding_cluster_ivf": 7,
     "dedup_cluster_multiprobe": 7,  # same doubled codebook lineage
+    # Embedded k-means rounds whose subtree prints through BOTH the
+    # query-probe and index-placement branches of the lazy lineage
+    # (plus the shared final assignment): 11 nodes observed, every
+    # one the same k-row codebook build side by construction.
+    "sim_ann_ivf_multiprobe": 11,
 }
 
 # Per-query unpartitioned-window allow-list: {query_id: max Window
@@ -81,6 +86,7 @@ GLOBAL_WINDOW_ALLOW: dict[str, int] = {
     "mix_domain_weights": 2,        # (b) source-domain grain
     "agg_new_vs_returning": 1,      # (b) calendar-day grain
     "emb_dim_variance_prune": 1,    # (b) embedding-dimension grain
+    "mix_token_budget_allocation": 4,  # (b) source-domain grain
 }
 
 

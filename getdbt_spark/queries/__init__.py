@@ -48,6 +48,8 @@ def load_all() -> None:
     from . import model_queries  # noqa: F401
     from . import extensions  # noqa: F401
     from . import curation  # noqa: F401
-    # LAST: its oracle is assembled from other modules' registered
-    # oracles, so every battery member must already be loaded.
+    # LAST TWO: their oracles are assembled from other modules'
+    # registered oracles, so every composed member must already be
+    # loaded.
+    from . import training_ops  # noqa: F401
     from . import dq_probe  # noqa: F401

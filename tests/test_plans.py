@@ -33,6 +33,9 @@ GUARDED = [
     "sem_dedup_trained",
     "dedup_embedding_cluster_ivf",
     "dedup_cluster_multiprobe",
+    "sim_ann_ivf_multiprobe",
+    "sample_curriculum_order",
+    "text_ccnet_buckets",
 ]
 
 # The former vertaaltabel × week-spine crossJoins are now join-free
