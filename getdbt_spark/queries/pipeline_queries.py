@@ -445,9 +445,13 @@ def dedup_embedding_cosine(spark, sf_dir):
     Brute-force at test scale; the 100 TB path replaces the self-join
     with an LSH/IVF bucket key (see sim_ann_ivf) so candidate pairs
     are generated per bucket instead of all-pairs.
+
+    Streamed side repartitioned before the nested-loop pair scan —
+    same single-split parallelism fix as ``_emb_exact_pairs``.
     """
+    n_cores = spark.sparkContext.defaultParallelism
     e = P.with_norm(_embs(spark, sf_dir))
-    a = e.select(
+    a = e.repartition(n_cores).select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("va"),
         F.col("norm").alias("na"),
@@ -2314,9 +2318,19 @@ def _emb_exact_pairs(spark, sf_dir):
     ``dedup_cluster_recall`` so the recall denominator is BY
     CONSTRUCTION the same graph the exact baseline clusters.
     Quadratic in the corpus — the measured ground-truth path, never
-    the 100 TB one (that's the IVF variants)."""
+    the 100 TB one (that's the IVF variants).
+
+    The non-equi (a_id < b_id) join plans as a nested-loop over the
+    broadcast b side, and its parallelism is the STREAMED side's task
+    count — a local parquet corpus arrives as one split, so without a
+    repartition the whole quadratic scan runs in one or two tasks
+    (found by the r10 sf1 decade: 2 of 32 cores busy for the entire
+    pair scan).  Spreading the streamed side across the cluster is the
+    same fix minhash_lsh_pairs documents; the exchange moves only the
+    narrow (id, vec, norm) projection."""
+    n_cores = spark.sparkContext.defaultParallelism
     e = P.with_norm(_embs(spark, sf_dir))
-    a = e.select(
+    a = e.repartition(n_cores).select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("va"),
         F.col("norm").alias("na"),

@@ -103,29 +103,34 @@ def sim_ann_ivf_multiprobe(spark, sf_dir):
     Σ|cell|-bounded per query.  ``sim_recall_multiprobe`` reports the
     recall this buys.  Scale shape: the probe table is (2 rows ×
     vectors), the search an equi-join on cent_id — hash-partitioned,
-    never all-pairs; one vec_id window takes the top-5.
+    never all-pairs; one vec_id window takes the top-5 (planned as
+    WindowGroupLimit, a per-partition partial top-k before the
+    shuffle).
+
+    Both pair-scan sides derive from ONE persisted embedding⋈probe
+    frame, exactly like ``sim_ann_ivf_trained``'s ``ea`` — with two
+    lazy sides the trainer lineage (codebook rounds + assignment
+    window) re-executed per side and the join planned against
+    unmaterialized estimates: measured 103 s vs 20 s at sf1 (the r10
+    decade find; single-probe is 16.6 s, so the shared-cache shape is
+    the expected ≈1.2× — the 5× was pure recomputation).
     """
     from pyspark.sql import Window
 
     e = P.with_norm(_embs(spark, sf_dir))
-    probes = P.kmeans_probe_assign(e, k=8, iters=2, nprobe=2).persist()
-    qa = probes.select("vec_id", "cent_id").join(
-        e.select(
-            "vec_id",
-            F.col("embedding").alias("va"),
-            F.col("norm").alias("na"),
-        ),
+    probes = P.kmeans_probe_assign(e, k=8, iters=2, nprobe=2)
+    ep = e.join(probes, "vec_id").persist()
+    qa = ep.select(
+        "cent_id",
         "vec_id",
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
     )
-    na = probes.filter(F.col("probe_rank") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), "cent_id"
-    ).join(
-        e.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("vb"),
-            F.col("norm").alias("nb"),
-        ),
-        "neighbor_id",
+    na = ep.filter(F.col("probe_rank") == 1).select(
+        "cent_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
     )
     pairs = (
         qa.join(na, "cent_id")
