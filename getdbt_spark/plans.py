@@ -55,6 +55,12 @@ BOUNDED_NLJ_ALLOW: dict[str, int] = {
     # (plus the shared final assignment): 11 nodes observed, every
     # one the same k-row codebook build side by construction.
     "sim_ann_ivf_multiprobe": 11,
+    # M=4 independent subspace trainers × (2 rounds ×2 lineage dup):
+    # 16 nodes, all K-row codebook build sides.
+    "emb_pq_encode": 16,
+    # The 4 subspace trainers + the IVF cell trainer: 20 nodes,
+    # every build side a k-row codebook by construction.
+    "sim_ann_ivfpq": 20,
 }
 
 # Per-query unpartitioned-window allow-list: {query_id: max Window

@@ -2698,34 +2698,39 @@ def _km_dist_sql(v: str, c: str) -> str:
     )
 
 
-def _km_round_sql(n: int, prev_c: str) -> str:
+def _km_round_sql(
+    n: int, prev_c: str, qe: str = "qe", dims: int = 64, pfx: str = ""
+) -> str:
     """One unrolled Lloyd's round: score vs ``prev_c``, argmin with
     cent_id tie-break, floor-integer centroid means, empty clusters
-    keep their previous centroid."""
+    keep their previous centroid.  ``qe``/``dims``/``pfx`` let a
+    caller unroll INDEPENDENT trainers side by side (the PQ
+    per-subspace codebooks) without CTE-name collisions; the defaults
+    keep every existing oracle byte-identical."""
     return f"""
-    s{n} AS (
+    {pfx}s{n} AS (
       SELECT e.vec_id, c.cent_id,
              {_km_dist_sql('e.qv', 'c.cvec')} AS dist
-      FROM qe e, {prev_c} c
-    ), a{n} AS (
+      FROM {qe} e, {prev_c} c
+    ), {pfx}a{n} AS (
       SELECT vec_id, cent_id FROM (
         SELECT vec_id, cent_id,
                row_number() OVER (
                  PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
-        FROM s{n}) WHERE rn = 1
-    ), u{n} AS (
+        FROM {pfx}s{n}) WHERE rn = 1
+    ), {pfx}u{n} AS (
       SELECT a.cent_id, gs.i,
              CAST(floor(sum(e.qv[gs.i]) / count(*)) AS BIGINT) AS val
-      FROM a{n} a JOIN qe e USING (vec_id),
-           generate_series(1, 64) AS gs(i)
+      FROM {pfx}a{n} a JOIN {qe} e USING (vec_id),
+           generate_series(1, {dims}) AS gs(i)
       GROUP BY a.cent_id, gs.i
-    ), n{n} AS (
+    ), {pfx}n{n} AS (
       SELECT cent_id, list(val ORDER BY i) AS cvec
-      FROM u{n} GROUP BY cent_id
-    ), c{n} AS (
+      FROM {pfx}u{n} GROUP BY cent_id
+    ), {pfx}c{n} AS (
       SELECT {prev_c}.cent_id,
-             coalesce(n{n}.cvec, {prev_c}.cvec) AS cvec
-      FROM {prev_c} LEFT JOIN n{n} USING (cent_id)
+             coalesce({pfx}n{n}.cvec, {prev_c}.cvec) AS cvec
+      FROM {prev_c} LEFT JOIN {pfx}n{n} USING (cent_id)
     )"""
 
 

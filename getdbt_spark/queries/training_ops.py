@@ -1,6 +1,6 @@
 """Round-10 training-pipeline operators.
 
-Five operators a production pretraining-data pipeline runs between
+Operators a production pretraining-data pipeline runs between
 curation and the trainer, each composing already-verified stages:
 
 - ``sim_ann_ivf_multiprobe`` — IVF ANN search with query-side
@@ -13,7 +13,12 @@ curation and the trainer, each composing already-verified stages:
   (largest-remainder) allocation of a token budget across source
   domains under the temperature-scaled mixture weights;
 - ``text_ccnet_buckets`` — CCNet's head/middle/tail perplexity
-  terciles per language.
+  terciles per language;
+- ``emb_pq_encode`` — product quantization (Jégou et al. 2011):
+  per-subspace integer-exact codebooks + one code per subspace;
+- ``sim_ann_ivfpq`` — the IVFPQ ANN stack: IVF cell candidates scored
+  by asymmetric distance computation over the PQ codes, integer
+  end-to-end.
 
 Same conventions as the rest of the registry: portable hashing,
 integer arithmetic wherever a float boundary could flip a verdict,
@@ -506,4 +511,257 @@ def text_ccnet_buckets(spark, sf_dir):
         .when(bucket_idx == 1, "middle")
         .otherwise("tail")
         .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 4   # M: subvectors per embedding
+PQ_SUBDIMS = 16    # dims per subspace (M * SUBDIMS == 64, the corpus dim)
+PQ_K = 4           # codebook size per subspace
+
+
+def _pq_oracle() -> str:
+    chains, outs = [], []
+    for m in range(PQ_SUBSPACES):
+        lo, hi = m * PQ_SUBDIMS + 1, (m + 1) * PQ_SUBDIMS
+        pfx = f"pq{m}"
+        chains.append(
+            f"""
+    qe{m} AS (
+      -- whole-vector validity (one corrupt component voids ALL of a
+      -- vector's codes, keeping the vec set identical across
+      -- subspaces), then the subspace slice is quantized
+      SELECT vec_id,
+             [CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)
+              for x in embedding[{lo}:{hi}]] AS qv
+      FROM embeddings
+      WHERE isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ), {pfx}c0 AS (
+      SELECT vec_id AS cent_id, qv AS cvec FROM qe{m}
+      WHERE vec_id < {PQ_K}
+    ),{_km_round_sql(1, f'{pfx}c0', qe=f'qe{m}', dims=PQ_SUBDIMS, pfx=pfx)},
+    {_km_round_sql(2, f'{pfx}c1', qe=f'qe{m}', dims=PQ_SUBDIMS, pfx=pfx)},
+    {pfx}f AS (
+      SELECT e2.vec_id, c.cent_id,
+             {_km_dist_sql('e2.qv', 'c.cvec')} AS dist
+      FROM qe{m} e2, {pfx}c2 c
+    ), {pfx}out AS (
+      SELECT vec_id, {m}::BIGINT AS subspace, cent_id AS code,
+             dist AS dist_q
+      FROM (
+        SELECT vec_id, cent_id, dist,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        FROM {pfx}f) WHERE rn = 1
+    )"""
+        )
+        outs.append(f"SELECT * FROM {pfx}out")
+    return (
+        "WITH " + ",".join(chains) + "\n" + "\nUNION ALL\n".join(outs)
+    )
+
+
+@query("emb_pq_encode", oracle=_pq_oracle())
+def emb_pq_encode(spark, sf_dir):
+    """Product quantization (Jégou et al. 2011) — THE ANN compression
+    every 100 TB vector store runs: split each embedding into
+    ``PQ_SUBSPACES`` subvectors, train an independent integer-exact
+    k-means codebook per subspace (same trainer, init and tie-breaks
+    as ``emb_kmeans_train`` — bit-reproducible, SQL-replayable), and
+    encode every vector as one code per subspace.  Storage drops from
+    64 floats to M small codes; ``dist_q`` is the per-subspace
+    quantization error (its sum over a vector's rows is the total
+    reconstruction error, the metric that tunes M and K).
+
+    Validity is whole-vector: one corrupt component voids ALL of a
+    vector's codes, keeping the encoded vec set identical across
+    subspaces (a per-slice filter would give a vector codes in some
+    subspaces only — unreconstructable).
+
+    Scale shape: M independent trainers, each the bounded-codebook
+    BroadcastNestedLoopJoin pattern over a SLICED projection (16 of
+    64 dims — each trainer moves a quarter of the column); the final
+    union is M map-side projections.  At deployment the codebooks are
+    trained on a sample and shipped as artifacts; the encode pass is
+    one broadcast fan-out per subspace, embarrassingly parallel.
+    """
+    from functools import reduce
+
+    e = _embs(spark, sf_dir).filter(P.finite_vec("embedding"))
+    parts = []
+    for m in range(PQ_SUBSPACES):
+        sub = e.select(
+            "vec_id",
+            F.slice(
+                "embedding", m * PQ_SUBDIMS + 1, PQ_SUBDIMS
+            ).alias("embedding"),
+        )
+        q = P._kmeans_quantize_valid(sub)
+        cents = P._kmeans_train(q, PQ_K, 2)
+        a = P._kmeans_assign(q, cents)
+        parts.append(
+            a.select(
+                "vec_id",
+                F.lit(m).cast("long").alias("subspace"),
+                F.col("cent_id").alias("code"),
+                F.col("dist").alias("dist_q"),
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), parts)
+
+
+def _ivfpq_oracle() -> str:
+    pq_chains, luts, codes = [], [], []
+    for m in range(PQ_SUBSPACES):
+        lo, hi = m * PQ_SUBDIMS + 1, (m + 1) * PQ_SUBDIMS
+        pfx = f"pq{m}"
+        pq_chains.append(
+            f"""
+    qe{m} AS (
+      SELECT vec_id,
+             [CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)
+              for x in embedding[{lo}:{hi}]] AS qv
+      FROM embeddings
+      WHERE isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ), {pfx}c0 AS (
+      SELECT vec_id AS cent_id, qv AS cvec FROM qe{m}
+      WHERE vec_id < {PQ_K}
+    ),{_km_round_sql(1, f'{pfx}c0', qe=f'qe{m}', dims=PQ_SUBDIMS, pfx=pfx)},
+    {_km_round_sql(2, f'{pfx}c1', qe=f'qe{m}', dims=PQ_SUBDIMS, pfx=pfx)},
+    lut{m} AS (
+      SELECT e2.vec_id, {m}::BIGINT AS subspace, c.cent_id AS code,
+             {_km_dist_sql('e2.qv', 'c.cvec')} AS dist
+      FROM qe{m} e2, {pfx}c2 c
+    ), code{m} AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, code) AS rn
+        FROM lut{m}) WHERE rn = 1
+    )"""
+        )
+        luts.append(f"SELECT * FROM lut{m}")
+        codes.append(f"SELECT * FROM code{m}")
+    lut_union = "\nUNION ALL\n".join(luts)
+    code_union = "\nUNION ALL\n".join(codes)
+    return f"""
+    WITH {_SIM_PROBE_SQL},
+    af AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+    {",".join(pq_chains)},
+    lut AS ({lut_union}),
+    codes AS ({code_union}),
+    cand AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id
+      FROM af a JOIN af b
+        ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+    ), j AS (
+      SELECT cand.vec_id, cand.neighbor_id, c.subspace, c.code
+      FROM cand JOIN codes c ON c.vec_id = cand.neighbor_id
+    ), s AS (
+      SELECT j.vec_id, j.neighbor_id,
+             CAST(sum(l.dist) AS BIGINT) AS adc_dist
+      FROM j JOIN lut l
+        ON l.vec_id = j.vec_id AND l.subspace = j.subspace
+       AND l.code = j.code
+      GROUP BY j.vec_id, j.neighbor_id
+    )
+    SELECT vec_id, rnk, neighbor_id, adc_dist FROM (
+      SELECT vec_id, neighbor_id, adc_dist,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY adc_dist, neighbor_id) AS rnk
+      FROM s) WHERE rnk <= 5
+    """
+
+
+@query("sim_ann_ivfpq", oracle=_ivfpq_oracle())
+def sim_ann_ivfpq(spark, sf_dir):
+    """IVFPQ — the memory-bounded ANN production stack (Jégou et al.
+    2011; the FAISS default at billion scale): IVF restricts
+    candidates to the query's trained cell, and each candidate's
+    distance is computed from its PRODUCT-QUANTIZED codes via
+    asymmetric distance computation (ADC) — a table lookup per
+    subspace instead of a 64-dim dot product, against codes that are
+    ~32× smaller than the raw vectors.  That two-level structure is
+    what lets a 100 TB corpus keep its whole index in memory.
+
+    Everything is INTEGER end-to-end: the IVF cells, the per-subspace
+    codebooks, the per-(query, code) lookup tables, and the summed
+    ADC distance all ride the micro-unit quantized trainer, so the
+    DuckDB oracle replays the full stack bit-for-bit — no float
+    enters until nothing is left to compare.
+
+    Scale shape: codebook training is the bounded-BNLJ pattern (one
+    IVF trainer + M subspace trainers over sliced projections); the
+    lookup table is (vectors × K × M) rows — LINEAR in the corpus,
+    built by one broadcast fan-out per subspace; the search is
+    equi-joins on (cent_id) and (vec_id, subspace, code) plus one
+    map-combinable 4-row groupBy per candidate pair.  ADC recall
+    tracks ``sim_recall_multiprobe``'s IVF numbers minus quantization
+    loss — tune M/K (and nprobe, composable with
+    ``kmeans_probe_assign``) against it.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    e = _embs(spark, sf_dir).filter(P.finite_vec("embedding"))
+    # IVF cells (full-vector trained codebook, single-homed)
+    qfull = P._kmeans_quantize_valid(e)
+    cell = (
+        P._kmeans_assign(qfull, P._kmeans_train(qfull, 8, 2))
+        .select("vec_id", "cent_id")
+        .persist()
+    )
+    # per-subspace LUTs: distance of every vector's subvector to EVERY
+    # codebook entry (K rows per vector per subspace); codes = argmin
+    lut_parts = []
+    for m in range(PQ_SUBSPACES):
+        sub = e.select(
+            "vec_id",
+            F.slice(
+                "embedding", m * PQ_SUBDIMS + 1, PQ_SUBDIMS
+            ).alias("embedding"),
+        )
+        qm = P._kmeans_quantize_valid(sub)
+        lut_parts.append(
+            P._kmeans_assign(
+                qm, P._kmeans_train(qm, PQ_K, 2), nprobe=PQ_K
+            ).select(
+                "vec_id",
+                F.lit(m).cast("long").alias("subspace"),
+                F.col("cent_id").alias("code"),
+                "dist",
+                "probe_rank",
+            )
+        )
+    lut = reduce(lambda x, y: x.unionByName(y), lut_parts).persist()
+    codes = lut.filter(F.col("probe_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "subspace", "code"
+    )
+    ca = cell.select("vec_id", "cent_id")
+    cb = cell.select(F.col("vec_id").alias("neighbor_id"), "cent_id")
+    cand = ca.join(cb, "cent_id").filter(
+        F.col("vec_id") != F.col("neighbor_id")
+    )
+    j = cand.select("vec_id", "neighbor_id").join(codes, "neighbor_id")
+    s = (
+        j.join(
+            lut.select("vec_id", "subspace", "code", "dist"),
+            ["vec_id", "subspace", "code"],
+        )
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.sum("dist").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("vec_id", "rnk", "neighbor_id", "adc_dist")
     )

@@ -36,6 +36,8 @@ GUARDED = [
     "sim_ann_ivf_multiprobe",
     "sample_curriculum_order",
     "text_ccnet_buckets",
+    "emb_pq_encode",
+    "sim_ann_ivfpq",
 ]
 
 # The former vertaaltabel × week-spine crossJoins are now join-free

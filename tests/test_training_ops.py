@@ -109,3 +109,76 @@ def test_ccnet_buckets_are_ordered_terciles_per_lang(spark):
         assert all(a <= b for a, b in zip(buckets, buckets[1:])), lang
         sizes = Counter(buckets)
         assert max(sizes.values()) - min(sizes.values()) <= 1, lang
+
+
+def _write_embs(spark, tmp_path_factory, name, vecs):
+    out = str(tmp_path_factory.mktemp(name))
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def test_pq_encode_codes_and_reconstruction(spark, tmp_path_factory):
+    """Planted truth on a 64-dim corpus built from 4 distinct
+    16-dim subspace patterns: every vector gets exactly one code per
+    subspace; identical subvectors get identical codes; a vector that
+    EQUALS a codebook centroid's pattern in some subspace has
+    dist_q == 0 there; a corrupt (NaN) vector gets no codes at all."""
+    import math
+
+    # vecs 0..3 are the init centroids; vec 4 copies vec 1 exactly;
+    # vec 5 is vec 2 with noise in subspace 0 only; vec 6 is corrupt
+    base = []
+    for i in range(4):
+        v = [0.0] * 64
+        for m in range(4):
+            v[m * 16 + (i % 16)] = float(i + 1)
+        base.append(v)
+    vecs = base + [list(base[1]), list(base[2]), [math.nan] * 64]
+    vecs[5][0] += 0.5  # subspace-0 perturbation only
+    sf = _write_embs(spark, tmp_path_factory, "pq_sf", vecs)
+    rows = QUERIES["emb_pq_encode"](spark, sf).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], {})[r["subspace"]] = r
+    assert 6 not in by_vec, "corrupt vector must get no codes"
+    for vid, subs in by_vec.items():
+        assert set(subs) == {0, 1, 2, 3}, vid
+    # exact copy -> identical codes everywhere, zero error where the
+    # subvector IS a trained centroid pattern
+    for m in range(4):
+        assert by_vec[4][m]["code"] == by_vec[1][m]["code"]
+        assert by_vec[4][m]["dist_q"] == by_vec[1][m]["dist_q"]
+    # perturbed only in subspace 0: subspaces 1..3 match vec 2 exactly
+    for m in range(1, 4):
+        assert by_vec[5][m]["code"] == by_vec[2][m]["code"]
+        assert by_vec[5][m]["dist_q"] == by_vec[2][m]["dist_q"]
+
+
+def test_ivfpq_adc_ranks_planted_duplicates_first(spark, tmp_path_factory):
+    """A planted duplicate pair must rank each other at ADC rank 1
+    with adc_dist 0 (identical codes in every subspace); every row
+    carries a non-negative integer ADC distance and ranks are
+    contiguous from 1 per query."""
+    base = []
+    for i in range(8):
+        v = [0.0] * 64
+        v[i * 8] = 1.0 + 0.1 * i
+        base.append(v)
+    vecs = base + [list(base[1]), list(base[1])]  # 8, 9 duplicate 1
+    sf = _write_embs(spark, tmp_path_factory, "ivfpq_sf", vecs)
+    rows = QUERIES["sim_ann_ivfpq"](spark, sf).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["adc_dist"] >= 0
+        by_q.setdefault(r["vec_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1)), q
+    # the duplicate trio share cells and codes: distance 0 to each other
+    assert by_q[8][0]["adc_dist"] == 0
+    assert by_q[8][0]["neighbor_id"] in (1, 9)
+    assert by_q[9][0]["adc_dist"] == 0
