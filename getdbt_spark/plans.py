@@ -93,6 +93,8 @@ GLOBAL_WINDOW_ALLOW: dict[str, int] = {
     "agg_new_vs_returning": 1,      # (b) calendar-day grain
     "emb_dim_variance_prune": 1,    # (b) embedding-dimension grain
     "mix_token_budget_allocation": 4,  # (b) source-domain grain
+    "quality_nb_train": 1,   # (a) rank over the top-50 survivor set
+    "mix_epoch_schedule": 9,  # (b) source-domain grain (two Hamilton rounds)
 }
 
 

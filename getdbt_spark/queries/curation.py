@@ -68,6 +68,46 @@ def _ws(col):
 # ---------------------------------------------------------------------------
 
 
+def _kgram_occ(d):
+    """(doc_id, pos, g): every SPAN_K-token k-gram occurrence with its
+    1-based position and portable 60-bit gram hash — the shared anchor
+    table of the substring-dedup family (``dedup_substring_spans``
+    detects coverage over it; ``dedup_substring_remove`` cuts all but
+    the first occurrence).
+
+    tk is re-bound as a LAMBDA VARIABLE (single-element-array wrap): a
+    raw expression captured inside a HOF lambda re-evaluates per
+    element — the split would run once per position, O(words²) on a
+    book-scale doc (the word_shingles hugedoc find; same fix).
+    """
+
+    def _grams(tk):
+        m = F.size(tk)
+        return F.when(
+            m >= SPAN_K,
+            F.transform(
+                F.sequence(F.lit(1), m - (SPAN_K - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    P.md5_long(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at(tk, i + j)
+                                for j in range(SPAN_K)
+                            ],
+                        )
+                    ).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array())
+
+    grams = F.flatten(F.transform(F.array(_ws(F.col("text"))), _grams))
+    return d.select("doc_id", F.explode(grams).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g")
+    )
+
+
 @query(
     "dedup_substring_spans",
     oracle=f"""
@@ -147,37 +187,7 @@ def dedup_substring_spans(spark, sf_dir):
     d = _docs(spark, sf_dir)
     toks = _ws(F.col("text"))
     n = F.size(toks)
-
-    # tk is re-bound as a LAMBDA VARIABLE (single-element-array wrap):
-    # a raw expression captured inside a HOF lambda re-evaluates per
-    # element — the split would run once per position, O(words²) on a
-    # book-scale doc (the word_shingles hugedoc find; same fix).
-    def _grams(tk):
-        m = F.size(tk)
-        return F.when(
-            m >= SPAN_K,
-            F.transform(
-                F.sequence(F.lit(1), m - (SPAN_K - 1)),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    P.md5_long(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.element_at(tk, i + j)
-                                for j in range(SPAN_K)
-                            ],
-                        )
-                    ).alias("g"),
-                ),
-            ),
-        ).otherwise(F.array())
-
-    grams = F.flatten(F.transform(F.array(toks), _grams))
-    occ = (
-        d.select("doc_id", F.explode(grams).alias("s"))
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
-    )
+    occ = _kgram_occ(d)
     dupg = occ.groupBy("g").agg(F.count("*").alias("cnt")).filter(
         F.col("cnt") > 1
     )

@@ -38,6 +38,7 @@ _DOC_OPS = [
     "dedup_exact",             # hash-groupBy over NULL fingerprints
     "dedup_minhash_lsh",       # shingle kernel on zero shingles
     "dsir_importance_weights", # bucket stats over an empty token feed
+    "quality_nb_score",        # trained artifact over a degenerate corpus
 ]
 _TABLE_OPS = [
     "sim_topk_cosine",         # ANN over zero vectors

@@ -38,6 +38,9 @@ GUARDED = [
     "text_ccnet_buckets",
     "emb_pq_encode",
     "sim_ann_ivfpq",
+    "dq_psi_drift",
+    "quality_nb_score",
+    "mix_epoch_schedule",
 ]
 
 # The former vertaaltabel × week-spine crossJoins are now join-free
