@@ -455,3 +455,85 @@ def with_global_rank(
         )
         .drop("__gr_pid", "__gr_lrnk", "__gr_off")
     )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    weight: Column | str,
+    cumsum_col: str = "cumsum",
+    num_slices: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE global prefix sum of ``weight`` over a total
+    order WITHOUT a single-partition window — ``with_global_rank``'s
+    shape applied to running totals (the primitive behind sequential
+    shard packing, quota cut-offs, and cumulative-share curves, all
+    data-sized at the 100 TB target).
+
+    Same four steps as the rank helper: range-repartition on the
+    order (slice *i* wholly precedes slice *i+1*), an Arrow
+    ``mapInPandas`` kernel accumulates each slice's LOCAL prefix sum
+    with no extra shuffle, one ``localCheckpoint`` so the per-slice
+    totals and the final projection read the same materialization,
+    and ≤ ``num_slices`` per-slice totals collapse driver-side
+    (bounded scalar-anchor class — partition metadata, not data) into
+    broadcast offsets.
+
+    ``weight`` must already be an integral column (BIGINT-safe sums
+    are the caller's contract, exactly as with any groupBy sum);
+    ``order`` must be a TOTAL order for determinism — same contract
+    as ``with_global_rank``.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    spark = df.sparkSession
+    if num_slices:
+        n = num_slices
+    else:
+        try:
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (ValueError, TypeError):
+            n = spark.sparkContext.defaultParallelism
+    cols = [_col(c) for c in order]
+    w = _col(weight)
+    ranged = (
+        df.withColumn("__gc_w", w.cast("long"))
+        .repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__gc_pid", F.spark_partition_id())
+    )
+    out_schema = T.StructType(
+        list(ranged.schema.fields)
+        + [T.StructField("__gc_lsum", T.LongType())]
+    )
+
+    def _local_cumsum(batches):
+        off = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__gc_lsum"] = pdf["__gc_w"].cumsum() + off
+            off = int(pdf["__gc_lsum"].iloc[-1]) if len(pdf) else off
+            yield pdf
+
+    summed = ranged.mapInPandas(_local_cumsum, out_schema).localCheckpoint()
+    totals = {
+        r["__gc_pid"]: r["s"]
+        for r in summed.groupBy("__gc_pid")
+        .agg(F.coalesce(F.sum("__gc_w"), F.lit(0)).alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off_df = spark.createDataFrame(
+        offsets, schema="__gc_pid int, __gc_off long"
+    )
+    return (
+        summed.join(F.broadcast(off_df), "__gc_pid")
+        .withColumn(
+            cumsum_col,
+            (F.col("__gc_off") + F.col("__gc_lsum")).cast("long"),
+        )
+        .drop("__gc_pid", "__gc_lsum", "__gc_off", "__gc_w")
+    )

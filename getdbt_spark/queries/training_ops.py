@@ -40,7 +40,11 @@ curation and the trainer, each composing already-verified stages:
 - ``quality_ensemble_vote`` — majority vote over the three quality
   filters (Gopher rules / logistic heuristic / trained NB);
 - ``sim_recall_ivfpq`` — recall@5 of the ADC-scored IVFPQ stack vs
-  the exact baseline (closing the measured-recall loop).
+  the exact baseline (closing the measured-recall loop);
+- ``pack_curriculum_shards`` — fixed-token shards in curriculum
+  order via ``functions.with_global_cumsum`` (the scale-safe global
+  prefix sum: range repartition + per-slice Arrow prefix sums +
+  driver-side slice offsets).
 
 Same conventions as the rest of the registry: portable hashing,
 integer arithmetic wherever a float boundary could flip a verdict,
@@ -2057,4 +2061,80 @@ def sim_recall_ivfpq(spark, sf_dir):
             / (F.lit(5) * F.col("n_queries")),
             6,
         ).alias("recall_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum shard packing (global prefix sum, scale-safe)
+# ---------------------------------------------------------------------------
+
+CURR_SHARD_TOKENS = 2000  # tokens per curriculum shard
+
+
+def _curr_shards_oracle() -> str:
+    return f"""
+    WITH cur AS ({ORACLES['sample_curriculum_order']}),
+    tok AS (
+      SELECT doc_id,
+             len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+      FROM documents
+    ), j AS (
+      SELECT cur.doc_id, cur.curriculum_rank, tok.n_tokens
+      FROM cur JOIN tok USING (doc_id)
+    ), c AS (
+      SELECT doc_id, curriculum_rank, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY curriculum_rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM j
+    )
+    SELECT doc_id, curriculum_rank, n_tokens, cum_tokens::BIGINT AS cum_tokens,
+           ((cum_tokens - 1) // {CURR_SHARD_TOKENS})::BIGINT AS shard_id
+    FROM c
+    """
+
+
+@query("pack_curriculum_shards", oracle=_curr_shards_oracle())
+def pack_curriculum_shards(spark, sf_dir):
+    """The packer that CONSUMES the curriculum: kept documents in
+    curriculum order (``sample_curriculum_order``'s total rank), cut
+    into fixed-token shards by the inclusive global prefix sum of
+    their token counts — shard 0 is the cleanest {CURR_SHARD_TOKENS}
+    tokens, shard k+1 strictly noisier than shard k, which is exactly
+    how a 100 TB curriculum run is materialized (sort once, shard in
+    rank order, feed shards sequentially).
+
+    The running total is DATA-SIZED, so it uses the new
+    ``functions.with_global_cumsum`` (range repartition + per-slice
+    Arrow prefix sums + driver-side slice offsets + broadcast join —
+    ``with_global_rank``'s shape applied to sums), never a
+    single-task unpartitioned window.  Shard assignment is exact
+    integer arithmetic: ``(cum_tokens − 1) div {CURR_SHARD_TOKENS}``,
+    inclusive sum, so a document straddling a boundary lands in the
+    shard its LAST token falls in, and Σ per-shard tokens ==
+    Σ n_tokens with no token lost or double-counted.
+    """
+    cur = sample_curriculum_order(spark, sf_dir).select(
+        "doc_id", "curriculum_rank"
+    )
+    tok = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(P.ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    j = cur.join(tok, "doc_id")
+    c = E.with_global_cumsum(
+        j,
+        order=[F.asc("curriculum_rank")],
+        weight="n_tokens",
+        cumsum_col="cum_tokens",
+    )
+    return c.select(
+        "doc_id",
+        "curriculum_rank",
+        "n_tokens",
+        "cum_tokens",
+        F.expr(
+            f"CAST((cum_tokens - 1) DIV {CURR_SHARD_TOKENS} AS BIGINT)"
+        ).alias("shard_id"),
     )

@@ -160,7 +160,7 @@ def test_degenerate_probe_battery_semantics(spark):
             spark, "/root/testdata/sf0.001"
         ).collect()
     }
-    assert len(rows) == 15
+    assert len(rows) == 17
     n_docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
     ).count()
@@ -172,3 +172,6 @@ def test_degenerate_probe_battery_semantics(spark):
     assert rows[("nulldoc", "dedup_exact")] == 1
     assert rows[("nulldoc", "dedup_minhash_lsh")] == 0
     assert rows[("nulldoc", "dsir_importance_weights")] == 0
+    # trained artifact over a degenerate corpus: no tokens -> empty
+    # vocabulary, every doc scored at the prior (doc grain preserved)
+    assert rows[("nulldoc", "quality_nb_score")] == n_docs

@@ -432,6 +432,40 @@ class TestGlobalWindowGuard:
             df.filter(F.col("id") < 0), ["id"], rank_col="r"
         ).count() == 0
 
+    def test_with_global_cumsum_matches_window_sum(self, spark):
+        """The slice-offset prefix sum equals an unpartitioned
+        inclusive running-total window over the same total order, on
+        a multi-slice input with duplicate sort prefixes and mixed
+        weights (including zeros)."""
+        from pyspark.sql import Window
+
+        from getdbt_spark.functions import with_global_cumsum
+        from getdbt_spark.plans import _formatted, unpartitioned_windows
+
+        df = spark.range(1000).select(
+            (F.col("id") % 13).alias("k"),
+            F.col("id"),
+            (F.col("id") % 7).alias("w"),
+        )
+        got = with_global_cumsum(
+            df, ["k", "id"], weight="w", cumsum_col="c", num_slices=7
+        )
+        want = df.withColumn(
+            "c",
+            F.sum("w")
+            .over(
+                Window.orderBy("k", "id").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .cast("long"),
+        )
+        assert unpartitioned_windows(_formatted(got)) == 0
+        assert sorted(got.collect()) == sorted(want.collect())
+        assert with_global_cumsum(
+            df.filter(F.col("id") < 0), ["id"], weight="w", cumsum_col="c"
+        ).count() == 0
+
 
 def test_kernel_stage_stats_correct_after_materialization(spark):
     """Pins the r9 sf10 broadcast-OOM mechanism: Catalyst sizes an

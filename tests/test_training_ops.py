@@ -549,3 +549,25 @@ def test_ivfpq_recall_bounded_by_multiprobe_family(spark):
     assert 0 <= row["n_hits"] <= 5 * row["n_queries"]
     assert 0.0 <= row["recall_at_5"] <= 1.0
     assert row["recall_at_5"] > 0.0, "ADC found nothing — wiring bug"
+
+
+def test_curriculum_shards_pack_in_rank_order(spark):
+    """cum_tokens is the exact inclusive prefix sum of n_tokens in
+    curriculum-rank order; shard ids follow the integer boundary
+    formula, are non-decreasing along the rank, and no token is lost
+    or double-counted (last cum == Σ n_tokens)."""
+    rows = sorted(
+        QUERIES["pack_curriculum_shards"](spark, SF).collect(),
+        key=lambda r: r["curriculum_rank"],
+    )
+    assert rows
+    acc = 0
+    prev_shard = 0
+    for r in rows:
+        acc += r["n_tokens"]
+        assert r["cum_tokens"] == acc, r
+        assert r["shard_id"] == (r["cum_tokens"] - 1) // 2000, r
+        assert r["shard_id"] >= prev_shard
+        prev_shard = r["shard_id"]
+    assert acc == sum(r["n_tokens"] for r in rows)
+    assert rows[-1]["shard_id"] >= 1, "corpus should fill >1 shard"
