@@ -665,9 +665,20 @@ def topk_cosine_blocked(
     neighbor_id exactly like the oracle's ``ORDER BY c DESC,
     neighbor_id``).
     """
+    # The cogroup keys MUST have identical types on both sides:
+    # pmod(bigint, int) is BIGINT while explode(sequence(int, int)) is
+    # INT, and Spark's HashPartitioning hash is TYPE-SENSITIVE
+    # (murmur3 of 2L != murmur3 of 2) — with mismatched key types the
+    # two shuffles scatter equal keys to DIFFERENT partitions and
+    # blocks silently never pair.  The bug is LATENT at small SF:
+    # AQE coalesces small shuffles to few partitions where the
+    # sort-merge still pairs them (all 16 blocks pair at sf0.01 —
+    # driver-green), then detonates as data grows (6/16 blocks at
+    # sf0.1, 0/16 at sf1 → zero output).  Found by the round-10
+    # decade run; pinned by test_pipeline.
     base = embs.select("vec_id", "embedding")
     qs = base.select(
-        F.pmod("vec_id", F.lit(query_chunks)).alias("qc"),
+        F.pmod("vec_id", F.lit(query_chunks)).cast("int").alias("qc"),
         F.explode(
             F.sequence(F.lit(0), F.lit(index_shards - 1))
         ).alias("shard"),
@@ -678,7 +689,7 @@ def topk_cosine_blocked(
         F.explode(
             F.sequence(F.lit(0), F.lit(query_chunks - 1))
         ).alias("qc"),
-        F.pmod("vec_id", F.lit(index_shards)).alias("shard"),
+        F.pmod("vec_id", F.lit(index_shards)).cast("int").alias("shard"),
         "vec_id",
         "embedding",
     )

@@ -740,3 +740,32 @@ def test_corrupt_embeddings_cost_the_vector_not_the_job(spark):
     # k-means: trains and assigns over valid vectors only
     km = P.kmeans_quantized(embs, k=2, iters=1)
     assert {r.vec_id for r in km.collect()} == {0, 4}
+
+
+def test_blocked_topk_pairs_all_blocks_beyond_aqe_coalescing(spark):
+    """Regression pin for the round-10 cogroup key-type bug: the
+    block matrix product's two sides keyed (qc, shard) with
+    MISMATCHED types (pmod -> BIGINT vs explode(sequence) -> INT) —
+    Spark's HashPartitioning hash is type-sensitive, so equal keys
+    scattered to different partitions and blocks silently never
+    paired once the shuffle outgrew AQE's coalescing (sf0.1: 6/16
+    blocks; sf1: 0/16 -> ZERO output).  On a corpus big enough to
+    keep multiple shuffle partitions, every query must get exactly k
+    ranked neighbors and a planted duplicate pair must find each
+    other at rank 1."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 2000
+    vecs = rng.randn(n, 64).astype("float32")
+    vecs[1501] = vecs[1500]  # planted duplicate pair
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    tk = P.topk_cosine_blocked(embs, k=10)
+    got = tk.collect()
+    assert len(got) == n * 10, f"{len(got)} != {n * 10} — unpaired blocks"
+    assert len({r.vec_id for r in got}) == n
+    best = {r.vec_id: r.neighbor_id for r in got if r.rnk == 1}
+    assert best[1500] == 1501 and best[1501] == 1500

@@ -33,6 +33,7 @@ SUBSET = [
     "mix_epoch_schedule",
     "dedup_substring_remove",
     "sim_recall_ivfpq",
+    "pack_curriculum_shards",
 ]
 
 
