@@ -44,7 +44,13 @@ curation and the trainer, each composing already-verified stages:
 - ``pack_curriculum_shards`` — fixed-token shards in curriculum
   order via ``functions.with_global_cumsum`` (the scale-safe global
   prefix sum: range repartition + per-slice Arrow prefix sums +
-  driver-side slice offsets).
+  driver-side slice offsets);
+- ``emb_whitening`` — per-dimension standardization from exact
+  integer moments (z = (v·n − Σv)/√(n·Σv² − (Σv)²), one float op
+  chain over exact integers; constant dims → NULL);
+- ``doc_pagerank_winnow`` — two exact-integer PageRank iterations
+  over the winnow fingerprint-similarity graph (template-hub
+  authority, the centrality-weighting curation step).
 
 Same conventions as the rest of the registry: portable hashing,
 integer arithmetic wherever a float boundary could flip a verdict,
@@ -2137,4 +2143,236 @@ def pack_curriculum_shards(spark, sf_dir):
         F.expr(
             f"CAST((cum_tokens - 1) DIV {CURR_SHARD_TOKENS} AS BIGINT)"
         ).alias("shard_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding whitening (per-dimension standardization, trained stats)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_whitening",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+      WHERE isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ), cell AS (
+      SELECT vec_id, gs.i - 1 AS dim_idx, qv[gs.i] AS v
+      FROM q, generate_series(1, 64) AS gs(i)
+    ), s AS (
+      SELECT dim_idx, count(*) AS n,
+             CAST(sum(v) AS BIGINT) AS sum_q,
+             count(*) * sum(v * v) - sum(v) * sum(v) AS var_num
+      FROM cell GROUP BY dim_idx
+    )
+    SELECT c.vec_id, c.dim_idx, c.v AS v_micro,
+           CASE WHEN s.var_num > 0 THEN
+             round((c.v * s.n - s.sum_q)
+                   / sqrt(CAST(s.var_num AS DOUBLE)), 6)
+           END AS z
+    FROM cell c JOIN s USING (dim_idx)
+    """,
+)
+def emb_whitening(spark, sf_dir):
+    """Per-dimension standardization of the embedding corpus — the
+    trained feature-normalization step that precedes PCA/OPQ and
+    stabilizes cosine/L2 geometry when dimensions carry wildly
+    different scales.  The trained artifact is the per-dimension
+    (n, Σv, variance numerator) table (the same exact integer moments
+    as ``emb_dim_variance_prune``); the standardized value is
+    z = (v − mean)/std expressed as the algebraically identical
+    (v·n − Σv)/√(n·Σv² − (Σv)²), so the ONLY float ops are one
+    subtraction, one sqrt and one division over EXACT integers —
+    identical on both engines, rounded to the 1e-6 grid.  A
+    zero-variance dimension (constant column) standardizes to NULL,
+    not ±Inf — the dimension carries no signal and downstream
+    consumers treat it as pruned, the ``emb_dim_variance_prune``
+    keep=0 contract.
+
+    Scale: the moment table is ONE map-combinable groupBy of d=64
+    groups; standardization is the corpus-sized cell stream joined to
+    the 64-row broadcast stats — map-side, no second shuffle.
+    ``v·n`` stays inside BIGINT to ~9e9 valid vectors per micro-unit
+    scale (2e6·9e9 ≈ 1.8e16); the variance numerator accumulates in
+    DECIMAL(38,0) (the r9 overflow class).
+    """
+    dec = "decimal(38,0)"
+    cell = (
+        _embs(spark, sf_dir)
+        .filter(P.finite_vec("embedding"))
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * 1e6).cast(
+                        "long"
+                    ),
+                )
+            ).alias("dim_idx", "v"),
+        )
+    )
+    s = cell.groupBy("dim_idx").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("long").alias("sum_q"),
+        (
+            F.count("*").cast(dec)
+            * F.sum((F.col("v") * F.col("v")).cast(dec))
+            - F.sum(F.col("v").cast(dec)) * F.sum(F.col("v").cast(dec))
+        ).alias("var_num"),
+    )
+    z = F.when(
+        F.col("var_num") > 0,
+        E.round_to(
+            (F.col("v") * F.col("n") - F.col("sum_q"))
+            / F.sqrt(F.col("var_num").cast("double")),
+            6,
+        ),
+    )
+    return cell.join(F.broadcast(s), "dim_idx").select(
+        "vec_id",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.col("v").alias("v_micro"),
+        z.alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Template-hub authority (PageRank over the winnow near-dup graph)
+# ---------------------------------------------------------------------------
+
+PR_BASE = 1_000_000   # initial rank, micro-units
+PR_HOLD = 150_000     # (1 - d) * 1e6 with damping d = 0.85 = 17/20
+
+
+def _pagerank_oracle() -> str:
+    return f"""
+    WITH wm AS ({ORACLES['dedup_winnow_match']}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM wm
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM wm
+    ), deg AS (
+      SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src
+    ), c1 AS (
+      SELECT e.dst AS doc_id,
+             sum({PR_BASE} // d.deg)::BIGINT AS contrib
+      FROM edges e JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), pr1 AS (
+      SELECT d.doc_id,
+             {PR_HOLD} + (17 * coalesce(c1.contrib, 0)) // 20 AS pr
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN c1 USING (doc_id)
+    ), c2 AS (
+      SELECT e.dst AS doc_id,
+             sum(p.pr // d.deg)::BIGINT AS contrib
+      FROM edges e
+      JOIN deg d ON d.src = e.src
+      JOIN pr1 p ON p.doc_id = e.src
+      GROUP BY e.dst
+    ), pr2 AS (
+      SELECT d.doc_id,
+             {PR_HOLD} + (17 * coalesce(c2.contrib, 0)) // 20 AS pr
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN c2 USING (doc_id)
+    )
+    SELECT d.doc_id,
+           coalesce(g.deg, 0)::BIGINT AS degree,
+           pr1.pr::BIGINT AS pr1_micro,
+           pr2.pr::BIGINT AS pr2_micro
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN deg g ON g.src = d.doc_id
+    JOIN pr1 ON pr1.doc_id = d.doc_id
+    JOIN pr2 ON pr2.doc_id = d.doc_id
+    """
+
+
+@query("doc_pagerank_winnow", oracle=_pagerank_oracle())
+def doc_pagerank_winnow(spark, sf_dir):
+    """Graph-authority weighting over the fingerprint-similarity
+    graph: two fixed PageRank iterations (damping 0.85) on the
+    symmetric ``dedup_winnow_match`` pair graph.  Web-corpus
+    curation weights documents by graph centrality (Common Crawl
+    publishes harmonic centrality; CCNet consumes it); on a
+    CONTENT-similarity graph high authority marks template/boilerplate
+    hubs — documents that share fingerprints with many others — which
+    a pipeline downweights or caps, the complement of pair-level
+    dedup.
+
+    Exactness: ranks live in integer micro-units, per-edge transfer
+    is ``pr div deg`` (integer floor), damping is the exact rational
+    17/20 — no float anywhere, so two engines agree bit-for-bit after
+    any number of iterations.  Dangling documents (no shared
+    fingerprints) hold the base (1−d) mass by construction (the
+    standard simplification that skips dangling-mass redistribution —
+    deterministic and documented).
+
+    Scale: each iteration is one equi-join of the edge list to the
+    current rank vector plus one map-combinable groupBy(dst) — the
+    canonical distributed PageRank step.  The winnow graph's fan-out
+    is banding-bounded (WINNOW_MAXDF boilerplate cull: ≤64² pairs per
+    fingerprint bucket), so per-key contributions stay bounded at any
+    corpus size; iterations are a fixed constant (2), each ending in
+    a materialization barrier via the join's shuffle.
+    """
+    from .curation import dedup_winnow_match
+
+    wm = dedup_winnow_match(spark, sf_dir).select("doc_a", "doc_b")
+    edges = wm.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        wm.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint()  # reused by both iterations
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _iterate(pr_frame):
+        # pr_frame: (doc_id, pr); returns the next (doc_id, pr)
+        contrib = (
+            edges.join(deg, "src")
+            .join(
+                pr_frame.select(
+                    F.col("doc_id").alias("src"), F.col("pr").alias("pr_src")
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("doc_id"),
+                F.expr("pr_src DIV deg").alias("t"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("t").cast("long").alias("contrib"))
+        )
+        return docs.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.lit(PR_HOLD)
+                + F.expr(
+                    "17 * coalesce(contrib, 0) DIV 20"
+                )
+            ).alias("pr"),
+        )
+
+    pr0 = docs.select("doc_id", F.lit(PR_BASE).alias("pr"))
+    pr1 = _iterate(pr0).localCheckpoint()
+    pr2 = _iterate(pr1)
+    return (
+        docs.join(
+            deg.select(F.col("src").alias("doc_id"), "deg"), "doc_id", "left"
+        )
+        .join(pr1.select("doc_id", F.col("pr").alias("pr1_micro")), "doc_id")
+        .join(pr2.select("doc_id", F.col("pr").alias("pr2_micro")), "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("degree"),
+            F.col("pr1_micro").cast("long"),
+            F.col("pr2_micro").cast("long"),
+        )
     )

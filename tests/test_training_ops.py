@@ -571,3 +571,70 @@ def test_curriculum_shards_pack_in_rank_order(spark):
         prev_shard = r["shard_id"]
     assert acc == sum(r["n_tokens"] for r in rows)
     assert rows[-1]["shard_id"] >= 1, "corpus should fill >1 shard"
+
+
+def test_whitening_standardizes_each_dimension(spark):
+    """Recompute one dimension in Python from the emitted micro
+    values: mean of z ~ 0, population std of z ~ 1 (up to the 1e-6
+    rounding grid), and z reproduces (v*n - sum) / sqrt(var_num)."""
+    import math
+
+    rows = [
+        r
+        for r in QUERIES["emb_whitening"](spark, SF).collect()
+        if r["dim_idx"] == 0
+    ]
+    assert rows
+    n = len(rows)
+    vs = [r["v_micro"] for r in rows]
+    s, ss = sum(vs), sum(v * v for v in vs)
+    var_num = n * ss - s * s
+    for r in rows[:25]:
+        want = round((r["v_micro"] * n - s) / math.sqrt(var_num), 6)
+        assert abs(r["z"] - want) < 1e-9
+    zs = [r["z"] for r in rows]
+    assert abs(sum(zs) / n) < 1e-3
+    assert abs(math.sqrt(sum(z * z for z in zs) / n) - 1.0) < 1e-3
+
+
+def test_whitening_constant_dimension_yields_null(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wh"))
+    rows = [
+        (i, [1.5] + [float(i + j) for j in range(63)], 0) for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{out}/embeddings.parquet")
+    got = QUERIES["emb_whitening"](spark, out).collect()
+    dim0 = [r for r in got if r["dim_idx"] == 0]
+    assert dim0 and all(r["z"] is None for r in dim0)
+    dim1 = [r for r in got if r["dim_idx"] == 1]
+    assert dim1 and all(r["z"] is not None for r in dim1)
+
+
+def test_pagerank_matches_python_replay_on_planted_graph(spark, tmp_path_factory):
+    """Exact integer replay: three identical docs form a triangle in
+    the winnow graph (plus one unique doc, dangling).  Two PageRank
+    iterations recomputed in Python must match bit-for-bit, and the
+    dangling doc holds exactly the (1-d) base mass."""
+    out = str(tmp_path_factory.mktemp("prw") / "sfdir")
+    text = " ".join(f"w{k}" for k in range(20))
+    rows = [(i, text, "en", "srcP", 100) for i in range(3)] + [
+        (9, " ".join(f"u{k}" for k in range(20)), "en", "srcP", 100)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(out + "/documents.parquet")
+    got = {r["doc_id"]: r for r in QUERIES["doc_pagerank_winnow"](spark, out).collect()}
+    assert set(got) == {0, 1, 2, 9}
+    # triangle: each of 0,1,2 has degree 2; dangling 9 has degree 0
+    assert got[9]["degree"] == 0
+    assert got[9]["pr1_micro"] == 150_000 == got[9]["pr2_micro"]
+    for d in (0, 1, 2):
+        assert got[d]["degree"] == 2
+        # iter 1: contrib = 2 * (1_000_000 // 2) = 1_000_000
+        pr1 = 150_000 + (17 * 1_000_000) // 20
+        assert got[d]["pr1_micro"] == pr1
+        # iter 2: contrib = 2 * (pr1 // 2)
+        pr2 = 150_000 + (17 * (2 * (pr1 // 2))) // 20
+        assert got[d]["pr2_micro"] == pr2

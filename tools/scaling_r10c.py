@@ -34,6 +34,8 @@ SUBSET = [
     "dedup_substring_remove",
     "sim_recall_ivfpq",
     "pack_curriculum_shards",
+    "emb_whitening",
+    "doc_pagerank_winnow",
 ]
 
 
