@@ -50,7 +50,11 @@ curation and the trainer, each composing already-verified stages:
   chain over exact integers; constant dims → NULL);
 - ``doc_pagerank_winnow`` — two exact-integer PageRank iterations
   over the winnow fingerprint-similarity graph (template-hub
-  authority, the centrality-weighting curation step).
+  authority, the centrality-weighting curation step);
+- ``emb_pca_power_iteration`` — top principal component by
+  matrix-free integer-exact power iteration (v ← Xᵀ(Xv), L∞
+  renormalization — no sqrt in the loop; the 64-long round vector is
+  the only driver traffic).
 
 Same conventions as the rest of the registry: portable hashing,
 integer arithmetic wherever a float boundary could flip a verdict,
@@ -2375,4 +2379,171 @@ def doc_pagerank_winnow(spark, sf_dir):
             F.col("pr1_micro").cast("long"),
             F.col("pr2_micro").cast("long"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component by power iteration (matrix-free, integer-exact)
+# ---------------------------------------------------------------------------
+
+PCA_DIMS = 64
+PCA_ROUNDS = 2
+
+
+def _pca_round_sql(n: int, prev_v: str) -> str:
+    """One unrolled power-iteration round over the centered cells:
+    per-vector score s = Σ_d x·v (then DIV 1e6 back to x-units),
+    per-dim accumulation w = Σ_i s'·x in HUGEINT, and L∞
+    renormalization to ±1e6 with truncation toward zero — every step
+    integer, so the round replays bit-for-bit on both engines."""
+    return f"""
+    sc{n} AS (
+      SELECT c.vec_id,
+             list_sum([c.x[i] * {prev_v}.v[i]
+                       for i in range(1, {PCA_DIMS} + 1)])
+               // 1000000 AS s
+      FROM cellv c, {prev_v}
+    ), w{n} AS (
+      SELECT gs.i,
+             sum(sc{n}.s::HUGEINT * c2.x[gs.i]) AS w
+      FROM sc{n} JOIN cellv c2 USING (vec_id),
+           generate_series(1, {PCA_DIMS}) AS gs(i)
+      GROUP BY gs.i
+    ), m{n} AS (SELECT max(abs(w)) AS m FROM w{n}),
+    v{n} AS (
+      SELECT list(
+               CASE WHEN m > 0 THEN
+                 (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                 * CAST((abs(w) * 1000000) // m AS BIGINT)
+               ELSE 0 END ORDER BY i) AS v
+      FROM w{n}, m{n}
+    )"""
+
+
+@query(
+    "emb_pca_power_iteration",
+    oracle=f"""
+    WITH qe AS (
+      SELECT vec_id,
+             [CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)
+              for x in embedding] AS qv
+      FROM embeddings
+      WHERE isfinite(list_sum([abs(x::DOUBLE) for x in embedding]))
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ), mu AS (
+      SELECT gs.i, CAST(sum(qv[gs.i]) AS BIGINT)
+               // count(*) AS mean_q
+      FROM qe, generate_series(1, {PCA_DIMS}) AS gs(i)
+      GROUP BY gs.i
+    ), mul AS (
+      SELECT list(mean_q ORDER BY i) AS ml FROM mu
+    ), cellv AS (
+      SELECT vec_id,
+             [qv[i] - ml[i] for i in range(1, {PCA_DIMS} + 1)] AS x
+      FROM qe, mul
+    ), v0 AS (SELECT [1000000 for i in range(1, {PCA_DIMS} + 1)] AS v),
+    {_pca_round_sql(1, 'v0')},
+    {_pca_round_sql(2, 'v1')}
+    SELECT gs.i - 1 AS dim_idx,
+           CAST(v2.v[gs.i] AS BIGINT) AS loading_micro
+    FROM v2, generate_series(1, {PCA_DIMS}) AS gs(i)
+    """,
+)
+def emb_pca_power_iteration(spark, sf_dir):
+    """Top principal component of the embedding corpus by
+    {PCA_ROUNDS} MATRIX-FREE power iterations — v ← Xᵀ(Xv) without
+    ever materializing the covariance — made integer-exact so both
+    engines replay it bit-for-bit (the ``emb_kmeans_train`` recipe
+    applied to iterative linear algebra; PCA is the front half of
+    OPQ/whitened-PQ and the standard pre-ANN rotation).
+
+    Exactness contract, per round: vectors quantize to micro ints and
+    center on the FLOOR mean (exact integer, the documented
+    approximation); the per-vector score s = Σ x·v truncates back to
+    x-units with DIV 1e6 (toward zero on both engines); the per-dim
+    accumulation Σ s·x runs in DECIMAL(38,0)/HUGEINT (BIGINT
+    overflows at sf1 already — 1e15-scale terms); renormalization is
+    L∞ — loading ← sign·(|w|·1e6 div max|w|) — because the max-abs
+    normalizer needs NO sqrt, keeping the whole loop in integers.
+    The ±1e6-scaled direction is the artifact; callers needing unit
+    L2 norm divide once at the end (one float op outside the loop).
+
+    Scale: each round is one map-side score pass (the 64-long
+    round vector rides along as a LITERAL array — the bounded
+    scalar-anchor class, 64 ints per round, exactly the BPE trainer's
+    argmax anchor pattern) and one map-combinable
+    posexplode→groupBy(dim) of {PCA_DIMS} groups; nothing data-sized
+    crosses the driver and no stage exceeds the moment-table shapes
+    already measured linear.  Init v₀ = 1⃗ (micro) — deterministic,
+    generically non-orthogonal to the top eigenvector.
+    """
+    dec = "decimal(38,0)"
+    q = (
+        _embs(spark, sf_dir)
+        .filter(P.finite_vec("embedding"))
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1e6).cast("long"),
+            ).alias("qv"),
+        )
+        .localCheckpoint()
+    )
+    mu = (
+        q.select(F.posexplode("qv").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.expr("CAST(sum(v) AS BIGINT) DIV count(*)").alias("mean_q"))
+        .collect()
+    )
+    if not mu:
+        return spark.createDataFrame(
+            [], "dim_idx long, loading_micro long"
+        )
+    means = [0] * PCA_DIMS
+    for r in mu:
+        means[r["i"]] = int(r["mean_q"])
+    mean_lit = F.array(*[F.lit(m) for m in means])
+    cell = q.select(
+        "vec_id",
+        F.zip_with("qv", mean_lit, lambda a, b: a - b).alias("x"),
+    ).localCheckpoint()
+
+    v = [1_000_000] * PCA_DIMS
+    for _ in range(PCA_ROUNDS):
+        s = cell.select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(x, "
+                + "array("
+                + ",".join(f"{int(c)}L" for c in v)
+                + "), (a, b) -> a * b), 0L, (acc, t) -> acc + t)"
+                " DIV 1000000"
+            ).alias("s"),
+        )
+        w_rows = (
+            cell.join(s, "vec_id")
+            .select(
+                F.posexplode("x").alias("i", "xv"),
+                F.col("s"),
+            )
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("s") * F.col("xv")).cast(dec)).alias("w")
+            )
+            .collect()
+        )
+        w = [0] * PCA_DIMS
+        for r in w_rows:
+            w[r["i"]] = int(r["w"])
+        m = max(abs(x) for x in w)
+        if m == 0:
+            v = [0] * PCA_DIMS
+            break
+        v = [
+            (1 if x >= 0 else -1) * ((abs(x) * 1_000_000) // m) for x in w
+        ]
+    return spark.createDataFrame(
+        [(i, int(v[i])) for i in range(PCA_DIMS)],
+        "dim_idx long, loading_micro long",
     )

@@ -638,3 +638,44 @@ def test_pagerank_matches_python_replay_on_planted_graph(spark, tmp_path_factory
         # iter 2: contrib = 2 * (pr1 // 2)
         pr2 = 150_000 + (17 * (2 * (pr1 // 2))) // 20
         assert got[d]["pr2_micro"] == pr2
+
+
+def test_pca_power_iteration_recovers_planted_direction(spark, tmp_path_factory):
+    """Planted anisotropy: vectors = t·u + ε with a fixed unit
+    direction u and small noise — after two power iterations the
+    emitted L∞-normalized loading must align with u (|cosine| > 0.99;
+    sign is not identifiable).  A constant corpus (zero variance)
+    must emit the all-zero loading, and an empty corpus zero rows."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    u = rng.randn(64)
+    u /= math.sqrt((u * u).sum())
+    ts = rng.randn(400) * 2.0
+    noise = rng.randn(400, 64) * 0.05
+    vecs = (ts[:, None] * u[None, :] + noise).astype("float32")
+    out = str(tmp_path_factory.mktemp("pca"))
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{out}/embeddings.parquet")
+    got = sorted(
+        QUERIES["emb_pca_power_iteration"](spark, out).collect(),
+        key=lambda r: r["dim_idx"],
+    )
+    assert [r["dim_idx"] for r in got] == list(range(64))
+    v = np.array([r["loading_micro"] for r in got], dtype="float64")
+    assert np.abs(v).max() == 1_000_000  # L-inf normalized
+    cos = abs(float(v @ u)) / math.sqrt(float(v @ v))
+    assert cos > 0.99, cos
+
+    # constant corpus -> zero loading
+    out2 = str(tmp_path_factory.mktemp("pca0"))
+    rows2 = [(i, [0.5] * 64, 0) for i in range(10)]
+    spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{out2}/embeddings.parquet")
+    z = QUERIES["emb_pca_power_iteration"](spark, out2).collect()
+    assert len(z) == 64 and all(r["loading_micro"] == 0 for r in z)

@@ -48,12 +48,13 @@ def main() -> None:
     spark = get_spark(app_name="scaling_r10c")
     bench._warmup(spark, SFS[0])
 
-    t: dict[str, list[float]] = {q: [] for q in SUBSET}
+    subset = sys.argv[1:] or SUBSET
+    t: dict[str, list[float]] = {q: [] for q in subset}
     for sf_dir in SFS:
         if not os.path.isdir(sf_dir):
             print(f"missing {sf_dir}; run tools/gen_sf1.py first")
             return
-        for q in SUBSET:
+        for q in subset:
             t0 = time.perf_counter()
             QUERIES[q](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
