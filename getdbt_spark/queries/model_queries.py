@@ -1065,3 +1065,149 @@ def streaming_incremental_sink(spark, sf_dir):
         gen.write.mode("append").parquet(src)
         out = S.run_into_incremental_sink(spark, src, e, table, ckpt)
     return out
+
+
+@query(
+    "streaming_psi_drift",
+    oracle="""
+    WITH base AS (
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS win_start,
+             CASE WHEN value IS NULL OR isnan(value) THEN -1
+                  ELSE least(CAST(floor(value / 50) AS BIGINT), 9)
+             END AS bucket
+      FROM events
+    ), counts AS (
+      SELECT win_start, bucket, count(*)::BIGINT AS n
+      FROM base GROUP BY win_start, bucket
+    ), sp AS (
+      SELECT w.win_start, gs.b AS bucket
+      FROM (SELECT DISTINCT win_start FROM counts) w,
+           (SELECT unnest(range(-1, 10)) AS b) gs
+    ), f AS (
+      SELECT sp.win_start, sp.bucket, coalesce(c.n, 0) AS n
+      FROM sp LEFT JOIN counts c
+        ON c.win_start = sp.win_start AND c.bucket = sp.bucket
+    ), nw AS (
+      SELECT win_start, sum(n)::BIGINT AS n_win FROM f GROUP BY win_start
+    ), ref AS (
+      SELECT gs.b AS bucket,
+             coalesce((SELECT count(*) FROM base b2
+                       WHERE b2.win_start < TIMESTAMP '2024-01-08'
+                         AND b2.bucket = gs.b), 0)::BIGINT AS r
+      FROM (SELECT unnest(range(-1, 10)) AS b) gs
+    ), rt AS (SELECT sum(r)::BIGINT AS r_tot FROM ref),
+    term AS (
+      SELECT f.win_start, nw.n_win,
+             floor(((ref.r + 1)::DOUBLE / (rt.r_tot + 11)
+                    - (f.n + 1)::DOUBLE / (nw.n_win + 11))
+                   * ln(((ref.r + 1)::DOUBLE / (rt.r_tot + 11))
+                        / ((f.n + 1)::DOUBLE / (nw.n_win + 11)))
+                   * 1000000000)::BIGINT AS t_nano
+      FROM f
+      JOIN nw USING (win_start)
+      JOIN ref ON ref.bucket = f.bucket, rt
+    )
+    SELECT win_start, win_start + INTERVAL 1 DAY AS win_end,
+           n_win AS n_events,
+           round(sum(t_nano) / 1000000000.0, 6) AS psi,
+           sum(t_nano) > 200000000 AS drift_flag
+    FROM term GROUP BY win_start, n_win
+    """,
+)
+def streaming_psi_drift(spark, sf_dir):
+    """The ONLINE drift monitor: per-day PSI of the event-value
+    histogram against the first-week reference histogram (the trained
+    artifact a deployment ships to the stream).  The histogram half —
+    ``streaming.drift_bucket_counts`` — is streaming-legal (one
+    watermarked tumbling aggregation, ≤11 groups per day) and is
+    exactly what runs under readStream; the PSI fold against the
+    static reference is a SECOND aggregation, so in production it
+    runs over the histogram sink / foreachBatch, which is what this
+    batch twin replays end-to-end.  Bucket −1 quarantines NULL/NaN
+    values (one corrupt price costs one visible histogram cell).
+
+    Same determinism contract as ``dq_psi_drift``: the reference is
+    11 bounded integers (collected once — the catalog-bounded anchor
+    class — and re-broadcast as literals), every PSI term is a
+    function of four integers quantized to nano units before the
+    order-free sum, and the 0.2 flag compares integers.
+
+    Scale: the stream side is one map-combinable groupBy bounded at
+    11 groups/day; the fold is catalog-grain (days × buckets).
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming import DRIFT_BUCKETS, drift_bucket_counts
+
+    counts = drift_bucket_counts(_t(spark, sf_dir, "events"))
+    ref_cut = F.lit("2024-01-08").cast("timestamp_ntz")
+    base_ref = _t(spark, sf_dir, "events").select(
+        F.col("ts"),
+        F.when(
+            F.col("value").isNull() | F.isnan("value"), F.lit(-1)
+        )
+        .otherwise(
+            F.least(F.floor(F.col("value") / 50), F.lit(DRIFT_BUCKETS - 1))
+        )
+        .cast("long")
+        .alias("bucket"),
+    ).filter(F.date_trunc("day", F.col("ts")) < ref_cut)
+    ref_rows = {
+        r["bucket"]: r["r"]
+        for r in base_ref.groupBy("bucket")
+        .agg(F.count("*").alias("r"))
+        .collect()
+    }
+    r_tot = sum(ref_rows.values())
+    ref_df = spark.createDataFrame(
+        [(b, int(ref_rows.get(b, 0))) for b in range(-1, DRIFT_BUCKETS)],
+        "bucket long, r long",
+    )
+    sp = (
+        counts.select("win_start", "win_end")
+        .distinct()
+        .select(
+            "win_start",
+            "win_end",
+            F.explode(
+                F.sequence(
+                    F.lit(-1), F.lit(DRIFT_BUCKETS - 1)
+                ).cast("array<bigint>")
+            ).alias("bucket"),
+        )
+    )
+    f = sp.join(counts, ["win_start", "win_end", "bucket"], "left").select(
+        "win_start",
+        "win_end",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n"),
+    )
+    nw = f.groupBy("win_start", "win_end").agg(
+        F.sum("n").cast("long").alias("n_win")
+    )
+    p_ref = (F.col("r") + 1).cast("double") / F.lit(float(r_tot + 11))
+    p_cur = (F.col("n") + 1).cast("double") / (F.col("n_win") + 11)
+    term = (
+        f.join(nw, ["win_start", "win_end"])
+        .join(F.broadcast(ref_df), "bucket")
+        .select(
+            "win_start",
+            "win_end",
+            "n_win",
+            F.floor(
+                (p_ref - p_cur) * F.log(p_ref / p_cur) * 1000000000
+            )
+            .cast("long")
+            .alias("t_nano"),
+        )
+    )
+    return term.groupBy("win_start", "win_end", "n_win").agg(
+        E.round_to(F.sum("t_nano") / 1000000000.0, 6).alias("psi"),
+        (F.sum("t_nano") > 200000000).alias("drift_flag"),
+    ).select(
+        "win_start",
+        "win_end",
+        F.col("n_win").alias("n_events"),
+        "psi",
+        "drift_flag",
+    )

@@ -645,3 +645,57 @@ def run_into_incremental_sink(
         # never created — the read-back is the transform's empty shape
         return spark.createDataFrame([], stream.schema)
     return spark.read.parquet(table_path)
+
+
+DRIFT_BUCKET_WIDTH = 50  # event-value histogram bucket width
+DRIFT_BUCKETS = 10       # buckets 0..9 (+ bucket -1 for NULL/NaN values)
+
+
+def drift_bucket_counts(events: DataFrame) -> DataFrame:
+    """Per-day event-VALUE histogram — the streaming-legal half of the
+    online drift monitor (``streaming_psi_drift``): one watermarked
+    tumbling-window aggregation maintaining per-(day, bucket) counts.
+    The PSI fold against the trained reference histogram is a SECOND
+    aggregation, which Structured Streaming forbids in one query — in
+    production it runs over this operator's sink (or in the
+    foreachBatch hook), exactly as the registered batch twin folds it.
+
+    Bucket -1 quarantines NULL/NaN values (the ``nanprices`` corpus
+    class) so a poisoned price feeds the monitor a visible bucket
+    instead of crashing the cast or silently vanishing — one corrupt
+    value costs one histogram cell, never the monitor.
+
+    Scale: map-side bucket assignment, ONE shuffle on (window,
+    bucket) — ≤ 11 groups per day regardless of event volume, all
+    map-combinable; watermark closes each day once >8-day-late events
+    are impossible, so state is bounded by the replay horizon.
+    """
+    shifted = _quarantine_future(events).withColumn(
+        "ts_evt", _ntz_instant("ts")
+    )
+    bucket = (
+        F.when(
+            F.col("value").isNull() | F.isnan("value"), F.lit(-1)
+        )
+        .otherwise(
+            F.least(
+                F.floor(F.col("value") / DRIFT_BUCKET_WIDTH),
+                F.lit(DRIFT_BUCKETS - 1),
+            )
+        )
+        .cast("long")
+    )
+    return (
+        shifted.withWatermark("ts_evt", WATERMARK)
+        .groupBy(
+            F.window("ts_evt", "1 day").alias("w"),
+            bucket.alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            _ntz_wall_out(F.col("w.start")).alias("win_start"),
+            _ntz_wall_out(F.col("w.end")).alias("win_end"),
+            "bucket",
+            "n_events",
+        )
+    )

@@ -40,6 +40,7 @@ from getdbt_spark.streaming import (
     attributed_conversions,
     daily_event_stats,
     dedup_replays,
+    drift_bucket_counts,
     run_available_now,
     session_stats,
     sliding_window_stats,
@@ -130,6 +131,7 @@ PARITY = [
     ("daily", daily_event_stats, "complete"),
     ("session", session_stats, "complete"),
     ("sliding", sliding_window_stats, "complete"),
+    ("drift_hist", drift_bucket_counts, "complete"),
     ("dedup_replays", dedup_replays, "append"),
     ("attribution", attributed_conversions, "append"),
 ]
