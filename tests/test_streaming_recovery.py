@@ -295,3 +295,39 @@ def test_session_stats_exactly_once_across_kill_restart(
     assert key(got_rows) == key(want_rows), (
         "sessions lost or duplicated across the kill/restart"
     )
+
+
+def test_drift_histogram_exactly_once_across_kill_restart(
+    spark, drip_feed_flush, tmp_path
+):
+    """The online drift monitor's histogram half recovers from a
+    kill mid-feed: every finalized (day, bucket) count lands in the
+    sink exactly once — partial day-window aggregates straddling the
+    kill resume from the state store, committed windows do not
+    re-emit.  (The flush sentinel's own day stays unfinalized and is
+    excluded from the batch twin by its window.)"""
+    from pyspark.sql import functions as F
+
+    from getdbt_spark.streaming import drift_bucket_counts
+
+    sink, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    processed = _kill_mid_feed(
+        spark, drip_feed_flush, drift_bucket_counts, sink, ck
+    )
+    total = spark.read.parquet(drip_feed_flush).count()
+    assert 0 < processed < total
+    _drain(spark, drip_feed_flush, drift_bucket_counts, sink, ck)
+
+    got = spark.read.parquet(sink)
+    flush_day = FLUSH_TS.date().isoformat()
+    want = drift_bucket_counts(spark.read.parquet(drip_feed_flush)).filter(
+        F.to_date("win_start") != F.lit(flush_day)
+    )
+    key = lambda rows: sorted(  # noqa: E731
+        (str(r["win_start"]), r["bucket"], r["n_events"]) for r in rows
+    )
+    got_rows, want_rows = got.collect(), want.collect()
+    assert len(want_rows) > 0
+    assert key(got_rows) == key(want_rows), (
+        "drift histogram lost or duplicated across the kill/restart"
+    )
