@@ -1865,11 +1865,16 @@ def dedup_substring_remove(spark, sf_dir):
     order key is global.
 
     Scale: shares the ``_kgram_occ`` anchor table (map-side explode +
-    one map-combinable groupBy on the gram hash); the only new wide
-    stage vs the spans operator is the per-gram row_number — a window
-    PARTITIONED BY the 60-bit gram hash, whose per-key width is the
-    duplication cluster size (the data this operator exists to cut,
-    same boundedness argument as the spans join).  The island merge
+    one map-combinable groupBy on the gram hash).  The survivor is
+    found WITHOUT a per-gram window: keep-first only needs the
+    lexicographic MIN (doc_id, pos) per gram, which is a
+    map-combinable ``min(struct(...))`` inside the same dup-count
+    aggregate — a per-gram ``row_number`` would funnel each gram's
+    whole occurrence list through one window task, and a hot gram
+    (boilerplate duplicated across millions of documents) is exactly
+    the skewed key this operator exists to cut.  An occurrence is
+    removable iff it differs from its gram's min — evaluated on the
+    occurrence stream after the equi-join back.  The island merge
     stays doc_id-partitioned.
     """
     from pyspark.sql import Window
@@ -1879,16 +1884,23 @@ def dedup_substring_remove(spark, sf_dir):
     d = _docs(spark, sf_dir)
     n = F.size(_ws(F.col("text")))
     occ = _kgram_occ(d)
-    dupg = occ.groupBy("g").agg(F.count("*").alias("cnt")).filter(
-        F.col("cnt") > 1
+    dupg = (
+        occ.groupBy("g")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+        )
+        .filter(F.col("cnt") > 1)
     )
-    rnk = occ.join(dupg.select("g"), "g").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("g").orderBy("doc_id", "pos")
-        ),
+    rem = (
+        occ.join(dupg.select("g", "first_occ"), "g")
+        .filter(
+            (F.col("doc_id") != F.col("first_occ.doc_id"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
+        .select("doc_id", "pos")
+        .distinct()
     )
-    rem = rnk.filter(F.col("rn") > 1).select("doc_id", "pos").distinct()
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
