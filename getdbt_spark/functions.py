@@ -537,3 +537,185 @@ def with_global_cumsum(
         )
         .drop("__gc_pid", "__gc_lsum", "__gc_off", "__gc_w")
     )
+
+
+def with_grouped_global_rank(
+    df: DataFrame,
+    group: Column | str,
+    order: Sequence[Column | str],
+    rank_col: str = "rnk",
+    num_slices: int | None = None,
+) -> DataFrame:
+    """Exact per-GROUP global ``row_number`` without a group-partitioned
+    window — the scale-safe shape when the grouping key is
+    catalog-sized but each group's row count is DATA-sized (documents
+    per language, rows per tenant).  ``Window.partitionBy(group)``
+    funnels each group through ONE task, so a monolingual 100 TB
+    corpus sorts 80% of its documents in a single thread; this helper
+    extends the ``with_global_rank`` slice-offset shape with the group
+    leading the range partitioning:
+
+    1. range-repartition + sort on (group, *order) — each slice holds
+       a contiguous run of the (group, order) total order;
+    2. an Arrow kernel assigns local ranks RESETTING at group
+       boundaries within the slice (no extra shuffle);
+    3. per-(slice, group) counts reduce to ≤ slices × groups rows —
+       slices are the shuffle width and groups are catalog-bounded,
+       so the offsets frame is partition metadata, not data; the
+       exclusive running offset per group is one window PARTITIONED
+       BY the group over ≤ ``num_slices`` rows (bounded by
+       construction — category (b));
+    4. broadcast-join offsets back and add.
+
+    (group, *order) must be a total order within each group —
+    ``row_number``'s own determinism contract.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if num_slices:
+        n = num_slices
+    else:
+        try:
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (ValueError, TypeError):
+            n = spark.sparkContext.defaultParallelism
+    g = _col(group)
+    cols = [_col(c) for c in order]
+    ranged = (
+        df.withColumn("__gg_grp", g)
+        .repartitionByRange(n, F.col("__gg_grp"), *cols)
+        .sortWithinPartitions(F.col("__gg_grp"), *cols)
+        .withColumn("__gg_pid", F.spark_partition_id())
+    )
+    out_schema = T.StructType(
+        list(ranged.schema.fields)
+        + [T.StructField("__gg_lrnk", T.LongType())]
+    )
+
+    def _local_rank(batches):
+        last = object()
+        off = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            ranks = []
+            for v in pdf["__gg_grp"]:
+                if v != last:
+                    last, off = v, 0
+                off += 1
+                ranks.append(off)
+            pdf["__gg_lrnk"] = ranks
+            yield pdf
+
+    ranked = ranged.mapInPandas(_local_rank, out_schema).localCheckpoint()
+    counts = ranked.groupBy("__gg_pid", "__gg_grp").agg(
+        F.count("*").alias("__gg_n")
+    )
+    w = (
+        Window.partitionBy("__gg_grp")
+        .orderBy("__gg_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__gg_pid",
+        "__gg_grp",
+        F.coalesce(F.sum("__gg_n").over(w), F.lit(0)).alias("__gg_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), ["__gg_pid", "__gg_grp"])
+        .withColumn(
+            rank_col,
+            (F.col("__gg_off") + F.col("__gg_lrnk")).cast("long"),
+        )
+        .drop("__gg_pid", "__gg_grp", "__gg_lrnk", "__gg_off")
+    )
+
+
+def with_grouped_global_cumsum(
+    df: DataFrame,
+    group: Column | str,
+    order: Sequence[Column | str],
+    weight: Column | str,
+    cumsum_col: str = "cumsum",
+    num_slices: int | None = None,
+) -> DataFrame:
+    """Exact per-GROUP inclusive prefix sum of ``weight`` without a
+    group-partitioned window — ``with_grouped_global_rank``'s shape
+    applied to running totals.  The packing operators partition
+    running token totals by language/source: catalog-sized keys whose
+    per-group row counts are DATA-sized, so a dominant group would
+    fold its whole token stream through one window task.  Here the
+    kernel accumulates per-slice per-group sums (resetting at group
+    boundaries of the (group, order) range sort), the per-(slice,
+    group) totals reduce to slices × groups metadata rows, exclusive
+    per-group offsets come from one window over that bounded frame,
+    and a broadcast join adds them back.
+
+    Same contracts as the siblings: integral ``weight``, (group,
+    *order) total within each group.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if num_slices:
+        n = num_slices
+    else:
+        try:
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (ValueError, TypeError):
+            n = spark.sparkContext.defaultParallelism
+    g = _col(group)
+    cols = [_col(c) for c in order]
+    w_col = _col(weight)
+    ranged = (
+        df.withColumn("__gc_grp", g)
+        .withColumn("__gc_w", w_col.cast("long"))
+        .repartitionByRange(n, F.col("__gc_grp"), *cols)
+        .sortWithinPartitions(F.col("__gc_grp"), *cols)
+        .withColumn("__gc_pid", F.spark_partition_id())
+    )
+    out_schema = T.StructType(
+        list(ranged.schema.fields)
+        + [T.StructField("__gc_lsum", T.LongType())]
+    )
+
+    def _local_cumsum(batches):
+        last = object()
+        acc = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            sums = []
+            for grp, wv in zip(pdf["__gc_grp"], pdf["__gc_w"]):
+                if grp != last:
+                    last, acc = grp, 0
+                acc += int(wv)
+                sums.append(acc)
+            pdf["__gc_lsum"] = sums
+            yield pdf
+
+    summed = ranged.mapInPandas(_local_cumsum, out_schema).localCheckpoint()
+    totals = summed.groupBy("__gc_pid", "__gc_grp").agg(
+        F.coalesce(F.sum("__gc_w"), F.lit(0)).alias("__gc_n")
+    )
+    w = (
+        Window.partitionBy("__gc_grp")
+        .orderBy("__gc_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__gc_pid",
+        "__gc_grp",
+        F.coalesce(F.sum("__gc_n").over(w), F.lit(0)).alias("__gc_off"),
+    )
+    return (
+        summed.join(F.broadcast(offsets), ["__gc_pid", "__gc_grp"])
+        .withColumn(
+            cumsum_col,
+            (F.col("__gc_off") + F.col("__gc_lsum")).cast("long"),
+        )
+        .drop("__gc_pid", "__gc_grp", "__gc_lsum", "__gc_off", "__gc_w")
+    )

@@ -1454,19 +1454,23 @@ def pack_bpe_budget(spark, sf_dir):
     zero regex tokens (null/empty text) emit no units and so get no
     shard slot — oracle mirrors via the inner join.  Plan: the encode
     chain, one map-combinable per-doc count, one equi join back to
-    the catalog columns, one lang-partitioned packing window —
-    nothing global, nothing all-pairs.
+    the catalog columns, then the packing prefix sum via
+    ``functions.with_grouped_global_cumsum`` — languages are
+    catalog-sized keys with DATA-sized token streams, so a
+    lang-partitioned window would fold a dominant language through
+    one task (the ``pack_token_budget`` rewrite, applied here).
     """
-    from pyspark.sql import Window
-
     enc = bpe_encode(spark, sf_dir)
     cnt = enc.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bpe_tokens")
     )
     d = _docs(spark, sf_dir).select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    c = d.join(cnt, "doc_id").withColumn(
-        "cum", F.sum("n_bpe_tokens").over(w)
+    c = E.with_grouped_global_cumsum(
+        d.join(cnt, "doc_id"),
+        group="lang",
+        order=[F.asc("doc_id")],
+        weight="n_bpe_tokens",
+        cumsum_col="cum",
     )
     start = (F.col("cum") - F.col("n_bpe_tokens")).cast("long")
     return c.select(

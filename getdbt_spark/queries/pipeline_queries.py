@@ -1029,21 +1029,26 @@ def pack_token_budget(spark, sf_dir):
     2048-token context windows — the contiguous-fill packing every
     large pretraining pipeline runs before writing tokenized shards.
 
-    The assignment is a pure window computation (cumulative token
-    count per language in doc_id order; bin = start_offset div
-    budget): no RNG, no driver state, stable under retries and
-    re-partitioning.  At 100 TB this is one shuffle on the language
-    key; within-partition order is the explicit doc_id sort, so two
-    runs (or two engines) produce byte-identical shard layouts.
+    The assignment is deterministic (cumulative token count per
+    language in doc_id order; bin = start_offset div budget): no RNG,
+    no driver state, stable under retries and re-partitioning.  The
+    running total uses ``functions.with_grouped_global_cumsum`` — a
+    lang-PARTITIONED window funnels each language's whole token
+    stream through one task, and languages are catalog-sized keys
+    with DATA-sized row counts (a monolingual corpus = one window
+    task for ~all documents); the grouped slice-offset prefix sum
+    keeps every stage bounded while producing the identical
+    byte-stable layout.
     """
-    from pyspark.sql import Window
-
     d = _docs(spark, sf_dir)
     n_tokens = F.size(F.split("text", " ")).cast("long")
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    c = d.select(
-        "doc_id", "lang", n_tokens.alias("n_tokens")
-    ).withColumn("cum", F.sum("n_tokens").over(w))
+    c = E.with_grouped_global_cumsum(
+        d.select("doc_id", "lang", n_tokens.alias("n_tokens")),
+        group="lang",
+        order=[F.asc("doc_id")],
+        weight="n_tokens",
+        cumsum_col="cum",
+    )
     start = (F.col("cum") - F.col("n_tokens")).cast("long")
     return c.select(
         "doc_id",
@@ -1407,19 +1412,22 @@ def pack_shard_manifest(spark, sf_dir):
     tokenizer-writer job consumes to emit training shards, and what a
     data-lineage audit reads back ("which documents are in shard 17?").
 
-    Same single-exchange window as the packer, then one map-combinable
+    Same grouped slice-offset prefix sum as the packer (a
+    lang-partitioned window would funnel a dominant language through
+    one task — see ``pack_token_budget``), then one map-combinable
     aggregation; the per-shard doc list is bounded by the token budget
     (2048 tokens / min doc length), so collect_list stays small by
     construction at any corpus size.
     """
-    from pyspark.sql import Window
-
     d = _docs(spark, sf_dir)
     n_tokens = F.size(F.split("text", " ")).cast("long")
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    c = d.select(
-        "doc_id", "lang", n_tokens.alias("n_tokens")
-    ).withColumn("cum", F.sum("n_tokens").over(w))
+    c = E.with_grouped_global_cumsum(
+        d.select("doc_id", "lang", n_tokens.alias("n_tokens")),
+        group="lang",
+        order=[F.asc("doc_id")],
+        weight="n_tokens",
+        cumsum_col="cum",
+    )
     b = c.select(
         "doc_id",
         "lang",

@@ -518,13 +518,17 @@ def text_ccnet_buckets(spark, sf_dir):
     both engines.
 
     Scale: composes the verified perplexity stage (two shuffles) plus
-    ONE lang-partitioned window — partitioned, never global; language
-    cardinality is catalog-bounded and per-lang rank state is
-    data-sized only within a partition, the same shape as
-    ``pack_token_budget``'s packing window.
+    the per-language rank via ``functions.with_grouped_global_rank``
+    — a lang-PARTITIONED window is not a safe shape here, because the
+    grouping key is catalog-sized but each group's row count is
+    DATA-sized: a monolingual corpus would sort nearly all documents
+    in ONE window task.  The grouped slice-offset rank keeps every
+    stage bounded (range repartition on (lang, ppl, doc), per-slice
+    Arrow ranks resetting at group boundaries, slices×languages
+    offset metadata).  ``n_lang`` comes from a map-combinable
+    aggregate joined back (languages are catalog-bounded), not a
+    count window over the doc stream.
     """
-    from pyspark.sql import Window
-
     from .pipeline_queries import text_perplexity_proxy
 
     ppl = text_perplexity_proxy(spark, sf_dir).select(
@@ -532,11 +536,16 @@ def text_ccnet_buckets(spark, sf_dir):
     )
     d = _docs(spark, sf_dir).select("doc_id", "lang")
     j = ppl.join(d, "doc_id")
-    w = Window.partitionBy("lang").orderBy("avg_neg_log_p", "doc_id")
-    w_n = Window.partitionBy("lang")
-    r = j.withColumn(
-        "ppl_rank_in_lang", F.row_number().over(w).cast("long")
-    ).withColumn("n_lang", F.count("*").over(w_n))
+    ranked = E.with_grouped_global_rank(
+        j,
+        group="lang",
+        order=[F.asc("avg_neg_log_p"), F.asc("doc_id")],
+        rank_col="ppl_rank_in_lang",
+    )
+    nl = j.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    r = ranked.join(F.broadcast(nl), "lang").withColumn(
+        "ppl_rank_in_lang", F.col("ppl_rank_in_lang").cast("long")
+    )
     bucket_idx = F.expr("(ppl_rank_in_lang - 1) * 3 DIV n_lang")
     return r.select(
         "doc_id",

@@ -466,6 +466,39 @@ class TestGlobalWindowGuard:
             df.filter(F.col("id") < 0), ["id"], weight="w", cumsum_col="c"
         ).count() == 0
 
+    def test_with_grouped_global_rank_matches_partitioned_row_number(
+        self, spark
+    ):
+        """The grouped slice-offset rank equals a group-partitioned
+        row_number, on a multi-slice input whose groups straddle
+        slice boundaries (one group deliberately dominates, the
+        monolingual-corpus shape the helper exists for)."""
+        from pyspark.sql import Window
+
+        from getdbt_spark.functions import with_grouped_global_rank
+
+        df = spark.range(2000).select(
+            F.when(F.col("id") < 1500, F.lit("big"))
+            .otherwise(F.concat(F.lit("g"), (F.col("id") % 7).cast("string")))
+            .alias("grp"),
+            (F.col("id") % 13).alias("k"),
+            F.col("id"),
+        )
+        got = with_grouped_global_rank(
+            df, group="grp", order=["k", "id"], rank_col="r", num_slices=7
+        )
+        want = df.withColumn(
+            "r",
+            F.row_number()
+            .over(Window.partitionBy("grp").orderBy("k", "id"))
+            .cast("long"),
+        )
+        assert sorted(got.collect()) == sorted(want.collect())
+        assert with_grouped_global_rank(
+            df.filter(F.col("id") < 0), group="grp", order=["id"],
+            rank_col="r",
+        ).count() == 0
+
 
 def test_kernel_stage_stats_correct_after_materialization(spark):
     """Pins the r9 sf10 broadcast-OOM mechanism: Catalyst sizes an
