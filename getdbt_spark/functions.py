@@ -595,6 +595,8 @@ def with_grouped_global_rank(
         + [T.StructField("__gg_lrnk", T.LongType())]
     )
 
+    _nullg = object()  # NULL/NaN group sentinel: one group, like SQL
+
     def _local_rank(batches):
         last = object()
         off = 0
@@ -602,6 +604,8 @@ def with_grouped_global_rank(
             pdf = pdf.copy()
             ranks = []
             for v in pdf["__gg_grp"]:
+                if v is None or v != v:
+                    v = _nullg
                 if v != last:
                     last, off = v, 0
                 off += 1
@@ -623,13 +627,27 @@ def with_grouped_global_rank(
         "__gg_grp",
         F.coalesce(F.sum("__gg_n").over(w), F.lit(0)).alias("__gg_off"),
     )
+    offsets = F.broadcast(
+        offsets.withColumnsRenamed(
+            {"__gg_pid": "__gg_pid2", "__gg_grp": "__gg_grp2"}
+        )
+    )
     return (
-        ranked.join(F.broadcast(offsets), ["__gg_pid", "__gg_grp"])
+        # eqNullSafe on the group: a NULL group is one group (SQL
+        # window semantics) and must not vanish through the equi-join
+        ranked.join(
+            offsets,
+            (F.col("__gg_pid") == F.col("__gg_pid2"))
+            & F.col("__gg_grp").eqNullSafe(F.col("__gg_grp2")),
+        )
         .withColumn(
             rank_col,
             (F.col("__gg_off") + F.col("__gg_lrnk")).cast("long"),
         )
-        .drop("__gg_pid", "__gg_grp", "__gg_lrnk", "__gg_off")
+        .drop(
+            "__gg_pid", "__gg_grp", "__gg_pid2", "__gg_grp2",
+            "__gg_lrnk", "__gg_off",
+        )
     )
 
 
@@ -683,6 +701,8 @@ def with_grouped_global_cumsum(
         + [T.StructField("__gc_lsum", T.LongType())]
     )
 
+    _nullg = object()  # NULL/NaN group sentinel: one group, like SQL
+
     def _local_cumsum(batches):
         last = object()
         acc = 0
@@ -690,9 +710,13 @@ def with_grouped_global_cumsum(
             pdf = pdf.copy()
             sums = []
             for grp, wv in zip(pdf["__gc_grp"], pdf["__gc_w"]):
+                if grp is None or grp != grp:
+                    grp = _nullg
                 if grp != last:
                     last, acc = grp, 0
-                acc += int(wv)
+                # NULL weight ≡ 0 (the kernel contract; a window SUM
+                # also skips NULLs) — pandas surfaces it as NaN here
+                acc += 0 if wv != wv or wv is None else int(wv)
                 sums.append(acc)
             pdf["__gc_lsum"] = sums
             yield pdf
@@ -711,11 +735,24 @@ def with_grouped_global_cumsum(
         "__gc_grp",
         F.coalesce(F.sum("__gc_n").over(w), F.lit(0)).alias("__gc_off"),
     )
+    offsets = F.broadcast(
+        offsets.withColumnsRenamed(
+            {"__gc_pid": "__gc_pid2", "__gc_grp": "__gc_grp2"}
+        )
+    )
     return (
-        summed.join(F.broadcast(offsets), ["__gc_pid", "__gc_grp"])
+        # eqNullSafe on the group — see with_grouped_global_rank
+        summed.join(
+            offsets,
+            (F.col("__gc_pid") == F.col("__gc_pid2"))
+            & F.col("__gc_grp").eqNullSafe(F.col("__gc_grp2")),
+        )
         .withColumn(
             cumsum_col,
             (F.col("__gc_off") + F.col("__gc_lsum")).cast("long"),
         )
-        .drop("__gc_pid", "__gc_grp", "__gc_lsum", "__gc_off", "__gc_w")
+        .drop(
+            "__gc_pid", "__gc_grp", "__gc_pid2", "__gc_grp2",
+            "__gc_lsum", "__gc_off", "__gc_w",
+        )
     )

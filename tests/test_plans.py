@@ -230,15 +230,14 @@ def test_range_join_is_broadcast_hash_not_nested_loop(spark):
     "qid,key",
     [
         ("win_session_longest", "user_id"),
-        ("pack_token_budget", "lang"),
     ],
 )
 def test_window_pipelines_reuse_one_exchange(spark, qid, key):
-    """Sessionize→aggregate→rank (and cumulative packing) must share a
-    single hash exchange on the partition key: every window and the
-    session aggregation cluster on the same key, so Spark plans one
-    shuffle for the whole pipeline.  A second exchange would mean a
-    window spec drifted off the shared key."""
+    """Sessionize→aggregate→rank must share a single hash exchange on
+    the partition key: every window and the session aggregation
+    cluster on the same key, so Spark plans one shuffle for the whole
+    pipeline.  A second exchange would mean a window spec drifted off
+    the shared key."""
     import re
 
     load_all()
@@ -246,6 +245,24 @@ def test_window_pipelines_reuse_one_exchange(spark, qid, key):
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, f"{qid}: expected 1 exchange, plan has {len(exchanges)}"
     assert f"hashpartitioning({key}" in plan
+
+
+def test_pack_token_budget_uses_grouped_cumsum_shape(spark):
+    """The packer's running total must be the grouped slice-offset
+    prefix sum, NOT a lang-partitioned window (a catalog-sized key
+    with data-sized groups funnels a monolingual corpus through one
+    window task): the plan range-partitions on the group and carries
+    no lang-hash window exchange."""
+    load_all()
+    plan = _formatted(spark, QUERIES["pack_token_budget"](spark, SF))
+    # the checkpoint cuts the range-exchange out of the final plan;
+    # its signature is the helper's checkpointed kernel columns plus
+    # the bounded offsets window keyed on the GROUP sentinel column
+    assert "__gc_lsum" in plan, "grouped cumsum kernel missing"
+    assert "hashpartitioning(__gc_pid" in plan
+    assert "hashpartitioning(lang" not in plan, (
+        "lang-partitioned window crept back into the packer"
+    )
 
 
 def test_partitioned_sink_readback_prunes_partitions(spark):
