@@ -237,6 +237,16 @@ MB_SENSITIVE = [
     "bpe_merge_table",
     "pack_bpe_budget",
     "dsir_resample",
+    # round-10 additions on the same seams: md5-of-token bucketing
+    # (NB filter, token drift), md5(doc_id:pos) over whitespace-token
+    # positions (span corruption), the k-gram machinery (substring
+    # remove), the BPE chain + char counts (fertility)
+    "quality_nb_train",
+    "quality_nb_score",
+    "aug_span_corruption",
+    "dq_psi_token_drift",
+    "dedup_substring_remove",
+    "bpe_fertility",
 ]
 
 
