@@ -1072,8 +1072,9 @@ def streaming_incremental_sink(spark, sf_dir):
     oracle="""
     WITH base AS (
       SELECT time_bucket(INTERVAL 1 DAY, ts) AS win_start,
-             CASE WHEN value IS NULL OR isnan(value) THEN -1
-                  ELSE least(CAST(floor(value / 50) AS BIGINT), 9)
+             CASE WHEN value IS NULL OR NOT isfinite(value) THEN -1
+                  ELSE greatest(
+                    least(CAST(floor(value / 50) AS BIGINT), 9), 0)
              END AS bucket
       FROM events
     ), counts AS (
@@ -1144,10 +1145,15 @@ def streaming_psi_drift(spark, sf_dir):
     base_ref = _t(spark, sf_dir, "events").select(
         F.col("ts"),
         F.when(
-            F.col("value").isNull() | F.isnan("value"), F.lit(-1)
+            F.col("value").isNull() | ~E.is_finite("value"), F.lit(-1)
         )
         .otherwise(
-            F.least(F.floor(F.col("value") / 50), F.lit(DRIFT_BUCKETS - 1))
+            F.greatest(
+                F.least(
+                    F.floor(F.col("value") / 50), F.lit(DRIFT_BUCKETS - 1)
+                ),
+                F.lit(0),
+            )
         )
         .cast("long")
         .alias("bucket"),

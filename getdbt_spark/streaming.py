@@ -660,10 +660,12 @@ def drift_bucket_counts(events: DataFrame) -> DataFrame:
     production it runs over this operator's sink (or in the
     foreachBatch hook), exactly as the registered batch twin folds it.
 
-    Bucket -1 quarantines NULL/NaN values (the ``nanprices`` corpus
-    class) so a poisoned price feeds the monitor a visible bucket
-    instead of crashing the cast or silently vanishing — one corrupt
-    value costs one histogram cell, never the monitor.
+    Bucket -1 quarantines every NON-FINITE value — NULL, NaN AND ±Inf
+    (the ``nanvalues`` corpus class; a NaN-only guard leaves
+    floor(−Inf) to abort the ANSI cast — found by the variant replay)
+    — so a poisoned price feeds the monitor a visible bucket instead
+    of crashing the cast or silently vanishing: one corrupt value
+    costs one histogram cell, never the monitor.
 
     Scale: map-side bucket assignment, ONE shuffle on (window,
     bucket) — ≤ 11 groups per day regardless of event volume, all
@@ -673,14 +675,24 @@ def drift_bucket_counts(events: DataFrame) -> DataFrame:
     shifted = _quarantine_future(events).withColumn(
         "ts_evt", _ntz_instant("ts")
     )
+    # Finite values CLAMP into the fixed spine from BOTH ends
+    # (greatest .. 0): a negative-value regime (the hostile variant;
+    # refunds/chargebacks in production) must pile visibly into
+    # bucket 0, not mint out-of-spine buckets that the PSI fold's
+    # -1..9 spine silently drops — found by the variant replay, where
+    # Spark's reference total summed the invisible buckets and the
+    # oracle's spine didn't.
     bucket = (
         F.when(
-            F.col("value").isNull() | F.isnan("value"), F.lit(-1)
+            F.col("value").isNull() | ~E.is_finite("value"), F.lit(-1)
         )
         .otherwise(
-            F.least(
-                F.floor(F.col("value") / DRIFT_BUCKET_WIDTH),
-                F.lit(DRIFT_BUCKETS - 1),
+            F.greatest(
+                F.least(
+                    F.floor(F.col("value") / DRIFT_BUCKET_WIDTH),
+                    F.lit(DRIFT_BUCKETS - 1),
+                ),
+                F.lit(0),
             )
         )
         .cast("long")
