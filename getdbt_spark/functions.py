@@ -511,7 +511,14 @@ def with_global_cumsum(
         off = 0
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["__gc_lsum"] = pdf["__gc_w"].cumsum() + off
+            # NULL weight ≡ 0 (same contract as the grouped sibling and
+            # as window SUM, which skips NULLs).  A nullable LongType
+            # column arrives as float64 with NaN — fillna BEFORE the
+            # integer cumsum, else a terminal NULL crashes the int()
+            # offset and non-terminal NULLs poison the running total.
+            pdf["__gc_lsum"] = (
+                pdf["__gc_w"].fillna(0).astype("int64").cumsum() + off
+            )
             off = int(pdf["__gc_lsum"].iloc[-1]) if len(pdf) else off
             yield pdf
 
@@ -537,6 +544,31 @@ def with_global_cumsum(
         )
         .drop("__gc_pid", "__gc_lsum", "__gc_off", "__gc_w")
     )
+
+
+def _nan_group_to_null(df: DataFrame, name: str) -> DataFrame:
+    """Normalize NaN group values to NULL in the materialized group
+    column of the grouped rank/cumsum helpers.
+
+    The Arrow kernels cannot distinguish NULL from NaN after pandas
+    conversion (both arrive as NaN in a float64 column), so the kernel
+    folds them into one group — but ``groupBy`` and the ``eqNullSafe``
+    offsets join treat NaN as an ordinary value distinct from NULL.
+    For a float group column holding both, the three layers would
+    disagree and ranks would diverge from any consistent contract.
+    Normalizing NaN → NULL up front makes all three agree on ONE
+    group.  Documented contract: these helpers treat NaN ≡ NULL for
+    floating-point group keys (SQL windows would keep them distinct —
+    don't group on floats if that distinction matters)."""
+    dt = df.schema[name].dataType
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return df.withColumn(
+            name,
+            F.when(F.isnan(F.col(name)), F.lit(None)).otherwise(
+                F.col(name)
+            ),
+        )
+    return df
 
 
 def with_grouped_global_rank(
@@ -585,7 +617,7 @@ def with_grouped_global_rank(
     g = _col(group)
     cols = [_col(c) for c in order]
     ranged = (
-        df.withColumn("__gg_grp", g)
+        _nan_group_to_null(df.withColumn("__gg_grp", g), "__gg_grp")
         .repartitionByRange(n, F.col("__gg_grp"), *cols)
         .sortWithinPartitions(F.col("__gg_grp"), *cols)
         .withColumn("__gg_pid", F.spark_partition_id())
@@ -690,7 +722,7 @@ def with_grouped_global_cumsum(
     cols = [_col(c) for c in order]
     w_col = _col(weight)
     ranged = (
-        df.withColumn("__gc_grp", g)
+        _nan_group_to_null(df.withColumn("__gc_grp", g), "__gc_grp")
         .withColumn("__gc_w", w_col.cast("long"))
         .repartitionByRange(n, F.col("__gc_grp"), *cols)
         .sortWithinPartitions(F.col("__gc_grp"), *cols)

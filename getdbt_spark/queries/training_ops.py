@@ -2247,7 +2247,11 @@ def emb_whitening(spark, sf_dir):
         F.sum("v").cast("long").alias("sum_q"),
         (
             F.count("*").cast(dec)
-            * F.sum((F.col("v") * F.col("v")).cast(dec))
+            # cast each factor BEFORE multiplying — v·v in LONG
+            # overflows at |x| > ~3037 (v = floor(x·1e6)), which
+            # finite_vec does not exclude; DECIMAL(38,0)·DECIMAL(38,0)
+            # matches the oracle's HUGEINT auto-promotion
+            * F.sum(F.col("v").cast(dec) * F.col("v").cast(dec))
             - F.sum(F.col("v").cast(dec)) * F.sum(F.col("v").cast(dec))
         ).alias("var_num"),
     )

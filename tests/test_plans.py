@@ -516,6 +516,99 @@ class TestGlobalWindowGuard:
             rank_col="r",
         ).count() == 0
 
+    def test_with_global_cumsum_null_weights_treated_as_zero(self, spark):
+        """NULL weights must behave exactly like window SUM (which
+        skips NULLs): the running total carries through NULL-weight
+        rows unchanged, and a NULL-weight row ENDING an Arrow batch
+        must not crash the integer offset handoff (the r10 advice
+        finding: float64 NaN reaching ``int(...)``)."""
+        from pyspark.sql import Window
+
+        from getdbt_spark.functions import with_global_cumsum
+
+        df = spark.range(500).select(
+            F.col("id"),
+            # NULL every 5th weight, including id=499 (a terminal row)
+            F.when(F.col("id") % 5 != 4, F.col("id") % 7).alias("w"),
+        )
+        got = with_global_cumsum(
+            df, ["id"], weight="w", cumsum_col="c", num_slices=7
+        )
+        want = df.withColumn(
+            "c",
+            F.coalesce(
+                F.sum("w").over(
+                    Window.orderBy("id").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        assert sorted(got.collect()) == sorted(want.collect())
+        # an ALL-NULL-weight frame yields cumsum 0 everywhere, not NULL
+        all_null = spark.range(50).select(
+            F.col("id"), F.lit(None).cast("long").alias("w")
+        )
+        out = with_global_cumsum(
+            all_null, ["id"], weight="w", cumsum_col="c", num_slices=3
+        )
+        assert all(r["c"] == 0 for r in out.collect())
+
+    def test_grouped_helpers_fold_nan_group_into_null(self, spark):
+        """Float group keys: NaN and NULL are ONE group by the helpers'
+        documented contract (pandas cannot tell them apart after Arrow
+        conversion).  The normalization must make the kernel, the
+        per-slice aggregation, and the eqNullSafe offsets join agree —
+        ranks equal row_number over the NaN→NULL-normalized group."""
+        from pyspark.sql import Window
+
+        from getdbt_spark.functions import (
+            with_grouped_global_cumsum,
+            with_grouped_global_rank,
+        )
+
+        df = spark.range(300).select(
+            F.when(F.col("id") % 3 == 0, F.lit(float("nan")))
+            .when(F.col("id") % 3 == 1, F.lit(None))
+            .otherwise((F.col("id") % 5).cast("double"))
+            .alias("grp"),
+            F.col("id"),
+            (F.col("id") % 4).alias("w"),
+        )
+        norm = F.when(F.isnan("grp"), F.lit(None)).otherwise(F.col("grp"))
+        got_r = with_grouped_global_rank(
+            df, group="grp", order=["id"], rank_col="r", num_slices=5
+        )
+        want_r = df.withColumn(
+            "r",
+            F.row_number()
+            .over(Window.partitionBy(norm).orderBy("id"))
+            .cast("long"),
+        )
+        assert (
+            sorted((r["id"], r["r"]) for r in got_r.collect())
+            == sorted((r["id"], r["r"]) for r in want_r.collect())
+        )
+        got_c = with_grouped_global_cumsum(
+            df, group="grp", order=["id"], weight="w",
+            cumsum_col="c", num_slices=5,
+        )
+        want_c = df.withColumn(
+            "c",
+            F.sum("w")
+            .over(
+                Window.partitionBy(norm)
+                .orderBy("id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("long"),
+        )
+        assert (
+            sorted((r["id"], r["c"]) for r in got_c.collect())
+            == sorted((r["id"], r["c"]) for r in want_c.collect())
+        )
+
 
 def test_kernel_stage_stats_correct_after_materialization(spark):
     """Pins the r9 sf10 broadcast-OOM mechanism: Catalyst sizes an

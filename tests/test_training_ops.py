@@ -612,6 +612,38 @@ def test_whitening_constant_dimension_yields_null(spark, tmp_path_factory):
     assert dim1 and all(r["z"] is not None for r in dim1)
 
 
+def test_whitening_survives_large_magnitude_values(spark, tmp_path_factory):
+    """v = floor(x·1e6) makes v·v overflow BIGINT at |x| > ~3037,
+    which finite_vec does NOT exclude — the per-term square must cast
+    to DECIMAL(38,0) BEFORE multiplying (the r10 advice finding).
+    Plant values around 1e4 (v ≈ 1e10, v² ≈ 1e20 > 2⁶³) and replay
+    one dimension exactly in Python bignum arithmetic."""
+    import math
+
+    out = str(tmp_path_factory.mktemp("whov"))
+    rows = [
+        (i, [float(10_000 + 7 * i)] + [float(j) for j in range(63)], 0)
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{out}/embeddings.parquet")
+    got = [
+        r
+        for r in QUERIES["emb_whitening"](spark, out).collect()
+        if r["dim_idx"] == 0
+    ]
+    assert len(got) == 20
+    n = len(got)
+    vs = [r["v_micro"] for r in got]
+    s, ss = sum(vs), sum(v * v for v in vs)  # Python bignum — exact
+    var_num = n * ss - s * s
+    assert var_num > 0
+    for r in got:
+        want = round((r["v_micro"] * n - s) / math.sqrt(var_num), 6)
+        assert r["z"] is not None and abs(r["z"] - want) < 1e-9, r
+
+
 def test_pagerank_matches_python_replay_on_planted_graph(spark, tmp_path_factory):
     """Exact integer replay: three identical docs form a triangle in
     the winnow graph (plus one unique doc, dangling).  Two PageRank
