@@ -612,6 +612,35 @@ def test_whitening_constant_dimension_yields_null(spark, tmp_path_factory):
     assert dim1 and all(r["z"] is not None for r in dim1)
 
 
+def test_clustered_recall_invariants_and_multiprobe_gate(spark):
+    """The clustered-fixture recall report: structural invariants
+    (denominators agree, recalls in [0,1], hits consistent with the
+    recall arithmetic), multiprobe dominates single-probe (superset
+    candidates), and the PRODUCTION GATE — trained IVF at nprobe=2
+    clears recall ≥ 0.8 on the clustered regime (SCALE.md round-11:
+    measured 1.0 at sf0.01, 0.501 on the isotropic floor)."""
+    rows = {
+        (r["variant"], r["nprobe"]): r
+        for r in QUERIES["sim_recall_clustered"](spark, SF).collect()
+    }
+    assert set(rows) == {("ivf", 1), ("ivf", 2), ("ivfpq", 1)}
+    nq = {r["n_queries"] for r in rows.values()}
+    assert len(nq) == 1 and nq.pop() > 0
+    for r in rows.values():
+        assert 0.0 <= r["recall_at_5"] <= 1.0
+        assert r["n_hits"] <= 5 * r["n_queries"]
+        assert abs(
+            r["recall_at_5"] - r["n_hits"] / (5 * r["n_queries"])
+        ) < 1e-6
+    assert (
+        rows[("ivf", 2)]["n_hits"] >= rows[("ivf", 1)]["n_hits"]
+    ), "multiprobe candidates are a superset of single-probe"
+    assert rows[("ivf", 2)]["recall_at_5"] >= 0.8, (
+        "the clustered-regime production gate: IVF nprobe=2 must "
+        f"clear 0.8, got {rows[('ivf', 2)]['recall_at_5']}"
+    )
+
+
 def test_whitening_survives_large_magnitude_values(spark, tmp_path_factory):
     """v = floor(x·1e6) makes v·v overflow BIGINT at |x| > ~3037,
     which finite_vec does NOT exclude — the per-term square must cast
