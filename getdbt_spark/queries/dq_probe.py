@@ -45,8 +45,31 @@ _TABLE_OPS = [
     "agg_basic",               # aggregate over zero fact rows
     "win_row_number_dedup",    # window over zero fact rows
 ]
+# Round-11 additions (VERDICT r10 #6): the fourth-batch operators'
+# degenerate-input risks, each on the probe that triggers it.
+_EMB_OPS = [
+    "emb_whitening",           # all-constant dims → every z NULL
+    "emb_pca_power_iteration", # zero/constant matrix → no principal axis
+]
+_SRC_OPS = [
+    "mix_epoch_schedule",           # single-source Hamilton (catalog of 1)
+    "mix_token_budget_allocation",  # whole budget to the only source
+]
+_GRAPH_OPS = [
+    "doc_pagerank_winnow",     # edgeless graph → all docs dangling
+]
 
 _TABLES = ["documents", "lineitem", "embeddings"]
+
+# (probe name, oracle CTE suffix, operator list) — one probe corpus per
+# pathology; ops run on every probe that can trigger their risk.
+_BATTERY = [
+    ("empty", "e", _DOC_OPS + _TABLE_OPS + _EMB_OPS + _SRC_OPS + _GRAPH_OPS),
+    ("nulldoc", "n", _DOC_OPS + _GRAPH_OPS),
+    ("constemb", "c", _EMB_OPS),
+    ("zeroemb", "z", _EMB_OPS),
+    ("onesrc", "s", _SRC_OPS),
+]
 
 
 def _rewire(sql: str, suffix: str) -> str:
@@ -69,20 +92,32 @@ def _degen_oracle() -> str:
       SELECT doc_id, NULL::VARCHAR AS text, NULL::VARCHAR AS lang,
              NULL::VARCHAR AS source, n_chars
       FROM documents
+    ),
+    embeddings_c AS (
+      SELECT * REPLACE ([0.5 for x in embedding] AS embedding)
+      FROM embeddings
+    ),
+    embeddings_z AS (
+      SELECT * REPLACE ([0.0 for x in embedding] AS embedding)
+      FROM embeddings
+    ),
+    documents_s AS (
+      SELECT * REPLACE ('src0' AS source) FROM documents
     )"""
     arms = []
-    for op in _DOC_OPS + _TABLE_OPS:
-        arms.append(
-            f"SELECT 'empty' AS probe, '{op}' AS operator,\n"
-            f"       (SELECT count(*) FROM ({_rewire(ORACLES[op], 'e')}) q)"
-            f"::BIGINT AS n_rows"
-        )
-    for op in _DOC_OPS:
-        arms.append(
-            f"SELECT 'nulldoc', '{op}',\n"
-            f"       (SELECT count(*) FROM ({_rewire(ORACLES[op], 'n')}) q)"
-            f"::BIGINT"
-        )
+    first = True
+    for probe, suffix, ops in _BATTERY:
+        for op in ops:
+            cols = (
+                " AS probe, '{op}' AS operator,\n" if first else ", '{op}',\n"
+            ).format(op=op)
+            arms.append(
+                f"SELECT '{probe}'{cols}"
+                f"       (SELECT count(*) FROM "
+                f"({_rewire(ORACLES[op], suffix)}) q)"
+                f"::BIGINT{' AS n_rows' if first else ''}"
+            )
+            first = False
     return "WITH " + defs + "\n" + "\nUNION ALL\n".join(arms)
 
 
@@ -100,32 +135,49 @@ def dq_degenerate_probe(spark, sf_dir):
     whole id (the driver sees ``err``); one whose degenerate row count
     drifts from its own oracle's replay hash-mismatches.
 
-    Scale: every battery input is 0 or |documents| rows by
-    construction; the only full-scale work is one column-pruned scan
-    of ``documents`` to build the all-NULL variant.
+    Scale: every battery input is 0, |documents| or |embeddings| rows
+    by construction; the only full-scale work is the map-side
+    column-rewrite scans that build the degenerate variants (all-NULL
+    documents, constant/zero embedding matrices, single-source
+    catalog).
     """
     import tempfile
 
     from . import QUERIES
 
     base = tempfile.mkdtemp(prefix="dq_degen_probe_")
-    empty, nulld = f"{base}/empty", f"{base}/nulldoc"
     for t in _TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        df.limit(0).write.mode("overwrite").parquet(f"{empty}/{t}.parquet")
+        df.limit(0).write.mode("overwrite").parquet(
+            f"{base}/empty/{t}.parquet"
+        )
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     types = dict(d.dtypes)
+    dn = d
     for c in ("text", "lang", "source"):
-        d = d.withColumn(c, F.lit(None).cast(types[c]))
-    d.write.mode("overwrite").parquet(f"{nulld}/documents.parquet")
+        dn = dn.withColumn(c, F.lit(None).cast(types[c]))
+    dn.write.mode("overwrite").parquet(f"{base}/nulldoc/documents.parquet")
+    # round-11 probes: constant / zero embedding matrices (whitening's
+    # all-NULL-z and the power iteration's no-principal-axis cases)
+    # and the single-source catalog (Hamilton over a catalog of one)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for name, val in (("constemb", 0.5), ("zeroemb", 0.0)):
+        e.withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: F.lit(val).cast("float")),
+        ).write.mode("overwrite").parquet(
+            f"{base}/{name}/embeddings.parquet"
+        )
+    d.withColumn("source", F.lit("src0")).write.mode("overwrite").parquet(
+        f"{base}/onesrc/documents.parquet"
+    )
 
     rows = []
-    for probe, pdir, ops in (
-        ("empty", empty, _DOC_OPS + _TABLE_OPS),
-        ("nulldoc", nulld, _DOC_OPS),
-    ):
+    for probe, _suffix, ops in _BATTERY:
         for op in ops:
-            rows.append((probe, op, QUERIES[op](spark, pdir).count()))
+            rows.append(
+                (probe, op, QUERIES[op](spark, f"{base}/{probe}").count())
+            )
     return spark.createDataFrame(
         rows, "probe string, operator string, n_rows long"
     )

@@ -2648,6 +2648,13 @@ def _pca_round_sql(n: int, prev_v: str) -> str:
     SELECT gs.i - 1 AS dim_idx,
            CAST(v2.v[gs.i] AS BIGINT) AS loading_micro
     FROM v2, generate_series(1, {PCA_DIMS}) AS gs(i)
+    -- empty in → empty out (the repo-wide degenerate convention;
+    -- found by dq_degenerate_probe r11): the ungrouped list() of the
+    -- final round emits ONE all-NULL row even when no valid vector
+    -- exists, which would fan to {PCA_DIMS} NULL loadings while the
+    -- engine correctly returns zero rows.  No-op on any corpus with
+    -- ≥1 valid vector.
+    WHERE EXISTS (SELECT 1 FROM qe)
     """,
 )
 def emb_pca_power_iteration(spark, sf_dir):

@@ -160,13 +160,29 @@ def test_degenerate_probe_battery_semantics(spark):
             spark, "/root/testdata/sf0.001"
         ).collect()
     }
-    assert len(rows) == 17
+    assert len(rows) == 29
     n_docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    n_vecs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
     ).count()
     for (probe, op), n in rows.items():
         if probe == "empty":
             assert n == 0, (op, n)
+    # round-11 probes (VERDICT r10 #6): degenerate matrices keep
+    # their grain — constant dims whiten to NULL z at cell grain,
+    # zero/constant matrices still emit the 64-dim direction (all
+    # zeros after the m == 0 cutoff); the single-source catalog
+    # collapses both Hamilton allocators to one row holding the
+    # whole budget; the edgeless (all-NULL-text) graph keeps doc
+    # grain with every doc dangling.
+    for probe in ("constemb", "zeroemb"):
+        assert rows[(probe, "emb_whitening")] == n_vecs * 64
+        assert rows[(probe, "emb_pca_power_iteration")] == 64
+    for op in ("mix_epoch_schedule", "mix_token_budget_allocation"):
+        assert rows[("onesrc", op)] == 1
+    assert rows[("nulldoc", "doc_pagerank_winnow")] == n_docs
     for op in ("text_token_stats", "text_quality_score", "text_langid"):
         assert rows[("nulldoc", op)] == n_docs, op
     assert rows[("nulldoc", "dedup_exact")] == 1
