@@ -612,6 +612,73 @@ def test_whitening_constant_dimension_yields_null(spark, tmp_path_factory):
     assert dim1 and all(r["z"] is not None for r in dim1)
 
 
+def test_trained_memos_retrain_identically_across_restart():
+    """VERDICT r10 #7: ``_bpe_train_apply`` and ``_NB_TRAINED`` memoize
+    per (applicationId, sf_dir) — a kill/restart between a consumer's
+    two actions silently retrains in the new session.  Correctness
+    rests on the trainer being deterministic, which was asserted but
+    never PROVEN across a real restart.  This soak runs the consumers
+    in two SEPARATE processes (two JVMs, two application ids — a real
+    session boundary, not a cleared dict): each process must train
+    each artifact EXACTLY once for its two consumer actions, and the
+    artifact contents must hash identically across the restart."""
+    import json
+    import subprocess
+    import sys
+
+    script = r"""
+import hashlib, json, sys
+sys.path.insert(0, "/root/repo")
+from getdbt_spark.queries import QUERIES, load_all
+from getdbt_spark.queries import curation as C
+from getdbt_spark.queries import training_ops as T
+from getdbt_spark.session import get_spark
+
+load_all()
+spark = get_spark("memo_restart_soak", master="local[4]",
+                  shuffle_partitions=4)
+sf = "/root/testdata/sf0.001"
+
+def h(qid):
+    rows = sorted(map(str, QUERIES[qid](spark, sf).collect()))
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+out = {
+    # two consumers per trained artifact: the memo must serve the 2nd
+    "bpe_merge_table": h("bpe_merge_table"),
+    "bpe_encode": h("bpe_encode"),
+    "quality_nb_train": h("quality_nb_train"),
+    "quality_nb_score": h("quality_nb_score"),
+    "bpe_runs": C._BPE_TRAIN_RUNS,
+    "nb_runs": T._NB_TRAIN_RUNS,
+}
+print("MEMO_SOAK " + json.dumps(out))
+"""
+
+    def run_once():
+        p = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True, text=True, timeout=420,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        line = [
+            ln for ln in p.stdout.splitlines()
+            if ln.startswith("MEMO_SOAK ")
+        ]
+        assert line, p.stdout[-2000:]
+        return json.loads(line[0][len("MEMO_SOAK "):])
+
+    a, b = run_once(), run_once()
+    for proc in (a, b):
+        assert proc["bpe_runs"] == 1, proc
+        assert proc["nb_runs"] == 1, proc
+    for qid in (
+        "bpe_merge_table", "bpe_encode",
+        "quality_nb_train", "quality_nb_score",
+    ):
+        assert a[qid] == b[qid], f"{qid} drifted across session restart"
+
+
 def test_clustered_recall_invariants_and_multiprobe_gate(spark):
     """The clustered-fixture recall report: structural invariants
     (denominators agree, recalls in [0,1], hits consistent with the

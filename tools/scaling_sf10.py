@@ -39,6 +39,16 @@ HEAVY = [
     "text_paragraph_dedup",
 ]
 MODELS = ["model_streams_daily_v4", "model_dashboard_channel_weekly"]
+# Round-11 (VERDICT r10 #5): the round-10 heavy additions, one more
+# decade.  Pass query names as argv to measure a subset; results merge
+# into the existing SCALING_SF10.json instead of replacing it.
+R10_HEAVY = [
+    "doc_pagerank_winnow",
+    "pack_curriculum_shards",
+    "dedup_substring_remove",
+    "quality_nb_train",
+    "emb_pq_encode",
+]
 
 
 def main() -> None:
@@ -48,12 +58,13 @@ def main() -> None:
     from getdbt_spark.session import get_spark
 
     load_all()
+    names = sys.argv[1:] or (HEAVY + MODELS)
     spark = get_spark(app_name="scaling_sf10")
     bench._warmup(spark, SF1)
     canary_pre = bench._spark_canary(spark)
 
     out: dict[str, dict] = {}
-    for name in HEAVY + MODELS:
+    for name in names:
         row: dict[str, float] = {}
         for sf_label, sf_dir in (("sf1", SF1), ("sf10", SF10)):
             best = float("inf")
@@ -74,15 +85,25 @@ def main() -> None:
         row["alpha4"] = round(math.log10(row["sf10"] / row["sf1"]), 2)
         out[name] = row
 
+    # Merge with any prior measurement file: a subset run (argv names)
+    # must not drop the committed rows for the other queries.
+    path = os.path.join(REPO, "SCALING_SF10.json")
+    queries = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            queries = json.load(fh).get("queries", {})
+    queries.update(out)
     result = {
         "metric": "heavy_family_sf10_decade",
-        "queries": out,
+        "queries": queries,
         "canary_cpu_sec": bench._host_canary(),
         "canary_spark_sec": canary_pre,
         "passes": 2,
-        "superlinear": [q for q, r in out.items() if r["alpha4"] > 1.3],
+        "superlinear": [
+            q for q, r in queries.items() if r["alpha4"] > 1.3
+        ],
     }
-    with open(os.path.join(REPO, "SCALING_SF10.json"), "w") as fh:
+    with open(path, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
 
