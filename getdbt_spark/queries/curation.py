@@ -1966,8 +1966,16 @@ def dedup_cluster_multiprobe(spark, sf_dir):
     verdict tables differ ONLY by candidate reach; the oracle replays
     the trainer and ranks cells with one extra rank bound.
     """
+    return _cluster_verdict(spark, sf_dir, nprobe=2)
+
+
+def _cluster_verdict(spark, sf_dir, nprobe: int):
+    """The IVF cluster-dedup verdict at an arbitrary probe depth —
+    ``dedup_cluster_multiprobe``'s body with nprobe as the dial, so
+    ``dedup_cluster_recall`` can report the nprobe=3 recall row
+    (VERDICT r10 #8) from the same trainer/threshold/election code."""
     e = P.with_norm(_embs(spark, sf_dir))
-    assign = P.kmeans_probe_assign(e, k=8, iters=2, nprobe=2).select(
+    assign = P.kmeans_probe_assign(e, k=8, iters=2, nprobe=nprobe).select(
         "vec_id", "cent_id"
     ).persist()
     pairs = _probe_cell_pairs(e, assign)
@@ -1990,6 +1998,7 @@ def dedup_cluster_multiprobe(spark, sf_dir):
     {_EXACT_PAIRS_SQL},
     af1 AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
     af2 AS (SELECT vec_id, cent_id FROM ranked WHERE rn <= 2),
+    af3 AS (SELECT vec_id, cent_id FROM ranked WHERE rn <= 3),
     c1p AS (
       SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
       FROM af1 x JOIN af1 y
@@ -1998,9 +2007,14 @@ def dedup_cluster_multiprobe(spark, sf_dir):
       SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
       FROM af2 x JOIN af2 y
         ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+    ), c3p AS (
+      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM af3 x JOIN af3 y
+        ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
     ),
     ivp AS (SELECT c1p.a_id, c1p.b_id FROM c1p JOIN xp USING (a_id, b_id)),
     mpp AS (SELECT c2p.a_id, c2p.b_id FROM c2p JOIN xp USING (a_id, b_id)),
+    tpp AS (SELECT c3p.a_id, c3p.b_id FROM c3p JOIN xp USING (a_id, b_id)),
     xe AS (
       SELECT a_id AS src, b_id AS dst FROM xp
       UNION ALL SELECT b_id, a_id FROM xp
@@ -2025,6 +2039,14 @@ def dedup_cluster_multiprobe(spark, sf_dir):
       UNION
       SELECT e2.dst, w.comp FROM mw w JOIN me e2 ON e2.src = w.id
     ), mc AS (SELECT id, min(comp) AS canonical FROM mw GROUP BY id),
+    te AS (
+      SELECT a_id AS src, b_id AS dst FROM tpp
+      UNION ALL SELECT b_id, a_id FROM tpp
+    ), tw(id, comp) AS (
+      SELECT src, src FROM te
+      UNION
+      SELECT e2.dst, w.comp FROM tw w JOIN te e2 ON e2.src = w.id
+    ), tc AS (SELECT id, min(comp) AS canonical FROM tw GROUP BY id),
     xcp AS (
       SELECT a.id AS a_id, b.id AS b_id FROM xc a JOIN xc b
         ON a.canonical = b.canonical AND a.id < b.id
@@ -2033,6 +2055,9 @@ def dedup_cluster_multiprobe(spark, sf_dir):
         ON a.canonical = b.canonical AND a.id < b.id
     ), mcp AS (
       SELECT a.id AS a_id, b.id AS b_id FROM mc a JOIN mc b
+        ON a.canonical = b.canonical AND a.id < b.id
+    ), tcp AS (
+      SELECT a.id AS a_id, b.id AS b_id FROM tc a JOIN tc b
         ON a.canonical = b.canonical AND a.id < b.id
     )
     SELECT 'ivf' AS variant,
@@ -2058,13 +2083,29 @@ def dedup_cluster_multiprobe(spark, sf_dir):
       (SELECT count(*) FROM mcp JOIN xcp USING (a_id, b_id))::BIGINT,
       round((SELECT count(*) FROM mcp JOIN xcp USING (a_id, b_id))::DOUBLE
             / nullif((SELECT count(*) FROM xcp), 0), 6)
+    UNION ALL
+    SELECT 'multiprobe3',
+      (SELECT count(*) FROM xp)::BIGINT,
+      (SELECT count(*) FROM tpp)::BIGINT,
+      (SELECT count(*) FROM tpp JOIN xp USING (a_id, b_id))::BIGINT,
+      round((SELECT count(*) FROM tpp JOIN xp USING (a_id, b_id))::DOUBLE
+            / nullif((SELECT count(*) FROM xp), 0), 6),
+      (SELECT count(*) FROM xcp)::BIGINT,
+      (SELECT count(*) FROM tcp JOIN xcp USING (a_id, b_id))::BIGINT,
+      round((SELECT count(*) FROM tcp JOIN xcp USING (a_id, b_id))::DOUBLE
+            / nullif((SELECT count(*) FROM xcp), 0), 6)
     """,
 )
 def dedup_cluster_recall(spark, sf_dir):
     """The IVF dedup family's one previously-unquantified claim made a
     NUMBER (VERDICT r9 #3): pair-level and cluster-level recall of the
-    single-probe and nprobe=2 variants against the exact brute-force
-    baseline (``dedup_embedding_cluster``) — one row per variant.
+    single-probe, nprobe=2 and (r11) nprobe=3 variants against the
+    exact brute-force baseline (``dedup_embedding_cluster``) — one row
+    per variant.  The nprobe=3 row decides VERDICT r10 #8: margin
+    analysis (``tools/cluster_recall_margin.py``) showed the residual
+    nprobe=2 misses are not selectable boundary vectors on this
+    corpus, so uniform depth 3 — not a residual rerank — is the dial
+    that clears the ≥0.9 pair-recall gate.
 
     - **pair recall**: matched near-dup pairs found / exact matched
       pairs.  Variant pairs are a SUBSET of exact pairs by
@@ -2080,10 +2121,10 @@ def dedup_cluster_recall(spark, sf_dir):
     frame and the numerators reuse ``_probe_cell_pairs`` + the
     registered variant queries, so every number is derived from the
     SAME frames the verdicts ship — the evaluation cannot drift from
-    the evaluated.  The six counts are bounded scalar anchors
-    (components and pair lists are metric-grain); the returned frame
-    is a 2-row literal, which is the right shape for an evaluation
-    report at any corpus size — the expensive inputs stay distributed.
+    the evaluated.  The counts are bounded scalar anchors (components
+    and pair lists are metric-grain); the returned frame is a 3-row
+    literal, which is the right shape for an evaluation report at any
+    corpus size — the expensive inputs stay distributed.
     """
     from pyspark.sql import types as T
 
@@ -2109,6 +2150,13 @@ def dedup_cluster_recall(spark, sf_dir):
     for variant, nprobe, verdict_q in (
         ("ivf", 1, dedup_embedding_cluster_ivf),
         ("multiprobe", 2, dedup_cluster_multiprobe),
+        # r11 (VERDICT r10 #8): margin analysis showed the residual
+        # nprobe=2 misses are NOT selectable boundary vectors on this
+        # corpus (catching them via (d3-d1)/d1 margins flags ~95% of
+        # vectors), so the honest dial is uniform depth 3 — measured
+        # 14/14 pair recall at 1.5× nprobe=2's candidate mass
+        # (tools/cluster_recall_margin.py; SCALE.md round-11).
+        ("multiprobe3", 3, lambda s, d: _cluster_verdict(s, d, 3)),
     ):
         assign = P.kmeans_probe_assign(
             e, k=8, iters=2, nprobe=nprobe

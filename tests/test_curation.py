@@ -510,17 +510,37 @@ def test_cluster_recall_invariants_and_multiprobe_recovery(spark):
         r["variant"]: r
         for r in QUERIES["dedup_cluster_recall"](spark, SF).collect()
     }
-    assert set(rows) == {"ivf", "multiprobe"}
-    iv, mp = rows["ivf"], rows["multiprobe"]
-    assert iv["n_exact_pairs"] == mp["n_exact_pairs"] > 0
-    assert iv["n_exact_copairs"] == mp["n_exact_copairs"] > 0
-    for r in (iv, mp):
+    assert set(rows) == {"ivf", "multiprobe", "multiprobe3"}
+    iv, mp, t3 = rows["ivf"], rows["multiprobe"], rows["multiprobe3"]
+    assert iv["n_exact_pairs"] == mp["n_exact_pairs"] == t3["n_exact_pairs"] > 0
+    assert iv["n_exact_copairs"] == mp["n_exact_copairs"] == t3["n_exact_copairs"] > 0
+    for r in (iv, mp, t3):
         assert r["n_pair_hits"] == r["n_pairs"], "variant found a non-exact pair"
         assert 0.0 <= r["pair_recall"] <= 1.0
         assert 0.0 <= r["cluster_recall"] <= 1.0
+    # each extra probe widens the candidate superset monotonically
     assert mp["n_pairs"] >= iv["n_pairs"]
     assert mp["pair_recall"] >= iv["pair_recall"]
     assert mp["cluster_recall"] >= iv["cluster_recall"]
+    assert t3["n_pairs"] >= mp["n_pairs"]
+    assert t3["pair_recall"] >= mp["pair_recall"]
+    assert t3["cluster_recall"] >= mp["cluster_recall"]
+
+
+def test_cluster_recall_nprobe3_clears_gate_on_driver_corpus(spark):
+    """VERDICT r10 #8's decision gate: on the sf0.01 driver corpus the
+    margin analysis (tools/cluster_recall_margin.py) ruled OUT a
+    selective residual rerank — the nprobe=2 misses' (d3−d1)/d1
+    margins sit inside the bulk of an isotropic margin distribution,
+    so flagging them flags ~95% of vectors.  Uniform nprobe=3 is the
+    implemented dial and must clear ≥0.9 pair recall (measured 1.0)."""
+    rows = {
+        r["variant"]: r
+        for r in QUERIES["dedup_cluster_recall"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert rows["multiprobe3"]["pair_recall"] >= 0.9, rows["multiprobe3"]
 
 
 def test_winnow_match_culls_boilerplate_hashes(spark, tmp_path_factory):
