@@ -363,6 +363,29 @@ def concat_bq(*cols: Column | str) -> Column:
     return F.concat(*[_col(c) for c in cols])
 
 
+def _lazy_cut(df: DataFrame) -> DataFrame:
+    """LAZY local checkpoint — the slice-offset helpers' lineage cut.
+
+    The helpers need two consumers (the per-slice counts/totals pass
+    and the final offset join) to read ONE materialization of the
+    kernel output.  An EAGER ``localCheckpoint()`` achieves that but
+    pays a dedicated materialization job per invocation — the fixed
+    overhead that made ``pack_token_budget`` read 2× its pre-rewrite
+    baseline at sf0.1 (VERDICT r10 #2).  ``eager=False`` materializes
+    on the FIRST consuming action instead (the counts collect, or the
+    grouped variants' broadcast-offsets build inside the single final
+    action), saving one job launch per invocation while keeping the
+    identical guarantee: both consumers share the checkpointed RDD's
+    blocks, so they read the same ranking.
+
+    Deliberately NOT ``persist()``: cached plans are matched by
+    LOGICAL PLAN, so a second invocation over a source whose files
+    changed (incremental warehouse rewrites) could silently serve the
+    first invocation's data.  Checkpoints are RDD-backed and never
+    plan-matched."""
+    return df.localCheckpoint(eager=False)
+
+
 def with_global_rank(
     df: DataFrame,
     order: Sequence[Column | str],
@@ -387,9 +410,10 @@ def with_global_rank(
        shuffle (a ``Window.partitionBy(pid)`` would re-exchange on
        pid because Catalyst cannot see that range slices already
        cluster it);
-    3. one ``localCheckpoint`` so the per-slice counts and the final
-       projection read the SAME materialized ranking (and the lineage
-       is traversed once, not twice);
+    3. one LAZY local checkpoint (``_lazy_cut``) so the per-slice
+       counts and the final projection read the SAME materialized
+       ranking (the lineage is traversed once, and no dedicated
+       materialization job is paid — the counts pass triggers it);
     4. per-slice counts collapse to ≤ ``num_slices`` rows, cumulative
        offsets are computed driver-side (the repo's bounded
        scalar-anchor collect class — this is partition metadata, not
@@ -433,7 +457,7 @@ def with_global_rank(
             off += len(pdf)
             yield pdf
 
-    ranked = ranged.mapInPandas(_local_rank, out_schema).localCheckpoint()
+    ranked = _lazy_cut(ranged.mapInPandas(_local_rank, out_schema))
     counts = {
         r["__gr_pid"]: r["n"]
         for r in ranked.groupBy("__gr_pid").agg(
@@ -473,7 +497,7 @@ def with_global_cumsum(
     Same four steps as the rank helper: range-repartition on the
     order (slice *i* wholly precedes slice *i+1*), an Arrow
     ``mapInPandas`` kernel accumulates each slice's LOCAL prefix sum
-    with no extra shuffle, one ``localCheckpoint`` so the per-slice
+    with no extra shuffle, one lazy checkpoint so the per-slice
     totals and the final projection read the same materialization,
     and ≤ ``num_slices`` per-slice totals collapse driver-side
     (bounded scalar-anchor class — partition metadata, not data) into
@@ -522,7 +546,7 @@ def with_global_cumsum(
             off = int(pdf["__gc_lsum"].iloc[-1]) if len(pdf) else off
             yield pdf
 
-    summed = ranged.mapInPandas(_local_cumsum, out_schema).localCheckpoint()
+    summed = _lazy_cut(ranged.mapInPandas(_local_cumsum, out_schema))
     totals = {
         r["__gc_pid"]: r["s"]
         for r in summed.groupBy("__gc_pid")
@@ -645,7 +669,7 @@ def with_grouped_global_rank(
             pdf["__gg_lrnk"] = ranks
             yield pdf
 
-    ranked = ranged.mapInPandas(_local_rank, out_schema).localCheckpoint()
+    ranked = _lazy_cut(ranged.mapInPandas(_local_rank, out_schema))
     counts = ranked.groupBy("__gg_pid", "__gg_grp").agg(
         F.count("*").alias("__gg_n")
     )
@@ -753,7 +777,7 @@ def with_grouped_global_cumsum(
             pdf["__gc_lsum"] = sums
             yield pdf
 
-    summed = ranged.mapInPandas(_local_cumsum, out_schema).localCheckpoint()
+    summed = _lazy_cut(ranged.mapInPandas(_local_cumsum, out_schema))
     totals = summed.groupBy("__gc_pid", "__gc_grp").agg(
         F.coalesce(F.sum("__gc_w"), F.lit(0)).alias("__gc_n")
     )
