@@ -542,6 +542,35 @@ def apply_variant(variant: str) -> None:
         print(f"variant 'dupdocs' applied to {dsrc}")
         return
 
+    if variant == "manysrc":
+        # Catalog-grain stress: the source-grain operators (Hamilton
+        # apportionment, epoch schedule, PSI drift, domain weights)
+        # assume the source CATALOG is orders of magnitude below task
+        # capacity — their GLOBAL_WINDOW_ALLOW budgets rest on it.
+        # A 100 TB crawl can carry tens of thousands of registrable
+        # domains; this variant widens the catalog to ~2,000 distinct
+        # sources (≈1 doc per source at the default size, a worst-case
+        # skewless catalog), probing exact-integer apportionment with
+        # thousands of remainder ties and window inputs 3 orders wider
+        # than the fixed corpus's 4 sources.
+        dsrc = os.path.join(OUT, "documents.parquet")
+        t = pq.read_table(dsrc)
+        n = t.num_rows
+        doc_ids = t["doc_id"].to_pylist()
+        srcs = [f"src{(d * 2654435761) % 2000:04d}" for d in doc_ids]
+        out = pa.table({
+            "doc_id": t["doc_id"],
+            "text": t["text"],
+            "lang": t["lang"],
+            "source": pa.array(srcs),
+            "n_chars": t["n_chars"],
+        })
+        tmp = dsrc + ".variant"
+        pq.write_table(out, tmp)
+        os.replace(tmp, dsrc)
+        print(f"variant 'manysrc' applied to {dsrc} ({n} docs, 2000 sources)")
+        return
+
     src = os.path.join(OUT, "events.parquet")
     if variant == "pre1970":
         sql = f"""
