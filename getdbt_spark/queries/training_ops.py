@@ -774,11 +774,15 @@ def sim_ann_ivfpq(spark, sf_dir):
     return _ivfpq_top5(_embs(spark, sf_dir).filter(P.finite_vec("embedding")))
 
 
-def _ivfpq_top5(e):
+def _ivfpq_top5(e, subspaces: int = PQ_SUBSPACES, subdims: int = PQ_SUBDIMS,
+                pq_k: int = PQ_K):
     """The full IVFPQ ADC top-5 over an arbitrary valid-vector frame —
     ``sim_ann_ivfpq``'s body, frame-parameterized so the clustered
     recall fixture (``sim_recall_clustered``) runs the identical stack
-    on a derived corpus."""
+    on a derived corpus.  ``subspaces``/``subdims``/``pq_k`` are the
+    M/K dial (defaults keep the registered query byte-identical);
+    ``tools/ivfpq_dial.py`` sweeps them to locate where ADC recall
+    approaches the IVF line."""
     from functools import reduce
 
     from pyspark.sql import Window
@@ -793,17 +797,17 @@ def _ivfpq_top5(e):
     # per-subspace LUTs: distance of every vector's subvector to EVERY
     # codebook entry (K rows per vector per subspace); codes = argmin
     lut_parts = []
-    for m in range(PQ_SUBSPACES):
+    for m in range(subspaces):
         sub = e.select(
             "vec_id",
             F.slice(
-                "embedding", m * PQ_SUBDIMS + 1, PQ_SUBDIMS
+                "embedding", m * subdims + 1, subdims
             ).alias("embedding"),
         )
         qm = P._kmeans_quantize_valid(sub)
         lut_parts.append(
             P._kmeans_assign(
-                qm, P._kmeans_train(qm, PQ_K, 2), nprobe=PQ_K
+                qm, P._kmeans_train(qm, pq_k, 2), nprobe=pq_k
             ).select(
                 "vec_id",
                 F.lit(m).cast("long").alias("subspace"),
