@@ -775,14 +775,14 @@ def sim_ann_ivfpq(spark, sf_dir):
 
 
 def _ivfpq_top5(e, subspaces: int = PQ_SUBSPACES, subdims: int = PQ_SUBDIMS,
-                pq_k: int = PQ_K):
+                pq_k: int = PQ_K, iters: int = 2):
     """The full IVFPQ ADC top-5 over an arbitrary valid-vector frame —
     ``sim_ann_ivfpq``'s body, frame-parameterized so the clustered
     recall fixture (``sim_recall_clustered``) runs the identical stack
-    on a derived corpus.  ``subspaces``/``subdims``/``pq_k`` are the
-    M/K dial (defaults keep the registered query byte-identical);
-    ``tools/ivfpq_dial.py`` sweeps them to locate where ADC recall
-    approaches the IVF line."""
+    on a derived corpus.  ``subspaces``/``subdims``/``pq_k``/``iters``
+    are the M/K/training-depth dial (defaults keep the registered
+    query byte-identical); ``tools/ivfpq_dial.py`` sweeps them to
+    locate where ADC recall approaches the IVF line."""
     from functools import reduce
 
     from pyspark.sql import Window
@@ -807,7 +807,7 @@ def _ivfpq_top5(e, subspaces: int = PQ_SUBSPACES, subdims: int = PQ_SUBDIMS,
         qm = P._kmeans_quantize_valid(sub)
         lut_parts.append(
             P._kmeans_assign(
-                qm, P._kmeans_train(qm, pq_k, 2), nprobe=pq_k
+                qm, P._kmeans_train(qm, pq_k, iters), nprobe=pq_k
             ).select(
                 "vec_id",
                 F.lit(m).cast("long").alias("subspace"),
