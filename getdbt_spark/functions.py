@@ -405,11 +405,15 @@ def with_global_rank(
        holds a contiguous run of the total order, slice *i*'s keys all
        sort before slice *i+1*'s (range partitions are assigned in
        ascending partition-id order);
-    2. ``sortWithinPartitions`` + an Arrow ``mapInPandas`` kernel that
+    2. ``sortWithinPartitions`` + a ``mapInArrow`` kernel that
        assigns 1-based LOCAL ranks by counting batches — no extra
        shuffle (a ``Window.partitionBy(pid)`` would re-exchange on
        pid because Catalyst cannot see that range slices already
-       cluster it);
+       cluster it).  Arrow RecordBatches, NOT pandas: a pandas
+       roundtrip coerces float NaN payload values to NULL (pandas has
+       no null mask for float64 — found by the round-11 property
+       test), while Arrow passes every payload column through
+       byte-exact;
     3. one LAZY local checkpoint (``_lazy_cut``) so the per-slice
        counts and the final projection read the SAME materialized
        ranking (the lineage is traversed once, and no dedicated
@@ -425,8 +429,6 @@ def with_global_rank(
     otherwise rank arbitrarily, exactly as an unpartitioned
     ``row_number`` would order them arbitrarily.
     """
-    import pandas as pd  # noqa: F401  (mapInPandas contract)
-
     spark = df.sparkSession
     if num_slices:
         n = num_slices
@@ -450,14 +452,20 @@ def with_global_rank(
     )
 
     def _local_rank(batches):
-        off = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["__gr_lrnk"] = range(off + 1, off + 1 + len(pdf))
-            off += len(pdf)
-            yield pdf
+        import pyarrow as pa
 
-    ranked = _lazy_cut(ranged.mapInPandas(_local_rank, out_schema))
+        off = 0
+        for b in batches:
+            idx = pa.array(
+                range(off + 1, off + 1 + b.num_rows), type=pa.int64()
+            )
+            off += b.num_rows
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [idx],
+                names=list(b.schema.names) + ["__gr_lrnk"],
+            )
+
+    ranked = _lazy_cut(ranged.mapInArrow(_local_rank, out_schema))
     counts = {
         r["__gr_pid"]: r["n"]
         for r in ranked.groupBy("__gr_pid").agg(
@@ -495,21 +503,22 @@ def with_global_cumsum(
     data-sized at the 100 TB target).
 
     Same four steps as the rank helper: range-repartition on the
-    order (slice *i* wholly precedes slice *i+1*), an Arrow
-    ``mapInPandas`` kernel accumulates each slice's LOCAL prefix sum
-    with no extra shuffle, one lazy checkpoint so the per-slice
-    totals and the final projection read the same materialization,
-    and ≤ ``num_slices`` per-slice totals collapse driver-side
-    (bounded scalar-anchor class — partition metadata, not data) into
-    broadcast offsets.
+    order (slice *i* wholly precedes slice *i+1*), a ``mapInArrow``
+    kernel accumulates each slice's LOCAL prefix sum
+    with no extra shuffle (Arrow, not pandas: int64 weights stay
+    int64 with a real null mask — no float64/NaN dance — and float
+    payload columns keep NaN ≠ NULL byte-exact), one lazy checkpoint
+    so the per-slice totals and the final projection read the same
+    materialization, and ≤ ``num_slices`` per-slice totals collapse
+    driver-side (bounded scalar-anchor class — partition metadata,
+    not data) into broadcast offsets.
 
     ``weight`` must already be an integral column (BIGINT-safe sums
     are the caller's contract, exactly as with any groupBy sum);
-    ``order`` must be a TOTAL order for determinism — same contract
-    as ``with_global_rank``.
+    NULL weight ≡ 0 (window SUM's skip-NULLs contract); ``order``
+    must be a TOTAL order for determinism — same contract as
+    ``with_global_rank``.
     """
-    import pandas as pd  # noqa: F401  (mapInPandas contract)
-
     spark = df.sparkSession
     if num_slices:
         n = num_slices
@@ -530,23 +539,23 @@ def with_global_cumsum(
         list(ranged.schema.fields)
         + [T.StructField("__gc_lsum", T.LongType())]
     )
-
     def _local_cumsum(batches):
-        off = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            # NULL weight ≡ 0 (same contract as the grouped sibling and
-            # as window SUM, which skips NULLs).  A nullable LongType
-            # column arrives as float64 with NaN — fillna BEFORE the
-            # integer cumsum, else a terminal NULL crashes the int()
-            # offset and non-terminal NULLs poison the running total.
-            pdf["__gc_lsum"] = (
-                pdf["__gc_w"].fillna(0).astype("int64").cumsum() + off
-            )
-            off = int(pdf["__gc_lsum"].iloc[-1]) if len(pdf) else off
-            yield pdf
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    summed = _lazy_cut(ranged.mapInPandas(_local_cumsum, out_schema))
+        off = 0
+        for b in batches:
+            wi = b.schema.get_field_index("__gc_w")
+            # NULL weight ≡ 0, then an exact int64 prefix sum
+            wcol = pc.fill_null(b.column(wi).cast(pa.int64()), 0)
+            cs = pc.add(pc.cumulative_sum_checked(wcol), off)
+            off = cs[-1].as_py() if len(cs) else off
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [cs],
+                names=list(b.schema.names) + ["__gc_lsum"],
+            )
+
+    summed = _lazy_cut(ranged.mapInArrow(_local_cumsum, out_schema))
     totals = {
         r["__gc_pid"]: r["s"]
         for r in summed.groupBy("__gc_pid")
@@ -626,8 +635,6 @@ def with_grouped_global_rank(
     (group, *order) must be a total order within each group —
     ``row_number``'s own determinism contract.
     """
-    import pandas as pd  # noqa: F401  (mapInPandas contract)
-
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -654,22 +661,29 @@ def with_grouped_global_rank(
     _nullg = object()  # NULL/NaN group sentinel: one group, like SQL
 
     def _local_rank(batches):
+        import pyarrow as pa
+
         last = object()
         off = 0
-        for pdf in batches:
-            pdf = pdf.copy()
+        for b in batches:
+            gi = b.schema.get_field_index("__gg_grp")
             ranks = []
-            for v in pdf["__gg_grp"]:
+            # to_pylist preserves None vs NaN (unlike a pandas
+            # roundtrip); _nan_group_to_null upstream already folded
+            # NaN → NULL, the sentinel keeps the kernel total anyway
+            for v in b.column(gi).to_pylist():
                 if v is None or v != v:
                     v = _nullg
                 if v != last:
                     last, off = v, 0
                 off += 1
                 ranks.append(off)
-            pdf["__gg_lrnk"] = ranks
-            yield pdf
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [pa.array(ranks, type=pa.int64())],
+                names=list(b.schema.names) + ["__gg_lrnk"],
+            )
 
-    ranked = _lazy_cut(ranged.mapInPandas(_local_rank, out_schema))
+    ranked = _lazy_cut(ranged.mapInArrow(_local_rank, out_schema))
     counts = ranked.groupBy("__gg_pid", "__gg_grp").agg(
         F.count("*").alias("__gg_n")
     )
@@ -730,8 +744,6 @@ def with_grouped_global_cumsum(
     Same contracts as the siblings: integral ``weight``, (group,
     *order) total within each group.
     """
-    import pandas as pd  # noqa: F401  (mapInPandas contract)
-
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -760,24 +772,33 @@ def with_grouped_global_cumsum(
     _nullg = object()  # NULL/NaN group sentinel: one group, like SQL
 
     def _local_cumsum(batches):
+        import pyarrow as pa
+
         last = object()
         acc = 0
-        for pdf in batches:
-            pdf = pdf.copy()
+        for b in batches:
+            gi = b.schema.get_field_index("__gc_grp")
+            wi = b.schema.get_field_index("__gc_w")
             sums = []
-            for grp, wv in zip(pdf["__gc_grp"], pdf["__gc_w"]):
+            # to_pylist keeps None vs NaN and int64 weights integral —
+            # no pandas float64 coercion anywhere in the kernel
+            for grp, wv in zip(
+                b.column(gi).to_pylist(), b.column(wi).to_pylist()
+            ):
                 if grp is None or grp != grp:
                     grp = _nullg
                 if grp != last:
                     last, acc = grp, 0
                 # NULL weight ≡ 0 (the kernel contract; a window SUM
-                # also skips NULLs) — pandas surfaces it as NaN here
-                acc += 0 if wv != wv or wv is None else int(wv)
+                # also skips NULLs)
+                acc += 0 if wv is None else int(wv)
                 sums.append(acc)
-            pdf["__gc_lsum"] = sums
-            yield pdf
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [pa.array(sums, type=pa.int64())],
+                names=list(b.schema.names) + ["__gc_lsum"],
+            )
 
-    summed = _lazy_cut(ranged.mapInPandas(_local_cumsum, out_schema))
+    summed = _lazy_cut(ranged.mapInArrow(_local_cumsum, out_schema))
     totals = summed.groupBy("__gc_pid", "__gc_grp").agg(
         F.coalesce(F.sum("__gc_w"), F.lit(0)).alias("__gc_n")
     )

@@ -610,6 +610,112 @@ class TestGlobalWindowGuard:
         )
 
 
+def test_slice_offset_helpers_property_match_windows(spark):
+    """Property lock on the four slice-offset helpers (the round-11
+    NULL/NaN hardening made durable): on RANDOM frames carrying every
+    adversarial shape at once — NULL weights (including terminal
+    rows), float group keys mixing NULL and NaN runs, duplicate order
+    prefixes straddling slice boundaries, negative weights — each
+    helper must equal its window reference over the NaN→NULL-
+    normalized group, for any slice count."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from getdbt_spark.functions import (
+        with_global_cumsum,
+        with_global_rank,
+        with_grouped_global_cumsum,
+        with_grouped_global_rank,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(
+                    [None, float("nan"), 0.0, 1.0, 2.0]
+                ),                                   # group (float key)
+                st.integers(0, 5),                   # order prefix (dups)
+                st.one_of(
+                    st.none(), st.integers(-9, 9)
+                ),                                   # weight (NULLs, negatives)
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        n_slices=st.integers(2, 6),
+    )
+    def run(rows, n_slices):
+        df = spark.createDataFrame(
+            [(g, k, i, w) for i, (g, k, w) in enumerate(rows)],
+            "grp double, k long, id long, w long",
+        ).localCheckpoint()  # pin the random frame; helpers re-read it
+        norm = F.when(F.isnan("grp"), F.lit(None)).otherwise(F.col("grp"))
+        order = [F.asc("k"), F.asc("id")]
+        wflat = Window.orderBy("k", "id")
+        wgrp = Window.partitionBy(norm).orderBy("k", "id")
+        frame = (Window.unboundedPreceding, Window.currentRow)
+
+        def canon(rows, res):
+            # NaN-aware, id-keyed canonical form: the ungrouped
+            # helpers must pass float PAYLOAD columns through
+            # byte-exact (NaN stays NaN, NULL stays NULL — the
+            # mapInArrow guarantee; a pandas kernel coerces NaN→NULL)
+            out = []
+            for r in rows:
+                g = r["grp"]
+                g = "NaN" if (g is not None and g != g) else g
+                out.append((r["id"], g, r["k"], r["w"], r[res]))
+            return sorted(out)
+
+        got = with_global_rank(df, order, "r", num_slices=n_slices)
+        want = df.withColumn(
+            "r", F.row_number().over(wflat).cast("long")
+        )
+        assert canon(got.collect(), "r") == canon(want.collect(), "r")
+
+        got = with_global_cumsum(df, order, "w", "c", num_slices=n_slices)
+        want = df.withColumn(
+            "c",
+            F.coalesce(
+                F.sum("w").over(wflat.rowsBetween(*frame)), F.lit(0)
+            ).cast("long"),
+        )
+        assert canon(got.collect(), "c") == canon(want.collect(), "c")
+
+        got = with_grouped_global_rank(
+            df, group="grp", order=order, rank_col="r",
+            num_slices=n_slices,
+        )
+        want = df.withColumn(
+            "r", F.row_number().over(wgrp).cast("long")
+        )
+        assert sorted(
+            (r["id"], r["r"]) for r in got.collect()
+        ) == sorted((r["id"], r["r"]) for r in want.collect())
+
+        got = with_grouped_global_cumsum(
+            df, group="grp", order=order, weight="w",
+            cumsum_col="c", num_slices=n_slices,
+        )
+        want = df.withColumn(
+            "c",
+            F.coalesce(
+                F.sum("w").over(wgrp.rowsBetween(*frame)), F.lit(0)
+            ).cast("long"),
+        )
+        assert sorted(
+            (r["id"], r["c"]) for r in got.collect()
+        ) == sorted((r["id"], r["c"]) for r in want.collect())
+
+    run()
+
+
 def test_kernel_stage_stats_correct_after_materialization(spark):
     """Pins the r9 sf10 broadcast-OOM mechanism: Catalyst sizes an
     Arrow-kernel output from its INPUT columns (blind to the kernel's
