@@ -183,8 +183,14 @@ def daily_event_stats(events: DataFrame) -> DataFrame:
             F.max("value").alias("max_value"),
         )
         .select(
-            # undo the whole-day event-time rebase on the date face
-            F.date_sub(F.col("w.start").cast("date"), EPOCH_REBASE_DAYS)
+            # undo the rebase and extract the date face TZ-FREE: a
+            # direct instant→DATE cast renders through the SESSION
+            # time zone, so any session west of UTC shifts every
+            # day bucket to the previous date (found by the round-11
+            # session-TZ registry sweep — the ONE leak in the NTZ
+            # wall-clock discipline); ntz_wall's pure epoch
+            # arithmetic keeps the readout zone-free.
+            _ntz_wall_out(F.col("w.start")).cast("date")
             .alias("evt_date"),
             "event_type",
             "n_events",

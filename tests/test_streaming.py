@@ -595,3 +595,47 @@ def test_quarantine_rejects_is_the_exact_complement(spark):
     assert rejected == {2, 3, 4}
     # the batch path passes everything through (no watermark to poison)
     assert _quarantine_future(df).count() == 5
+
+
+def test_daily_stats_date_face_is_session_tz_free(spark):
+    """The round-11 session-TZ registry sweep found the ONE zone leak
+    in the NTZ wall-clock discipline: ``daily_event_stats`` read its
+    date face via a direct instant→DATE cast, which renders through
+    the SESSION time zone — any session west of UTC shifted every day
+    bucket to the previous date.  Pin the fix: identical rows under
+    sessions on both sides of UTC and at the home zone."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from getdbt_spark.streaming import daily_event_stats
+
+    rows = [
+        # midnight and 23:59 wall-clock edges — the rows a zone shift
+        # moves across the date boundary
+        (1, dt.datetime(2024, 5, 1, 0, 0, 0), 0, "view", 1.0, "a"),
+        (2, dt.datetime(2024, 5, 1, 23, 59, 59), 0, "view", 2.0, "b"),
+        (3, dt.datetime(2024, 5, 2, 0, 0, 1), 0, "click", 3.0, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    home = spark.conf.get("spark.sql.session.timeZone")
+    want = {
+        (dt.date(2024, 5, 1), "view", 2),
+        (dt.date(2024, 5, 2), "click", 1),
+    }
+    try:
+        for tz in (home, "America/Los_Angeles", "Asia/Tokyo", "UTC"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = {
+                (r["evt_date"], r["event_type"], r["n_events"])
+                for r in daily_event_stats(df)
+                .select("evt_date", "event_type", "n_events")
+                .collect()
+            }
+            assert got == want, (tz, got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", home)
