@@ -386,6 +386,24 @@ def _lazy_cut(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+_INT64_MAX = (1 << 63) - 1
+
+
+def _int64_guard(acc: int, what: str) -> int:
+    """Raise on int64 overflow in the driver-side offset accumulation.
+
+    The Arrow kernels' prefix sums are overflow-checked
+    (``cumulative_sum_checked`` / ``add_checked``); the matching
+    driver-side loop that folds per-slice totals into broadcast
+    offsets must give the same guarantee — Python ints never wrap, but
+    ``createDataFrame`` against a LONG schema would, silently."""
+    if not -(_INT64_MAX + 1) <= acc <= _INT64_MAX:
+        raise OverflowError(
+            f"{what} exceeds BIGINT range: {acc}"
+        )
+    return acc
+
+
 def with_global_rank(
     df: DataFrame,
     order: Sequence[Column | str],
@@ -475,7 +493,7 @@ def with_global_rank(
     offsets, acc = [], 0
     for pid in sorted(counts):
         offsets.append((pid, acc))
-        acc += counts[pid]
+        acc = _int64_guard(acc + counts[pid], "global rank")
     off_df = spark.createDataFrame(
         offsets, schema="__gr_pid int, __gr_off long"
     )
@@ -546,9 +564,13 @@ def with_global_cumsum(
         off = 0
         for b in batches:
             wi = b.schema.get_field_index("__gc_w")
-            # NULL weight ≡ 0, then an exact int64 prefix sum
+            # NULL weight ≡ 0, then an exact int64 prefix sum.  The
+            # cross-batch offset add is _checked too: a plain pc.add
+            # wraps silently on int64 overflow, which would break the
+            # helper's BIGINT-safe contract exactly when a slice's
+            # running total crosses 2^63 at a batch boundary.
             wcol = pc.fill_null(b.column(wi).cast(pa.int64()), 0)
-            cs = pc.add(pc.cumulative_sum_checked(wcol), off)
+            cs = pc.add_checked(pc.cumulative_sum_checked(wcol), off)
             off = cs[-1].as_py() if len(cs) else off
             yield pa.RecordBatch.from_arrays(
                 list(b.columns) + [cs],
@@ -565,7 +587,7 @@ def with_global_cumsum(
     offsets, acc = [], 0
     for pid in sorted(totals):
         offsets.append((pid, acc))
-        acc += totals[pid]
+        acc = _int64_guard(acc + totals[pid], "global cumsum")
     off_df = spark.createDataFrame(
         offsets, schema="__gc_pid int, __gc_off long"
     )
@@ -634,6 +656,10 @@ def with_grouped_global_rank(
 
     (group, *order) must be a total order within each group —
     ``row_number``'s own determinism contract.
+
+    Float group keys: NaN ≡ NULL — both land in ONE group (see
+    ``_nan_group_to_null``).  SQL windows would keep NaN a distinct
+    group; don't group on a float column if that distinction matters.
     """
     from pyspark.sql import Window
 
@@ -743,6 +769,10 @@ def with_grouped_global_cumsum(
 
     Same contracts as the siblings: integral ``weight``, (group,
     *order) total within each group.
+
+    Float group keys: NaN ≡ NULL — both land in ONE group (see
+    ``_nan_group_to_null``).  SQL windows would keep NaN a distinct
+    group; don't group on a float column if that distinction matters.
     """
     from pyspark.sql import Window
 

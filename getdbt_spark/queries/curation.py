@@ -1969,15 +1969,26 @@ def dedup_cluster_multiprobe(spark, sf_dir):
     return _cluster_verdict(spark, sf_dir, nprobe=2)
 
 
-def _cluster_verdict(spark, sf_dir, nprobe: int):
+def _cluster_verdict(spark, sf_dir, nprobe: int, assign=None):
     """The IVF cluster-dedup verdict at an arbitrary probe depth —
     ``dedup_cluster_multiprobe``'s body with nprobe as the dial, so
     ``dedup_cluster_recall`` can report the nprobe=3 recall row
-    (VERDICT r10 #8) from the same trainer/threshold/election code."""
+    (VERDICT r10 #8) from the same trainer/threshold/election code.
+
+    ``assign`` lets a caller that already materialized the probe
+    assignment (``dedup_cluster_recall`` persists one per variant for
+    its own numerators) pass it in — one kmeans run instead of two,
+    and the caller owns the frame's lifecycle.  When the verdict
+    builds its own, it uses ``localCheckpoint()`` rather than
+    ``persist()``: checkpoint blocks are RDD-backed and reclaimed by
+    the ContextCleaner once unreferenced, while a cached plan lives in
+    the CacheManager for the session — three verdict invocations per
+    recall run were leaking three assignment caches (ADVICE r11)."""
     e = P.with_norm(_embs(spark, sf_dir))
-    assign = P.kmeans_probe_assign(e, k=8, iters=2, nprobe=nprobe).select(
-        "vec_id", "cent_id"
-    ).persist()
+    if assign is None:
+        assign = P.kmeans_probe_assign(
+            e, k=8, iters=2, nprobe=nprobe
+        ).select("vec_id", "cent_id").localCheckpoint()
     pairs = _probe_cell_pairs(e, assign)
     comp = P.connected_components(pairs)
     base = assign.select("vec_id").distinct()
@@ -2149,20 +2160,28 @@ def dedup_cluster_recall(spark, sf_dir):
     rows = []
     for variant, nprobe, verdict_q in (
         ("ivf", 1, dedup_embedding_cluster_ivf),
-        ("multiprobe", 2, dedup_cluster_multiprobe),
         # r11 (VERDICT r10 #8): margin analysis showed the residual
         # nprobe=2 misses are NOT selectable boundary vectors on this
         # corpus (catching them via (d3-d1)/d1 margins flags ~95% of
         # vectors), so the honest dial is uniform depth 3 — measured
         # 14/14 pair recall at 1.5× nprobe=2's candidate mass
         # (tools/cluster_recall_margin.py; SCALE.md round-11).
-        ("multiprobe3", 3, lambda s, d: _cluster_verdict(s, d, 3)),
+        # nprobe 2/3 reuse THIS loop's persisted assign (same trainer,
+        # same params as the registered variants — one kmeans run per
+        # variant instead of two, and no leaked verdict-side cache)
+        ("multiprobe", 2, lambda s, d, a: _cluster_verdict(s, d, 2, a)),
+        ("multiprobe3", 3, lambda s, d, a: _cluster_verdict(s, d, 3, a)),
     ):
         assign = P.kmeans_probe_assign(
             e, k=8, iters=2, nprobe=nprobe
         ).select("vec_id", "cent_id").persist()
         vp = _probe_cell_pairs(e, assign).localCheckpoint()
-        vc = co_pairs(verdict_q(spark, sf_dir)).localCheckpoint()
+        verdict = (
+            verdict_q(spark, sf_dir, assign)
+            if nprobe > 1
+            else verdict_q(spark, sf_dir)
+        )
+        vc = co_pairs(verdict).localCheckpoint()
         rows.append(
             (
                 variant,

@@ -45,18 +45,40 @@ def main() -> None:
     )
     e = P.with_norm(load_table(spark, SF_DIR, "embeddings"))
 
-    # (1) full cell ranking per vector (bounded: k rows per vector)
-    probes = {
-        (r["vec_id"], r["probe_rank"]): (r["cent_id"], r["dist_q"])
-        for r in P.kmeans_probe_assign(e, k=K, iters=2, nprobe=K).collect()
-    }
-    vec_ids = sorted({v for v, _ in probes})
-    cells = {
-        v: [probes[(v, p)][0] for p in range(1, K + 1)] for v in vec_ids
-    }
-    dists = {
-        v: [probes[(v, p)][1] for p in range(1, K + 1)] for v in vec_ids
-    }
+    # (1) full cell ranking per vector (bounded: <= k rows per
+    # vector — non-finite vectors are filtered upstream and a corpus
+    # can train < 3 distinct cells, so build per-vector lists by
+    # GROUPING rather than assuming exactly K rows per vec_id, and
+    # flag vectors too shallow for the depth-3 margin math instead of
+    # dying on a KeyError/IndexError (ADVICE r11).
+    from collections import defaultdict
+
+    by_vec: dict[int, list[tuple[int, int, int]]] = defaultdict(list)
+    for r in P.kmeans_probe_assign(e, k=K, iters=2, nprobe=K).collect():
+        by_vec[r["vec_id"]].append(
+            (r["probe_rank"], r["cent_id"], r["dist_q"])
+        )
+    vec_ids = sorted(by_vec)
+    cells, dists, shallow = {}, {}, []
+    for v in vec_ids:
+        ranked = sorted(by_vec[v])
+        cells[v] = [c for _, c, _ in ranked]
+        dists[v] = [d for _, _, d in ranked]
+        if len(ranked) < 3:
+            shallow.append(v)
+    if shallow:
+        print(
+            json.dumps(
+                {
+                    "warning": "vectors with <3 ranked cells excluded "
+                    "from margin math (depth-3 margins undefined)",
+                    "n_shallow": len(shallow),
+                    "sample": shallow[:10],
+                },
+            ),
+            file=sys.stderr,
+        )
+    deep = {v for v in vec_ids if len(dists[v]) >= 3}
 
     # (2) exact pairs at the registered threshold (brute force — the
     # oracle baseline, fine at analysis scale)
@@ -102,12 +124,20 @@ def main() -> None:
     # misses at the production depth (nprobe=2)
     missed = [(x, y) for x, y in exact if not shares_top(x, y, 2, 2)]
     miss_detail = []
+    def margin(v: int) -> float | None:
+        # (d3 - d1)/d1, defined only for vectors with >= 3 ranked cells
+        if v not in deep:
+            return None
+        return round(
+            (dists[v][2] - dists[v][0]) / max(dists[v][0], 1), 4
+        )
+
     for x, y in missed:
         miss_detail.append(
             {
                 "pair": [x, y],
-                "margin_a": round((dists[x][2] - dists[x][0]) / max(dists[x][0], 1), 4),
-                "margin_b": round((dists[y][2] - dists[y][0]) / max(dists[y][0], 1), 4),
+                "margin_a": margin(x),
+                "margin_b": margin(y),
                 "min_depth_to_recover": min(
                     (
                         p
@@ -124,7 +154,7 @@ def main() -> None:
     for eps in (0.02, 0.05, 0.1, 0.2, 0.3, 0.5, 1.0):
         flagged = {
             v
-            for v in vec_ids
+            for v in deep
             if (dists[v][2] - dists[v][0]) / max(dists[v][0], 1) < eps
         }
         hits = sum(
