@@ -61,6 +61,13 @@ BOUNDED_NLJ_ALLOW: dict[str, int] = {
     # The 4 subspace trainers + the IVF cell trainer: 20 nodes,
     # every build side a k-row codebook by construction.
     "sim_ann_ivfpq": 20,
+    # The deployment dial: 8 subspace trainers + the coarse trainer,
+    # and THREE consumers of the shared quantized frame (multiprobe
+    # assignment, candidate a/b branches, and the IVFADC+R re-rank's
+    # two qv joins) each re-print the trainer subtrees through the
+    # lazy lineage: 108 observed — every one the same K-row codebook
+    # build side by construction (K ≤ 256, broadcast-trivial).
+    "sim_ann_ivfpq_normalized": 108,
 }
 
 # Per-query unpartitioned-window allow-list: {query_id: max Window

