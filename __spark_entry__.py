@@ -13,8 +13,11 @@ All real logic lives in ``getdbt_spark``: the query/oracle registry is
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
+import types
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,39 +71,227 @@ def _driver_verified_ids(report_dir: str | None = None) -> set[str]:
 
 
 # Hand-priority escape hatch: ids listed here jump to the very front of
-# the unproven class.  Empty since round 6 — every previously-listed id
-# is driver-green, and the self-deriving rotation (never-verified first,
-# fixture scans last, registration order otherwise) is the whole policy.
-# Repopulate only if a specific unproven id must pre-empt the rotation.
-_WINDOW_FIRST: list[str] = []
+# the window.  Empty since round 6 for the unproven class; since round
+# 12 changed-code detection is AUTOMATIC (``_changed_since_green``
+# below), so this list exists only for the residual blind spot the
+# closure hash cannot see — behavior changes with no source-reachable
+# delta (config defaults, data-file fixtures, or a sibling edit in a
+# module the builder imports but whose changed lines its call graph
+# does not reach).  Round 12: ``streaming_incremental_sink`` is the
+# one VERDICT-r11 changed-code id the hash correctly does NOT flag
+# (the r11 TZ fix is unreachable from its closure) but the verdict
+# asked to re-prove anyway.
+_WINDOW_FIRST: list[str] = ["streaming_incremental_sink"]
+
+
+_SUBMODULE_CACHE: dict[str, object] = {}
+
+
+def _repo_submodules() -> dict[str, str]:
+    """Map bare submodule names to dotted repo paths ('streaming' →
+    'getdbt_spark.streaming') so in-body imports — ``from ..streaming
+    import batch_equivalent`` leaves only the bare names in
+    ``co_names``, never a binding in ``__globals__`` — still resolve
+    into the source closure.  The round-11 TZ fix lived exactly
+    there."""
+    if "__map__" in _SUBMODULE_CACHE:
+        return _SUBMODULE_CACHE["__map__"]  # type: ignore[return-value]
+    import getdbt_spark
+
+    base = os.path.dirname(os.path.abspath(getdbt_spark.__file__))
+    subs: dict[str, str] = {}
+    for rel in ("", "queries", "models"):
+        d = os.path.join(base, rel) if rel else base
+        pkg = "getdbt_spark" + (f".{rel}" if rel else "")
+        try:
+            entries = os.listdir(d)
+        except OSError:
+            continue
+        for name in entries:
+            if name.endswith(".py") and name != "__init__.py":
+                subs.setdefault(name[: -len(".py")], f"{pkg}.{name[:-3]}")
+    _SUBMODULE_CACHE["__map__"] = subs
+    return subs
+
+
+def _import_submodule(dotted: str):
+    """Memoized best-effort import of a repo submodule."""
+    if dotted not in _SUBMODULE_CACHE:
+        import importlib
+
+        try:
+            _SUBMODULE_CACHE[dotted] = importlib.import_module(dotted)
+        except Exception:
+            _SUBMODULE_CACHE[dotted] = None
+    return _SUBMODULE_CACHE[dotted]
+
+
+def _closure_sources(fn) -> tuple[list[str], list[str]]:
+    """Deterministic source closure of a registered builder: the
+    sources of every repo function REACHABLE from it by name (the
+    builder itself, then transitively every ``getdbt_spark`` function
+    its code objects reference, resolved through each function's
+    globals and through referenced repo modules' attributes), plus
+    the ``repr`` of every referenced module-level constant.
+
+    This is what makes the rotation's changed-code detection see
+    HELPER edits: round 11's TZ fix lived in ``streaming.py``, not in
+    any builder body, and a source hash of the builder alone misses
+    it (the round-11 verdict's #1).  Nested code objects (lambdas,
+    inner defs) contribute their names too.  Everything is sorted
+    before hashing — ``co_names`` resolution walks sets whose
+    iteration order depends on string-hash randomization, so an
+    unsorted fold would hash differently per process.
+    """
+    sources: dict[tuple[str, str], str] = {}
+    consts: dict[str, str] = {}
+    stack = [fn]
+    seen: set[tuple[str, str]] = set()
+    while stack:
+        f = stack.pop()
+        key = (
+            getattr(f, "__module__", "") or "",
+            getattr(f, "__qualname__", "") or "",
+        )
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            sources[key] = inspect.getsource(f)
+        except (OSError, TypeError):
+            sources[key] = repr(f)
+        code = getattr(f, "__code__", None)
+        if code is None:
+            continue
+        names: set[str] = set()
+
+        def collect(c) -> None:
+            names.update(c.co_names)
+            for const in c.co_consts:
+                if hasattr(const, "co_names"):
+                    collect(const)
+
+        collect(code)
+        g = getattr(f, "__globals__", {})
+        candidates: dict[str, object] = {}
+        repo_mods = []
+        subs = _repo_submodules()
+        for name in sorted(names):
+            v = g.get(name)
+            if v is None:
+                # in-body `from ..mod import x` leaves only the bare
+                # names behind — resolve repo submodules explicitly
+                if name in subs:
+                    mod = _import_submodule(subs[name])
+                    if mod is not None:
+                        repo_mods.append(mod)
+                continue
+            if isinstance(v, types.ModuleType):
+                if (v.__name__ or "").startswith("getdbt_spark"):
+                    repo_mods.append(v)
+                continue
+            candidates[name] = v
+        for mod in repo_mods:
+            for name in sorted(names):
+                v = getattr(mod, name, None)
+                if v is not None and name not in candidates:
+                    candidates[f"{mod.__name__}.{name}"] = v
+        for ref, v in sorted(candidates.items()):
+            if isinstance(v, types.FunctionType) and (
+                getattr(v, "__module__", "") or ""
+            ).startswith("getdbt_spark"):
+                stack.append(v)
+            elif isinstance(v, (int, float, str, bytes, tuple, frozenset)):
+                consts[ref] = repr(v)
+    return (
+        [sources[k] for k in sorted(sources)],
+        [f"{k}={v}" for k, v in sorted(consts.items())],
+    )
+
+
+def _registry_hashes() -> dict[str, str]:
+    """sha256 per registered id over (builder source closure, referenced
+    constants, oracle text) — the rotation's change detector."""
+    from getdbt_spark.queries import ORACLES, QUERIES, load_all
+
+    load_all()
+    out: dict[str, str] = {}
+    for qid, fn in QUERIES.items():
+        h = hashlib.sha256()
+        srcs, consts = _closure_sources(fn)
+        for s in srcs:
+            h.update(s.encode())
+            h.update(b"\x00")
+        for c in consts:
+            h.update(c.encode())
+            h.update(b"\x00")
+        h.update(b"\x01")
+        h.update(ORACLES.get(qid, "").encode())
+        out[qid] = h.hexdigest()
+    return out
+
+
+_HASH_FILE = "VERIFIED_HASHES.json"
+
+
+def _changed_since_green(report_dir: str | None = None) -> set[str]:
+    """Ids whose source closure or oracle text no longer matches the
+    hash recorded at their last driver-green round
+    (``VERIFIED_HASHES.json``, maintained per round by
+    ``tools/update_verified_hashes.py``).  These re-enter the driver's
+    50-id window AHEAD of the pure-staleness rotation: an id green in
+    r09 says nothing about code changed in r11 — the round-11
+    verdict's top item.  A missing or malformed hash file degrades to
+    "nothing changed" (pure staleness), never a crash."""
+    here = report_dir or os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, _HASH_FILE)) as fh:
+            recorded = json.load(fh)
+    except (OSError, ValueError):
+        return set()
+    if not isinstance(recorded, dict):
+        return set()
+    changed: set[str] = set()
+    for qid, cur in _registry_hashes().items():
+        row = recorded.get(qid)
+        if isinstance(row, dict) and row.get("hash") not in (None, cur):
+            changed.add(qid)
+    return changed
 
 
 def _priority_order(
-    ids: list[str], verified: set[str] | dict[str, int] | None = None
+    ids: list[str],
+    verified: set[str] | dict[str, int] | None = None,
+    changed: set[str] | None = None,
 ) -> list[str]:
     """Never-verified ids first — hand-prioritized high-value ids, then
     the rest in registration order, fixture scans last within the
-    class (lowest-value rows) — then already-proven ids ordered by how
+    class (lowest-value rows) — then proven ids whose SOURCE CLOSURE
+    changed since their last green round (stalest first: their proof
+    is doubly suspect), then the remaining proven ids ordered by how
     STALE their proof is (oldest latest-green round first), so with
-    full coverage the 50-slot window continuously re-proves the
-    longest-unchecked ids against current code.  The sort is stable,
-    so registration order is preserved within each staleness tier.
-    ``verified`` is injectable for property tests (a bare set means
-    "proven, staleness unknown" and preserves registration order);
-    production derives a {id: latest_green_round} map from the
-    accumulated driver reports."""
+    full coverage the 50-slot window re-proves changed code first and
+    the longest-unchecked ids after.  The sort is stable, so
+    registration order is preserved within each tier.  ``verified``
+    and ``changed`` are injectable for property tests (a bare
+    ``verified`` set means "proven, staleness unknown" and preserves
+    registration order); production derives the round map from the
+    accumulated driver reports and the changed set from
+    ``VERIFIED_HASHES.json``."""
     if verified is None:
         verified = _verified_rounds()
+    if changed is None:
+        changed = set()
     rounds: dict[str, int] = (
         verified if isinstance(verified, dict) else dict.fromkeys(verified, 0)
     )
     first = {qid: i for i, qid in enumerate(_WINDOW_FIRST)}
 
     def rank(qid: str) -> tuple[int, int]:
-        if qid in rounds:
-            return (3, rounds[qid])
-        if qid in first:
+        if qid in first:  # hand-priority leads the WHOLE window
             return (0, first[qid])
+        if qid in rounds:
+            return (3 if qid in changed else 4, rounds[qid])
         return ((2, 0) if qid.startswith("fixture_") else (1, 0))
 
     return sorted(ids, key=rank)
@@ -121,11 +312,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
-    ids without a prior driver-green correctness row run first."""
+    ids without a prior driver-green correctness row run first, then
+    ids whose code changed since their last green round."""
     from getdbt_spark.queries import QUERIES, load_all
 
     load_all()
-    return {qid: QUERIES[qid] for qid in _priority_order(list(QUERIES))}
+    order = _priority_order(list(QUERIES), changed=_changed_since_green())
+    return {qid: QUERIES[qid] for qid in order}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -133,4 +326,5 @@ def oracle_sql() -> dict[str, str]:
     from getdbt_spark.queries import ORACLES, load_all
 
     load_all()
-    return {qid: ORACLES[qid] for qid in _priority_order(list(ORACLES))}
+    order = _priority_order(list(ORACLES), changed=_changed_since_green())
+    return {qid: ORACLES[qid] for qid in order}

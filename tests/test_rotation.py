@@ -159,3 +159,73 @@ def test_no_oracle_rows_stay_unproven(tmp_path):
         json.dumps({"q001": _no_oracle_row(), "q002": _green_row()})
     )
     assert e._driver_verified_ids(report_dir=str(tmp_path)) == {"q002"}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.dictionaries(st.sampled_from(IDS), st.integers(1, 9), max_size=len(IDS)),
+    st.sets(st.sampled_from(IDS), max_size=len(IDS)),
+    st.permutations(IDS),
+)
+def test_changed_ids_precede_unchanged_proven(rounds, changed, order):
+    """Proven ids whose source closure changed since their green round
+    re-enter the window AFTER every unproven id but BEFORE every
+    unchanged proven id, stalest first within the class (VERDICT r11
+    #1: changed code outranks pure staleness)."""
+    out = e._priority_order(list(order), verified=rounds, changed=changed)
+    assert sorted(out) == sorted(order)
+    ranks = {qid: i for i, qid in enumerate(out)}
+    unproven = [q for q in order if q not in rounds]
+    chg = [q for q in order if q in rounds and q in changed]
+    unchg = [q for q in order if q in rounds and q not in changed]
+    if unproven and chg:
+        assert max(ranks[q] for q in unproven) < min(ranks[q] for q in chg)
+    if chg and unchg:
+        assert max(ranks[q] for q in chg) < min(ranks[q] for q in unchg)
+    # stalest-first within each proven class
+    for cls in (chg, unchg):
+        got = [q for q in out if q in cls]
+        assert [rounds[q] for q in got] == sorted(rounds[q] for q in got)
+
+
+def test_changed_since_green_degrades_on_bad_file(tmp_path):
+    """A missing or malformed VERIFIED_HASHES.json must degrade to
+    'nothing changed' (pure staleness rotation), never crash the
+    driver's import."""
+    assert e._changed_since_green(report_dir=str(tmp_path)) == set()
+    (tmp_path / e._HASH_FILE).write_text("{broken")
+    assert e._changed_since_green(report_dir=str(tmp_path)) == set()
+    (tmp_path / e._HASH_FILE).write_text('["a list"]')
+    assert e._changed_since_green(report_dir=str(tmp_path)) == set()
+
+
+def test_registry_hashes_are_stable_within_session_and_complete():
+    """Two in-process computations agree (the sort discipline inside
+    _closure_sources is doing its job) and every registered id gets a
+    hash; cross-process determinism is exercised by the committed
+    VERIFIED_HASHES.json itself — a nondeterministic hash would flag
+    the whole registry as changed on the next driver import."""
+    from getdbt_spark.queries import QUERIES, load_all
+
+    load_all()
+    a = e._registry_hashes()
+    b = e._registry_hashes()
+    assert a == b
+    assert set(a) == set(QUERIES)
+
+
+def test_window_first_leads_the_whole_window():
+    """A hand-prioritized id outranks even unproven ids — the escape
+    hatch for behavior changes the closure hash cannot see."""
+    old = e._WINDOW_FIRST[:]
+    e._WINDOW_FIRST[:] = ["q005"]
+    try:
+        out = e._priority_order(
+            ["q001", "q005", "q009"],
+            verified={"q005": 3, "q009": 1},
+            changed=set(),
+        )
+        assert out[0] == "q005"
+        assert out[1] == "q001"  # unproven next
+    finally:
+        e._WINDOW_FIRST[:] = old
