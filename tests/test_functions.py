@@ -548,3 +548,101 @@ def test_round_to_passes_nonfinite_and_huge_through(spark):
     assert got[3] == 1e300 and got[4] == -1e300 and got[5] is None
     assert got[6] == 2.35 and got[7] == -2.35
     assert got[8] == 9.5e16  # beyond 2^63/100: passthrough, not saturate
+
+
+def test_lazy_cut_concurrent_consumers_share_one_materialization(spark):
+    """Two threads racing one slice-offset helper frame (a realistic
+    multi-query cluster session) must read ONE materialization of the
+    kernel output: identical results, no deadlock, and no job that
+    re-derives the range-shuffle lineage (VERDICT r11 #8).
+
+    The probe: ``_lazy_cut``'s checkpoint materializes during helper
+    CONSTRUCTION (the per-slice counts pass is the first consuming
+    action), so every post-build job reads checkpoint blocks and its
+    stage DAG is truncated at the CheckpointRDD — a sequential
+    post-build action measures that stage budget, and a concurrent
+    job exceeding it means the lineage (range exchange + Arrow
+    kernel) was silently recomputed."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from getdbt_spark import functions as E
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    base = spark.range(0, 50_000).select(
+        "id", (F.col("id") % 7).alias("grp"), (F.col("id") % 13).alias("w")
+    )
+    frames = {
+        "rank": E.with_global_rank(base, order=[F.asc("id")], rank_col="r"),
+        "gcum": E.with_grouped_global_cumsum(
+            base, group="grp", order=[F.asc("id")], weight="w",
+            cumsum_col="c",
+        ),
+    }
+    for name, df in frames.items():
+        # sequential stage budget for the two action shapes the
+        # threads will run (collect, count) against the built frame
+        def _job_stages(group: str, action) -> int:
+            sc.setJobGroup(group, group)
+            try:
+                action()
+            finally:
+                sc.setJobGroup(None, None)
+            worst = 0
+            for jid in tracker.getJobIdsForGroup(group):
+                info = tracker.getJobInfo(jid)
+                if info is not None:
+                    worst = max(worst, len(list(info.stageIds)))
+            return worst
+
+        budget = max(
+            _job_stages(f"{name}-seq-collect", lambda: df.collect()),
+            _job_stages(f"{name}-seq-count", lambda: df.count()),
+        )
+        assert budget >= 1
+
+        marker = _job_stages(f"{name}-pre", lambda: df.count())
+        pre_ids = tracker.getJobIdsForGroup(f"{name}-pre")
+        assert pre_ids, "sentinel job must be visible to the tracker"
+        lo = max(pre_ids)
+
+        results: dict[str, object] = {}
+        errors: list[BaseException] = []
+
+        def consume(key: str) -> None:
+            try:
+                rows = sorted(tuple(r) for r in df.collect())
+                results[key] = (len(rows), rows[:20], rows[-20:], df.count())
+            except BaseException as exc:  # noqa: BLE001 - rethrown below
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=consume, args=(k,)) for k in ("a", "b")
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not any(t.is_alive() for t in threads), (
+            f"{name}: concurrent consumers deadlocked"
+        )
+        assert not errors, f"{name}: {errors[0]!r}"
+        assert results["a"] == results["b"], (
+            f"{name}: racing consumers saw different data"
+        )
+
+        hi_marker = _job_stages(f"{name}-post", lambda: df.count())
+        hi = min(tracker.getJobIdsForGroup(f"{name}-post"))
+        for jid in range(lo + 1, hi):
+            info = tracker.getJobInfo(jid)
+            if info is None:
+                continue
+            n_stages = len(list(info.stageIds))
+            assert n_stages <= budget, (
+                f"{name}: concurrent job {jid} planned {n_stages} stages "
+                f"(sequential budget {budget}) — the checkpointed lineage "
+                "was recomputed"
+            )
+        del marker, hi_marker
