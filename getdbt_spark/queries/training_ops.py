@@ -2421,38 +2421,31 @@ def _clustered_embs(spark, sf_dir):
     )
 
 
-def _clustered_recall_oracle() -> str:
-    """Recall oracle on the clustered corpus, composed by pointing the
-    REGISTERED oracle texts of the exact / IVF / multiprobe / IVFPQ
-    stacks at the derived ``cemb`` CTE instead of the raw table.  The
-    swap is a word-boundary rewrite (same pattern as
-    ``dq_probe._rewire``), NOT a literal ``FROM embeddings`` replace:
-    a future oracle edit that references the table another way
-    (``JOIN embeddings``, a comma join, ``embeddings e``) must still
-    be re-pointed — a missed form would silently mix the raw corpus
-    into the clustered oracle, caught only later as a hash mismatch.
-    Trainer, tie-breaks and ranking stay byte-identical to the
-    hash-verified originals."""
+def _recall_oracle(
+    corpus_cte: str, members: list[tuple[str, int, str]]
+) -> str:
+    """Recall oracle on a DERIVED corpus: the registered oracle texts
+    of the exact baseline and each member stack are re-pointed at the
+    ``cemb`` CTE instead of the raw table, then one recall row is
+    emitted per member.  The swap is a word-boundary rewrite (same
+    pattern as ``dq_probe._rewire``), NOT a literal ``FROM
+    embeddings`` replace: a future oracle edit that references the
+    table another way (``JOIN embeddings``, a comma join,
+    ``embeddings e``) must still be re-pointed — a missed form would
+    silently mix the raw corpus into the derived oracle, caught only
+    later as a hash mismatch.  Trainer, tie-breaks and ranking stay
+    byte-identical to the hash-verified originals.
+
+    ``corpus_cte`` is the SQL body deriving ``(vec_id, embedding)``;
+    ``members`` = (variant label, nprobe, registered oracle id)."""
 
     def on_cemb(s: str) -> str:
         return re.sub(r"\bembeddings\b", "cemb", s)
 
-    hits = {
-        "ivf1": "iv1",
-        "ivf2": "iv2",
-        "pq": "pq",
-        "pqn": "pqn",
-    }
-    selects = []
-    for (variant, nprobe), cte in zip(
-        [
-            ("ivf", 1),
-            ("ivf", 2),
-            ("ivfpq", 1),
-            ("ivfpq_norm", NPQ_NPROBE),
-        ],
-        hits.values(),
-    ):
+    ctes, selects = [], []
+    for i, (variant, nprobe, oracle_id) in enumerate(members):
+        cte = f"m{i}"
+        ctes.append(f"{cte} AS ({on_cemb(ORACLES[oracle_id])})")
         n = (
             f"(SELECT count(*) FROM {cte} JOIN exact5 "
             "USING (vec_id, neighbor_id))"
@@ -2466,23 +2459,35 @@ def _clustered_recall_oracle() -> str:
              AS recall_at_5"""
         )
     return f"""
-    WITH cemb AS (
+    WITH cemb AS ({corpus_cte}),
+    exact AS ({on_cemb(ORACLES['sim_topk_cosine'])}),
+    {",".join(ctes)},
+    exact5 AS (SELECT vec_id, neighbor_id FROM exact WHERE rnk <= 5),
+    nq AS (SELECT count(DISTINCT vec_id) AS n FROM exact5)
+    {(chr(10) + '    UNION ALL').join(selects)}
+    """
+
+
+_CLUSTERED_CEMB_SQL = f"""
       SELECT vec_id,
              [ (CASE WHEN vec_id % {CLUSTER_C} = i - 1
                      THEN {CLUSTER_AMP} ELSE 0.0 END)
                + embedding[i]::DOUBLE * {CLUSTER_NOISE}
                for i in range(1, len(embedding) + 1) ] AS embedding
       FROM embeddings
-    ),
-    exact AS ({on_cemb(ORACLES['sim_topk_cosine'])}),
-    iv1 AS ({on_cemb(ORACLES['sim_ann_ivf_trained'])}),
-    iv2 AS ({on_cemb(ORACLES['sim_ann_ivf_multiprobe'])}),
-    pq AS ({on_cemb(ORACLES['sim_ann_ivfpq'])}),
-    pqn AS ({on_cemb(ORACLES['sim_ann_ivfpq_normalized'])}),
-    exact5 AS (SELECT vec_id, neighbor_id FROM exact WHERE rnk <= 5),
-    nq AS (SELECT count(DISTINCT vec_id) AS n FROM exact5)
-    {(chr(10) + '    UNION ALL').join(selects)}
     """
+
+
+def _clustered_recall_oracle() -> str:
+    return _recall_oracle(
+        _CLUSTERED_CEMB_SQL,
+        [
+            ("ivf", 1, "sim_ann_ivf_trained"),
+            ("ivf", 2, "sim_ann_ivf_multiprobe"),
+            ("ivfpq", 1, "sim_ann_ivfpq"),
+            ("ivfpq_norm", NPQ_NPROBE, "sim_ann_ivfpq_normalized"),
+        ],
+    )
 
 
 @query("sim_recall_clustered", oracle=_clustered_recall_oracle())
@@ -2511,6 +2516,30 @@ def sim_recall_clustered(spark, sf_dir):
     driver traffic is the bounded per-variant hit counts.
     """
     ce = _clustered_embs(spark, sf_dir)
+    return _recall_report(spark, ce, with_demo_ivfpq=True)
+
+
+def _deployment_pq_top5(ce):
+    """The ``sim_ann_ivfpq_normalized`` stack over an arbitrary
+    corpus frame — the deployment dial in one place."""
+    return _ivfpq_top5(
+        _unit_embs(ce),
+        subspaces=NPQ_SUBSPACES,
+        subdims=NPQ_SUBDIMS,
+        pq_k=NPQ_K,
+        nprobe=NPQ_NPROBE,
+        rerank=NPQ_RERANK,
+    )
+
+
+def _recall_report(spark, ce, with_demo_ivfpq: bool):
+    """Shared recall@5 report over a derived corpus ``ce``: trained
+    IVF at probe depths 1 and 2, optionally the demo IVFPQ, and the
+    deployment IVFPQ (normalize + K=256 + multiprobe + IVFADC+R
+    re-rank — the recall-gated row, ≥ 0.8 in
+    ``tests/test_training_ops.py``), each hits@5 against the exact
+    brute-force top-5 of the SAME corpus.  The only driver traffic is
+    the bounded per-variant hit counts."""
     exact5 = (
         P.topk_cosine_blocked(ce, k=10)
         .filter(F.col("rnk") <= 5)
@@ -2522,23 +2551,12 @@ def sim_recall_clustered(spark, sf_dir):
     variants = [
         ("ivf", 1, _ivf_top5(ep, max_probe=1)),
         ("ivf", 2, _ivf_top5(ep, max_probe=2)),
-        ("ivfpq", 1, _ivfpq_top5(ce.filter(P.finite_vec("embedding")))),
-        # the deployment dial: normalize + K=256 + multiprobe +
-        # IVFADC+R exact re-rank — the recall-gated row (>= 0.8,
-        # tests/test_training_ops.py)
-        (
-            "ivfpq_norm",
-            NPQ_NPROBE,
-            _ivfpq_top5(
-                _unit_embs(ce),
-                subspaces=NPQ_SUBSPACES,
-                subdims=NPQ_SUBDIMS,
-                pq_k=NPQ_K,
-                nprobe=NPQ_NPROBE,
-                rerank=NPQ_RERANK,
-            ),
-        ),
     ]
+    if with_demo_ivfpq:
+        variants.append(
+            ("ivfpq", 1, _ivfpq_top5(ce.filter(P.finite_vec("embedding"))))
+        )
+    variants.append(("ivfpq_norm", NPQ_NPROBE, _deployment_pq_top5(ce)))
     rows = []
     for variant, nprobe, top5 in variants:
         n_hits = (
@@ -2561,6 +2579,105 @@ def sim_recall_clustered(spark, sf_dir):
             6,
         ).alias("recall_at_5"),
     )
+
+
+# Skewed-overlap geometry (the hostile case): non-orthogonal centers —
+# amplitude 1.0 (spread ≈ separation) with a 0.4-amplitude component
+# SHARED with the next center — and Zipf-ish cluster sizes
+# (50/25/12/8/5% via thresholds on vec_id % 100).
+SKEW_AMP = "1.0"
+SKEW_CROSS = "0.4"   # effective shared-component amplitude (AMP × 0.4)
+SKEW_NOISE = "0.5"
+SKEW_CUTS = (50, 75, 87, 95)
+
+
+def _skew_cid():
+    """Skewed cluster id: thresholds on ``vec_id % 100``."""
+    h = F.col("vec_id") % 100
+    cid = F.lit(len(SKEW_CUTS))
+    for i, cut in reversed(list(enumerate(SKEW_CUTS))):
+        cid = F.when(h < cut, F.lit(i)).otherwise(cid)
+    return cid
+
+
+def _skewed_embs(spark, sf_dir):
+    """Deterministic SKEWED-OVERLAP variant of the embedding corpus:
+    vector ``v`` moves to ``center(c) + 0.5·v`` where ``c`` is the
+    Zipf-skewed cluster id and ``center(c) = 1.0·e_c + 0.4·e_{(c+1)
+    mod 5}`` — adjacent centers share a component (non-orthogonal)
+    and the 1.0 amplitude makes cluster spread comparable to center
+    separation, so near-dup pairs straddle cells as the COMMON case
+    (measured: single-probe pair recall 0.51 vs geometry #1's 0.78 —
+    SCALE.md round-12).  Same IEEE op sequence in both engines."""
+    c = _skew_cid().cast("int")
+    return _embs(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                F.when(i == c, F.lit(float(SKEW_AMP)))
+                .when(
+                    i == (c + 1) % CLUSTER_C,
+                    F.lit(float(SKEW_CROSS)),
+                )
+                .otherwise(F.lit(0.0))
+                + x.cast("double") * float(SKEW_NOISE)
+            ),
+        ).alias("embedding"),
+    )
+
+
+_SKEWED_CEMB_SQL = f"""
+      SELECT vec_id,
+             [ (CASE WHEN c = i - 1 THEN {SKEW_AMP}
+                     WHEN (c + 1) % {CLUSTER_C} = i - 1 THEN {SKEW_CROSS}
+                     ELSE 0.0 END)
+               + embedding[i]::DOUBLE * {SKEW_NOISE}
+               for i in range(1, len(embedding) + 1) ] AS embedding
+      FROM (
+        SELECT vec_id, embedding,
+               CASE WHEN vec_id % 100 < {SKEW_CUTS[0]} THEN 0
+                    WHEN vec_id % 100 < {SKEW_CUTS[1]} THEN 1
+                    WHEN vec_id % 100 < {SKEW_CUTS[2]} THEN 2
+                    WHEN vec_id % 100 < {SKEW_CUTS[3]} THEN 3
+                    ELSE 4 END AS c
+        FROM embeddings
+      )
+    """
+
+
+@query(
+    "sim_recall_clustered_skewed",
+    oracle=_recall_oracle(
+        _SKEWED_CEMB_SQL,
+        [
+            ("ivf", 1, "sim_ann_ivf_trained"),
+            ("ivf", 2, "sim_ann_ivf_multiprobe"),
+            ("ivfpq_norm", NPQ_NPROBE, "sim_ann_ivfpq_normalized"),
+        ],
+    ),
+)
+def sim_recall_clustered_skewed(spark, sf_dir):
+    """``sim_recall_clustered`` on the HOSTILE geometry (VERDICT r11
+    #6): geometry #1's orthogonal equal-size centers are the
+    favorable case, so this fixture plants overlapping NON-orthogonal
+    centers (adjacent centers share a 0.4-amplitude component; 1.0
+    amplitude puts cluster spread on par with center separation) with
+    Zipf-skewed sizes (50/25/12/8/5%) and re-runs the identical
+    trained-IVF and deployment-IVFPQ stacks.  Three rows: (ivf, 1),
+    (ivf, 2), (ivfpq_norm, 2).  Measured at sf0.01: single-probe
+    degrades to 0.756 (boundary-straddling neighbors are the common
+    case), nprobe=2 still clears the 0.8 gate at 0.908, and the
+    IVFADC+R deployment stack holds at 0.992 — the nprobe=2/3
+    decision does not flip (SCALE.md round-12;
+    ``tools/clustered_geometry_sweep.py`` carries the depth-3/4 rows
+    and the dedup pair-recall dial on the same geometry).
+
+    Scale: identical shapes to the geometry-#1 report — one map-side
+    corpus derivation, the verified builders unchanged, bounded hit
+    counts as the only driver traffic.
+    """
+    return _recall_report(spark, _skewed_embs(spark, sf_dir), with_demo_ivfpq=False)
 
 
 # ---------------------------------------------------------------------------

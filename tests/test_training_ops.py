@@ -734,6 +734,21 @@ def test_ivfpq_normalized_clears_recall_gate_at_driver_sf(spark):
     # and it must dominate the demo configuration by a wide margin —
     # the whole point of registering the deployment dial
     assert got >= rows["ivfpq"]["recall_at_5"] + 0.5
+    # the gate must also hold on the HOSTILE geometry (overlapping
+    # non-orthogonal centers, Zipf-skewed sizes — VERDICT r11 #6):
+    # measured 0.992 deployment IVFPQ / 0.908 IVF nprobe=2 at gate
+    # introduction
+    skewed = {
+        (r["variant"], r["nprobe"]): r["recall_at_5"]
+        for r in QUERIES["sim_recall_clustered_skewed"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert skewed[("ivfpq_norm", 2)] >= 0.8, skewed
+    assert skewed[("ivf", 2)] >= 0.8, skewed
+    assert skewed[("ivf", 1)] < skewed[("ivf", 2)], (
+        "overlap must make the second probe matter"
+    )
 
 
 def test_whitening_survives_large_magnitude_values(spark, tmp_path_factory):
