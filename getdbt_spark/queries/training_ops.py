@@ -918,6 +918,16 @@ def _unit_embs(e):
         lambda acc, v: acc + v * v,
     )
     u = e.select("vec_id", "embedding", F.sqrt(ss).alias("nrm"))
+    # divide by the GUARDED norm (NULL when zero/NaN/Inf), never the
+    # raw one: Catalyst collapses the downstream finite_vec filter
+    # into one predicate with this projection, so the division runs
+    # for zero-norm rows BEFORE the row filter can drop them — under
+    # ANSI that's a DIVIDE_BY_ZERO abort (found by the zerovec
+    # hostile-corpus replay; same pattern as pipeline.l2_normalize).
+    safe = F.when(
+        (F.col("nrm") > 0) & (F.col("nrm") < F.lit(float("inf"))),
+        F.col("nrm"),
+    )
     return u.filter(
         ~F.isnan("nrm")
         & (F.col("nrm") > 0)
@@ -925,7 +935,7 @@ def _unit_embs(e):
     ).select(
         "vec_id",
         F.transform(
-            "embedding", lambda v: v.cast("double") / F.col("nrm")
+            "embedding", lambda v: v.cast("double") / safe
         ).alias("embedding"),
     )
 

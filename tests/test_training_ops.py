@@ -850,3 +850,30 @@ def test_pca_power_iteration_recovers_planted_direction(spark, tmp_path_factory)
     ).write.parquet(f"{out2}/embeddings.parquet")
     z = QUERIES["emb_pca_power_iteration"](spark, out2).collect()
     assert len(z) == 64 and all(r["loading_micro"] == 0 for r in z)
+
+
+def test_normalized_ivfpq_survives_zero_and_corrupt_vectors(
+    spark, tmp_path_factory
+):
+    """Zerovec regression pin (round-12 hostile-corpus find): Catalyst
+    collapses ``_kmeans_quantize_valid``'s finite_vec filter into the
+    same predicate as ``_unit_embs``' unit-vector projection, so the
+    per-component division ran for zero-norm rows BEFORE the row
+    filter could drop them — an ANSI DIVIDE_BY_ZERO abort.  The
+    division must go through the guarded (NULL-on-degenerate) norm;
+    corrupt vectors cost themselves, never the job."""
+    out = str(tmp_path_factory.mktemp("npqzero"))
+    rows = [(i, [float((i + j) % 5) + 0.25 for j in range(64)]) for i in range(12)]
+    rows.append((100, [0.0] * 64))                       # zero norm
+    rows.append((101, [float("nan")] + [1.0] * 63))      # NaN component
+    rows.append((102, [float("inf")] + [1.0] * 63))      # Inf component
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{out}/embeddings.parquet")
+    got = QUERIES["sim_ann_ivfpq_normalized"](spark, out).collect()
+    assert got, "valid vectors must still get neighbors"
+    ids = {r["vec_id"] for r in got} | {r["neighbor_id"] for r in got}
+    assert ids.isdisjoint({100, 101, 102}), (
+        "corrupt vectors must receive no verdict and never appear as "
+        f"neighbors: {ids & {100, 101, 102}}"
+    )
