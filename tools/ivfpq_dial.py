@@ -22,14 +22,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
-# (subspaces M, subdims, codes K): bits/vector = M * log2(K)
+# (subspaces M, subdims, codes K, nprobe, rerank, unit):
+# bits/vector = M * log2(K); rerank=R adds the IVFADC+R exact
+# re-rank of the ADC top-R (None = raw ADC order, the r11 grid);
+# unit=True runs the stack on the unit-normalized corpus
+# (_unit_embs — the deployment recipe's first step).
 GRID = [
-    (4, 16, 4),    # the registered demo config: 8 bits/vec
-    (4, 16, 16),   # 16 bits/vec
-    (4, 16, 64),   # 24 bits/vec
-    (8, 8, 16),    # 32 bits/vec
-    (8, 8, 64),    # 48 bits/vec
-    (16, 4, 64),   # 96 bits/vec
+    (4, 16, 4, 1, None, False),    # the registered demo: 8 bits/vec
+    (4, 16, 16, 1, None, False),   # 16 bits/vec
+    (4, 16, 64, 1, None, False),   # 24 bits/vec
+    (8, 8, 16, 1, None, False),    # 32 bits/vec
+    (8, 8, 64, 1, None, False),    # 48 bits/vec
+    (16, 4, 64, 1, None, False),   # 96 bits/vec
+    # round-12 deployment recipe and its neighborhood: the re-rank
+    # dial dominates every bits-only dial on this fixture
+    (8, 8, 256, 2, None, True),    # 64 bits, multiprobe, no re-rank: 0.52
+    (8, 8, 256, 2, 32, True),      # sim_ann_ivfpq_normalized: 0.994
+    (8, 8, 256, 2, 64, True),      # 1.000
+    (4, 16, 64, 2, 64, True),      # cheap codebooks + re-rank: 0.982
 ]
 
 
@@ -44,6 +54,7 @@ def main() -> None:
     from getdbt_spark.queries.training_ops import (
         _clustered_embs,
         _ivfpq_top5,
+        _unit_embs,
     )
 
     spark = get_spark(
@@ -59,9 +70,17 @@ def main() -> None:
     n_q = exact5.select("vec_id").distinct().count()
     rows = []
     valid = ce.filter(P.finite_vec("embedding"))
-    for m, subdims, k in GRID:
+    unit = _unit_embs(ce).localCheckpoint()
+    for m, subdims, k, nprobe, rerank, use_unit in GRID:
         hits = (
-            _ivfpq_top5(valid, subspaces=m, subdims=subdims, pq_k=k)
+            _ivfpq_top5(
+                unit if use_unit else valid,
+                subspaces=m,
+                subdims=subdims,
+                pq_k=k,
+                nprobe=nprobe,
+                rerank=rerank,
+            )
             .select("vec_id", "neighbor_id")
             .join(exact5, ["vec_id", "neighbor_id"])
             .count()
@@ -73,6 +92,9 @@ def main() -> None:
                 "M": m,
                 "K": k,
                 "bits_per_vec": int(m * math.log2(k)),
+                "nprobe": nprobe,
+                "rerank": rerank,
+                "unit": use_unit,
                 "recall_at_5": round(hits / (5 * n_q), 4),
             }
         )
