@@ -58,16 +58,31 @@ _SRC_OPS = [
 _GRAPH_OPS = [
     "doc_pagerank_winnow",     # edgeless graph → all docs dangling
 ]
+# Round-12 addition: the deployment ANN stack (normalize + K=256 +
+# multiprobe + IVFADC+R re-rank).  zeroemb is the probe that found
+# this round's ANSI DIVIDE_BY_ZERO in the unit-normalizer (every
+# vector zero-norm → all dropped, empty verdict, no abort); constemb
+# collapses every unit vector to one point (all ADC distances tie →
+# pure tie-break ordering, candidate mass |emb|² in ONE cell — fine
+# at probe scale, and the tie-break totality is exactly what the
+# hash gate then checks).
+_NPQ_OPS = [
+    "sim_ann_ivfpq_normalized",
+]
 
 _TABLES = ["documents", "lineitem", "embeddings"]
 
 # (probe name, oracle CTE suffix, operator list) — one probe corpus per
 # pathology; ops run on every probe that can trigger their risk.
 _BATTERY = [
-    ("empty", "e", _DOC_OPS + _TABLE_OPS + _EMB_OPS + _SRC_OPS + _GRAPH_OPS),
+    (
+        "empty",
+        "e",
+        _DOC_OPS + _TABLE_OPS + _EMB_OPS + _SRC_OPS + _GRAPH_OPS + _NPQ_OPS,
+    ),
     ("nulldoc", "n", _DOC_OPS + _GRAPH_OPS),
-    ("constemb", "c", _EMB_OPS),
-    ("zeroemb", "z", _EMB_OPS),
+    ("constemb", "c", _EMB_OPS + _NPQ_OPS),
+    ("zeroemb", "z", _EMB_OPS + _NPQ_OPS),
     ("onesrc", "s", _SRC_OPS),
 ]
 

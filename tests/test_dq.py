@@ -160,7 +160,7 @@ def test_degenerate_probe_battery_semantics(spark):
             spark, "/root/testdata/sf0.001"
         ).collect()
     }
-    assert len(rows) == 29
+    assert len(rows) == 32
     n_docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
     ).count()
@@ -191,3 +191,10 @@ def test_degenerate_probe_battery_semantics(spark):
     # trained artifact over a degenerate corpus: no tokens -> empty
     # vocabulary, every doc scored at the prior (doc grain preserved)
     assert rows[("nulldoc", "quality_nb_score")] == n_docs
+    # round-12 probe rows: the deployment ANN stack.  zeroemb (the
+    # corpus where every norm is zero — this round's DIVIDE_BY_ZERO
+    # find) drops every vector and emits an EMPTY verdict, no abort;
+    # constemb collapses all unit vectors to one point, so every
+    # valid vector still gets its 5 tie-broken neighbors.
+    assert rows[("zeroemb", "sim_ann_ivfpq_normalized")] == 0
+    assert rows[("constemb", "sim_ann_ivfpq_normalized")] == n_vecs * 5
