@@ -68,6 +68,14 @@ BOUNDED_NLJ_ALLOW: dict[str, int] = {
     # lazy lineage: 108 observed — every one the same K-row codebook
     # build side by construction (K ≤ 256, broadcast-trivial).
     "sim_ann_ivfpq_normalized": 108,
+    # Same stack with the corpus-scaled coarse_k dial — identical
+    # shape class (every NLJ a broadcast codebook build side; the
+    # codebook is k rows, k = N/50, still a bounded artifact beside
+    # the N-row probe side).  36 nodes observed in the pre-action
+    # formatted plan; the budget matches the sibling because the
+    # post-materialization lineage re-prints the trainer subtrees
+    # the same way.
+    "sim_ann_ivfpq_scaled_k": 108,
 }
 
 # Per-query unpartitioned-window allow-list: {query_id: max Window

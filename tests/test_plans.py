@@ -41,6 +41,10 @@ GUARDED = [
     "dq_psi_drift",
     "quality_nb_score",
     "mix_epoch_schedule",
+    # round-13: the deployment ANN dials were allow-listed in
+    # plans.py since r12 but never actually audited here — pin both
+    "sim_ann_ivfpq_normalized",
+    "sim_ann_ivfpq_scaled_k",
 ]
 
 # The former vertaaltabel × week-spine crossJoins are now join-free
