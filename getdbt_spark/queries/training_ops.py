@@ -802,6 +802,19 @@ def _ivfpq_top5(e, subspaces: int = PQ_SUBSPACES, subdims: int = PQ_SUBDIMS,
 
     from pyspark.sql import Window
 
+    # Fan-out parallelism guard: every trainer/assignment below is a
+    # map-side broadcast fan-out over THIS frame, so its partition
+    # count caps the whole stack's parallelism.  A real corpus
+    # arrives in many input splits; the local parquet fixtures arrive
+    # as ONE (50k vectors ≪ maxPartitionBytes), which serialized the
+    # N·k assignment onto a single core at sf10.  Results are
+    # partitioning-independent by construction (integer sums are
+    # order-free, every rank tie-breaks on ids), so this is purely a
+    # cost fix — and a no-op whenever the scan is already split.
+    sc = e.sparkSession.sparkContext
+    if e.rdd.getNumPartitions() < sc.defaultParallelism:
+        e = e.repartition(sc.defaultParallelism)
+
     # IVF cells (full-vector trained codebook, nprobe-homed)
     qfull = P._kmeans_quantize_valid(e)
     cell = (
