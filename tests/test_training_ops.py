@@ -857,6 +857,57 @@ def test_pca_power_iteration_recovers_planted_direction(spark, tmp_path_factory)
     assert len(z) == 64 and all(r["loading_micro"] == 0 for r in z)
 
 
+def test_scaled_k_bounds_candidate_mass(spark):
+    """The structural claim behind ``sim_ann_ivfpq_scaled_k``, pinned
+    as an executable assert: with the cell SIZE targeted
+    (k = ceil(N/{target})), coarse candidate mass Σ_probed |cell|²
+    stays ≈ nprobe·target·N, where the fixed k=8 dial's mass is
+    ≈ nprobe·N²/8 — the quadratic-vs-linear split SCALE.md round-13
+    measured (fixed-k DNF at sf10; scaled-k 343 s).  Checked on the
+    sf0.1 corpus (N≈2000, scaled k=40): the scaled dial's actual
+    candidate-pair count must be under a third of the fixed dial's —
+    the 5× theoretical gap with generous headroom for uneven trained
+    cells."""
+    from pyspark.sql import functions as F
+
+    from getdbt_spark import pipeline as P
+    from getdbt_spark.queries.training_ops import (
+        _embs,
+        _scaled_coarse_k,
+        _unit_embs,
+    )
+
+    u = _unit_embs(_embs(spark, "/root/testdata/sf0.1"))
+    q = P._kmeans_quantize_valid(u).persist()
+    n = q.count()
+    k_scaled = _scaled_coarse_k(n)
+    assert k_scaled > 8, "sf0.1 must exercise a non-floor k"
+
+    def pair_count(k: int) -> int:
+        cell = P._kmeans_assign(
+            q, P._kmeans_train(q, k, 2), nprobe=2
+        ).select("vec_id", "cent_id")
+        ca = cell
+        cb = cell.select(
+            F.col("vec_id").alias("neighbor_id"), "cent_id"
+        )
+        return (
+            ca.join(cb, "cent_id")
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select("vec_id", "neighbor_id")
+            .distinct()
+            .count()
+        )
+
+    mass_fixed = pair_count(8)
+    mass_scaled = pair_count(k_scaled)
+    q.unpersist()
+    assert mass_scaled * 3 < mass_fixed, (
+        f"scaled k={k_scaled} candidate mass {mass_scaled} not "
+        f"clearly below fixed k=8 mass {mass_fixed} at N={n}"
+    )
+
+
 def test_normalized_ivfpq_survives_zero_and_corrupt_vectors(
     spark, tmp_path_factory
 ):
