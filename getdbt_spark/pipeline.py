@@ -939,41 +939,54 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     logarithmic.  Each half-round is one groupBy + one equi-join on
     the EDGE set — never all-pairs, never a driver-side graph.
 
-    Fault tolerance at cluster scale: the edge set is cut from its
-    lineage with a RELIABLE ``checkpoint()`` (written to the
-    configured checkpoint dir — durable storage on a cluster) at
+    Fault tolerance at cluster scale: when the deployment configured a
+    durable checkpoint dir (see session.durable_checkpoints), the edge
+    set is cut from its lineage with a RELIABLE ``checkpoint()`` at
     entry and every second round, persist-only in between — lineage
     always roots in checkpoint FILES, so an executor loss recomputes
-    at most two star rounds, never the iteration history;
-    ``localCheckpoint`` would store blocks on the very executors
-    whose loss it must survive.
-    The convergence probe is one symmetric-difference aggregation per
-    iteration over the (small) checkpointed edge sets.
+    at most two star rounds, never the iteration history
+    (``localCheckpoint`` would store blocks on the very executors
+    whose loss it must survive).  On the single-host default the
+    executors ARE the driver, so lineage cuts use the one-job eager
+    ``localCheckpoint`` instead of paying a file round-trip per cut.
+    The convergence probe fuses into the per-round dedup aggregation:
+    one groupBy answers "did the edge set change" AND materializes the
+    next round's input — one action per round total.
     """
-    from .session import ensure_checkpoint_dir  # lazy: avoids import cycle
+    from pyspark import StorageLevel
 
-    ensure_checkpoint_dir(pairs.sparkSession)
+    from .session import durable_checkpoints  # lazy: avoids import cycle
 
-    def _reliable_ckpt(df: DataFrame) -> DataFrame:
-        """persist → checkpoint(eager) → unpersist.
+    durable = durable_checkpoints(pairs.sparkSession)
 
-        RDD checkpointing runs a SECOND job over the lineage to write
-        the checkpoint files; caching first turns that second pass
-        into a block read instead of a full recompute (for the initial
-        edge set that recompute would be the entire pair-generation
-        plan — measured 2× the whole query).  The cache is dropped
-        immediately: every later read comes from the checkpoint files.
+    def _cut(df: DataFrame) -> DataFrame:
+        """Materialize + cut lineage.
+
+        Durable deployments (cluster checkpoint dir configured, or
+        GETDBT_SPARK_RELIABLE_CKPT=1): persist → checkpoint(eager) →
+        unpersist.  RDD checkpointing runs a SECOND job over the
+        lineage to write the checkpoint files; caching first turns
+        that second pass into a block read instead of a full recompute
+        (for the initial edge set that recompute would be the entire
+        pair-generation plan — measured 2× the whole query).  The
+        cache is dropped immediately: every later read comes from the
+        checkpoint files.
+
+        Single-host default: eager ``localCheckpoint`` — ONE job, no
+        file round-trip.  Locally the executors are the driver
+        process, so reliable files add no fault tolerance, only fixed
+        overhead (see session.durable_checkpoints).
         """
-        from pyspark import StorageLevel
-
-        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-        out = cached.checkpoint(eager=True)
-        cached.unpersist()
-        return out
+        if durable:
+            cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+            out = cached.checkpoint(eager=True)
+            cached.unpersist()
+            return out
+        return df.localCheckpoint(eager=True)
 
     u, v, m = F.col("u"), F.col("v"), F.col("m")
     # Orient every pair large→small; the loop invariant is u > v.
-    edges = _reliable_ckpt(
+    edges = _cut(
         pairs.filter(F.col("a_id") != F.col("b_id"))
         .select(
             F.greatest("a_id", "b_id").alias("u"),
@@ -983,14 +996,21 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    # Lineage-cut cadence: a RELIABLE checkpoint every SECOND round,
-    # persist-only in between.  Lineage always roots in checkpoint
-    # files (never executor blocks), so executor loss recomputes at
-    # most two star rounds — while near-dup graphs converging in 1-2
-    # rounds skip half the checkpoint write jobs (measured ~1.5 s of
-    # pure fixed overhead on a small graph at sf0.1).
-    from pyspark import StorageLevel
-
+    # Per-round cost shape (the round-13 optimization): ONE action and
+    # three exchanges.  The old loop's two-branch small-star union made
+    # Catalyst recompute BOTH window passes per branch (no common-
+    # subtree sharing), its distinct was a separate exchange, and the
+    # symmetric-difference convergence probe was a second job per
+    # round on top of the checkpoint-write jobs — ~7 exchanges and 2-3
+    # jobs per round of fixed overhead on an edge set that is tiny
+    # next to the corpus.  Now the small-star emit is one per-row
+    # explode (single subtree), and dedup + convergence fuse into one
+    # groupBy whose single aggregate action also materializes the
+    # persisted next-round edge set.  Lineage cuts: durable
+    # deployments keep the reliable checkpoint every SECOND round
+    # (executor loss recomputes at most two star rounds); locally the
+    # per-round persist is the lineage anchor (blocks live in the one
+    # process whose loss ends the job anyway).
     round_no = 0
     to_release: list[DataFrame] = []
     while True:
@@ -1009,37 +1029,52 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         )
         # Small-star: over the smaller-neighbor set Γ⁻(x) (edges are
         # oriented, so that is just x's out-edges), re-hang x and every
-        # smaller neighbor off m(x) = min(Γ⁻(x)); duplicates from the
-        # unioned emit collapse in the final distinct.
+        # smaller neighbor off m(x) = min(Γ⁻(x)).  Emit as ONE per-row
+        # explode — (v, m) when v≠m plus always (u, m) — exactly the
+        # old two-branch union's multiset, without re-running the
+        # window subtree once per branch.
         sm = large.withColumn("m", F.min("v").over(wu))
-        small = (
-            sm.select(v.alias("u"), m.alias("v"))
-            .filter(u != v)
-            .unionAll(sm.select("u", "m"))
-            .distinct()
-        )
-        round_no += 1
-        if round_no % 2 == 0:
-            small = _reliable_ckpt(small)
-        else:
-            small = small.persist(StorageLevel.MEMORY_AND_DISK)
-            to_release.append(small)
-        # Converged when the iteration was a no-op: the symmetric
-        # difference of two distinct sets is empty iff they are equal.
-        changed = (
-            small.unionAll(edges)
+        emit = sm.select(
+            F.explode(
+                F.when(
+                    v != m,
+                    F.array(
+                        F.struct(v.alias("u"), m.alias("v")),
+                        F.struct(u.alias("u"), m.alias("v")),
+                    ),
+                ).otherwise(F.array(F.struct(u.alias("u"), m.alias("v"))))
+            ).alias("e")
+        ).select("e.u", "e.v")
+        # Dedup AND convergence in one aggregation: a (u,v) key sits in
+        # the new multiset iff some row carries is_new=1 and in the old
+        # set iff some row carries 0, so the symmetric difference is
+        # nonempty iff any group is single-sided (min == max).  The
+        # single aggregate action below doubles as the materialization
+        # of the persisted frame the next round (and the caller) reads.
+        grouped = (
+            emit.withColumn("is_new", F.lit(1))
+            .unionAll(
+                edges.select("u", "v").withColumn("is_new", F.lit(0))
+            )
             .groupBy("u", "v")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") == 1)
-            .limit(1)
-            .count()
+            .agg(F.min("is_new").alias("mn"), F.max("is_new").alias("mx"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        to_release.append(grouped)
+        changed = grouped.agg(
+            F.sum((F.col("mn") == F.col("mx")).cast("int")).alias("d")
+        ).first()[0]
+        small = grouped.filter(F.col("mx") == 1).select("u", "v")
+        round_no += 1
+        if durable and round_no % 2 == 0:
+            small = _cut(small)
         edges = small
-        if changed == 0:
+        if not changed:
             break
-    for df in to_release:
-        if df is not edges:  # the fixpoint set stays cached for the
-            df.unpersist()  # caller's read (harness clearCache owns it)
+    for df in to_release[:-1]:
+        df.unpersist()  # ancestors of the (materialized) fixpoint frame
+    # The last grouped frame stays cached: it backs the fixpoint edge
+    # set the caller reads (harness clearCache owns its release).
     # At the fixpoint the edge set is a star per component (u → root).
     return edges.select(u.alias("id"), v.alias("comp")).unionAll(
         edges.select(v.alias("id"), v.alias("comp")).distinct()
