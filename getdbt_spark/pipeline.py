@@ -269,7 +269,16 @@ def _shingles_and_sig(k: int = 3, max_token_bytes: int = 24, with_sig: bool = Tr
                 sig_out.append(None)
         return pd.DataFrame({"shingles": sh_out, "sig": sig_out})
 
-    return _kernel
+    # Non-deterministic marking (it IS deterministic — this only gates
+    # the optimizer): every caller filters on the kernel output
+    # (``ss.shingles IS NOT NULL``), and Catalyst pushes that filter
+    # through the parallelizing round-robin exchange by DUPLICATING the
+    # UDF — plans showed two ArrowEvalPython nodes per caller, the
+    # pushed copy running at raw-scan parallelism (a local parquet file
+    # is ONE split), so the corpus was shingled twice, once nearly
+    # single-threaded.  asNondeterministic forbids the duplication:
+    # one kernel pass, after the exchange, at full width.
+    return _kernel.asNondeterministic()
 
 
 def _plan_with_real_stats(df: DataFrame) -> DataFrame:
@@ -1051,16 +1060,26 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         # nonempty iff any group is single-sided (min == max).  The
         # single aggregate action below doubles as the materialization
         # of the persisted frame the next round (and the caller) reads.
-        grouped = (
-            emit.withColumn("is_new", F.lit(1))
-            .unionAll(
-                edges.select("u", "v").withColumn("is_new", F.lit(0))
-            )
-            .groupBy("u", "v")
-            .agg(F.min("is_new").alias("mn"), F.max("is_new").alias("mx"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        grouped = emit.withColumn("is_new", F.lit(1)).unionAll(
+            edges.select("u", "v").withColumn("is_new", F.lit(0))
+        ).groupBy("u", "v").agg(
+            F.min("is_new").alias("mn"), F.max("is_new").alias("mx")
         )
-        to_release.append(grouped)
+        # Materialize AND truncate the logical plan every round.  With
+        # persist-only anchoring, round N's LOGICAL plan still nests
+        # all N-1 predecessors, so Catalyst/AQE re-analyze a growing
+        # tree each round and no generated class is ever reused —
+        # measured 2.1→3.8 s/round on a 256-edge set, vs ~0.55 s
+        # steady-state once every round reads a constant-depth
+        # LogicalRDD and hits the codegen cache (round 1 pays the one
+        # compile).  Locally that cut is ``localCheckpoint``; durable
+        # deployments persist + reliable-checkpoint every SECOND round
+        # (the executor-loss recompute window stays two star rounds).
+        if durable:
+            grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+            to_release.append(grouped)
+        else:
+            grouped = grouped.localCheckpoint(eager=True)
         changed = grouped.agg(
             F.sum((F.col("mn") == F.col("mx")).cast("int")).alias("d")
         ).first()[0]
@@ -1072,9 +1091,11 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         if not changed:
             break
     for df in to_release[:-1]:
-        df.unpersist()  # ancestors of the (materialized) fixpoint frame
-    # The last grouped frame stays cached: it backs the fixpoint edge
-    # set the caller reads (harness clearCache owns its release).
+        df.unpersist()  # durable mode: ancestors of the fixpoint frame
+    # Durable mode keeps the last grouped frame cached (it backs the
+    # fixpoint edge set the caller reads; harness clearCache owns its
+    # release).  Local mode anchors rounds in localCheckpoint blocks,
+    # which the ContextCleaner drains once the frames are collected.
     # At the fixpoint the edge set is a star per component (u → root).
     return edges.select(u.alias("id"), v.alias("comp")).unionAll(
         edges.select(v.alias("id"), v.alias("comp")).distinct()
