@@ -1148,10 +1148,11 @@ def kmeans_quantized(
     boundary.  Production IVF (sim_ann_ivf) swaps its first-k
     codebook for these trained centroids without changing its plan.
 
-    Scale shape per iteration: assignment is an all-vectors ×
-    broadcast-k-centroids fan-out (the BOUNDED_NLJ_ALLOW pattern) +
-    one vec_id window; the update is posexplode to (cluster, dim)
-    cells → map-combinable groupBy of k×d groups → k-row rebuild.  No
+    Scale shape per iteration: assignment is MAP-ONLY — the codebook
+    folds into one broadcast row and the argmin is a per-row
+    ``array_min`` (see ``_kmeans_scored``); the update is posexplode
+    to (cluster, dim) cells → map-combinable groupBy of k×d groups →
+    k-row rebuild, the round's only exchange.  No
     driver-side state: centroids stay a DataFrame end-to-end, empty
     clusters keep their previous centroid (left-join coalesce).
     ``iters`` is small and fixed, so the lineage stays shallow; a
@@ -1183,42 +1184,90 @@ def _kmeans_quantize_valid(embs: DataFrame) -> DataFrame:
     )
 
 
+def _kmeans_scored(q: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """``q`` plus a per-row ``scored`` array: ``struct(dist, cent_id)``
+    for every codebook entry, computed MAP-SIDE.
+
+    The codebook is folded into ONE broadcast row holding the whole
+    ``array<struct<cent_id, cvec>>``, so scoring is a per-row
+    expression over that array — no k-way BroadcastNestedLoopJoin
+    fan-out, no per-vector window, no exchange at all.  The struct
+    field order ``(dist, cent_id)`` makes lexicographic struct
+    comparison (``array_min`` / ``array_sort``) reproduce the old
+    ``ORDER BY dist, cent_id`` argmin/rank tie-break bit-for-bit.
+    Broadcast payload is k×d longs — the same bytes the k-row codebook
+    broadcast carried."""
+    codebook = cents_df.agg(
+        F.collect_list(F.struct("cent_id", "cvec")).alias("cb")
+    )
+    scored = F.transform(
+        F.col("cb"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    "qv", c["cvec"], lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    return (
+        q.crossJoin(F.broadcast(codebook))
+        .withColumn("scored", scored)
+        .drop("cb")
+    )
+
+
 def _kmeans_assign(
     q: DataFrame, cents_df: DataFrame, nprobe: int = 1
 ) -> DataFrame:
-    """Score every quantized vector against the broadcast codebook and
-    keep its ``nprobe`` nearest cells (integer distance, cent_id
-    tie-break): ``(vec_id, cent_id, dist, probe_rank)``.  The one
-    deliberate BroadcastNestedLoopJoin shape (BOUNDED_NLJ_ALLOW) — the
-    build side is the k-row codebook by construction."""
-    from pyspark.sql import Window
+    """Each quantized vector's ``nprobe`` nearest codebook cells
+    (integer distance, cent_id tie-break): ``(vec_id, cent_id, dist,
+    probe_rank)``.
 
-    dist = F.aggregate(
-        F.zip_with("qv", "cvec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    wa = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    Round-13 shape: one broadcast codebook row + per-row
+    ``array_sort``/``slice``/``posexplode`` (see ``_kmeans_scored``) —
+    the assignment is MAP-ONLY.  The previous form crossJoined the
+    k-row codebook (a BroadcastNestedLoopJoin fan-out of k rows per
+    vector) and ranked them back down with a per-vector window, paying
+    an exchange + sort of k× the corpus per call."""
+    top = F.slice(F.array_sort("scored"), 1, nprobe)
     return (
-        q.crossJoin(F.broadcast(cents_df))
-        .withColumn("dist", dist)
-        .withColumn("probe_rank", F.row_number().over(wa))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select("vec_id", "cent_id", "dist", "probe_rank")
+        _kmeans_scored(q, cents_df)
+        .select("vec_id", F.posexplode(top).alias("rank0", "sc"))
+        .select(
+            "vec_id",
+            F.col("sc.cent_id").alias("cent_id"),
+            F.col("sc.dist").alias("dist"),
+            (F.col("rank0") + 1).alias("probe_rank"),
+        )
     )
 
 
 def _kmeans_train(q: DataFrame, k: int, iters: int) -> DataFrame:
     """The Lloyd's loop over pre-quantized vectors: returns the
     trained k-row ``(cent_id, cvec)`` codebook after ``iters`` rounds
-    from the deterministic first-``k`` init."""
+    from the deterministic first-``k`` init.
+
+    Per-round plan shape (round-13): the argmin is the map-side
+    ``array_min`` over the broadcast codebook scores and ``qv`` rides
+    along in the same row, so the ONLY shuffle per round is the
+    map-combinable (cent_id, pos) cell aggregation — k×d cells per map
+    partition cross the exchange, never vectors.  The old loop paid a
+    k-fan-out window exchange plus a full shuffle join back to ``q``
+    per round for the same arithmetic."""
     cents = q.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"), F.col("qv").alias("cvec")
     )
     for _ in range(iters):
-        assign = _kmeans_assign(q, cents)
-        comp = assign.join(q, "vec_id").select(
-            "cent_id", F.posexplode("qv").alias("pos", "val")
+        best = F.array_min("scored")
+        comp = (
+            _kmeans_scored(q, cents)
+            .select(best["cent_id"].alias("cent_id"), "qv")
+            .filter(F.col("cent_id").isNotNull())  # empty codebook
+            .select("cent_id", F.posexplode("qv").alias("pos", "val"))
         )
         upd = comp.groupBy("cent_id", "pos").agg(
             F.floor(F.sum("val") / F.count("*")).cast("long").alias("val")

@@ -58,6 +58,12 @@ from getdbt_spark.plans import BOUNDED_NLJ_ALLOW
 @pytest.fixture(scope="module")
 def plans(spark):
     load_all()
+    # Leftover persisted fragments from OTHER test modules (the
+    # session-scoped Spark keeps the CacheManager) substitute
+    # InMemoryRelation into matching subtrees and change the printed
+    # node counts with test ORDER — clear them so the pins audit the
+    # query's own shape regardless of which module ran first.
+    spark.catalog.clearCache()
     # Model queries are built with reuse=None: the production path
     # persists intermediates (InMemoryTableScan truncates the visible
     # plan), but the guards must audit the FULL lineage — a nested-loop
