@@ -30,6 +30,8 @@ broadcast-style.
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -109,7 +111,18 @@ def atinternet_smarttag_streams_daily_v4(ctx):
     )
 
     # -- 2. raw_events (:44-102) ---------------------------------------
-    in_window = F.to_date("d_date_hour_event").isin(window)
+    # The IN-list over to_date(ts) alone reaches the parquet scan with
+    # NO PushedFilters (a derived-column predicate); the added range
+    # conjunct on the raw timestamp is IMPLIED by the IN-list (bounds
+    # are its min/max, any window shape) so results are identical, and
+    # Catalyst pushes it as GreaterThanOrEqual/LessThan on ts — the
+    # fact scan prunes to the replay window instead of full-scanning.
+    lo, hi = min(ctx.partition_window), max(ctx.partition_window)
+    in_window = (
+        (F.to_date("d_date_hour_event") >= F.lit(lo))
+        & (F.to_date("d_date_hour_event") < F.lit(hi + dt.timedelta(days=1)))
+        & F.to_date("d_date_hour_event").isin(window)
+    )
     base = events.filter(F.col("d_rm_type") != "Animations").filter(in_window)
 
     live = (

@@ -446,7 +446,14 @@ def fn_current_date(spark, sf_dir):
     anchor = run_date_anchor(ev, dt.date(2024, 1, 30))
     window = [anchor - dt.timedelta(days=i) for i in range(9)]
     counts = (
-        ev.select(F.to_date("ts").alias("d"))
+        # Range conjunct on the raw ts (implied by the IN-list — its
+        # min/max bounds) so the predicate pushes to the parquet scan;
+        # the bare derived-column isin pushes nothing (§6).
+        ev.filter(
+            (F.to_date("ts") >= F.lit(min(window)))
+            & (F.to_date("ts") < F.lit(max(window) + dt.timedelta(days=1)))
+        )
+        .select(F.to_date("ts").alias("d"))
         .filter(F.col("d").isin(window))
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("n_events"))

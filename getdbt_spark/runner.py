@@ -119,6 +119,16 @@ class Runner:
           barrier's stragglers — measured 8.6 s → 6.3 s on the
           full-dashboard build at sf0.1.
         - ``None`` — raw unexecuted DataFrames (plan-inspection mode).
+
+        SOURCE-LEVEL models (no refs — the ``select *`` passthrough
+        views over one parquet table) are never materialized in either
+        mode: caching or checkpointing a bare scan materializes every
+        column of every row while the read-back loses the scan's
+        partition pruning and predicate pushdown — a consumer
+        re-reading pruned parquet is cheaper than reading the full
+        materialized copy at ANY scale (dbt inlines such views for the
+        same reason).  They stay lazy and each consumer's filters
+        reach the parquet scan.
         """
         if reuse not in (None, "persist", "checkpoint"):
             raise ValueError(f"unknown reuse mode {reuse!r}")
@@ -136,6 +146,7 @@ class Runner:
                     sel is not None
                     and m.name not in sel
                     and reuse == "persist"
+                    and m.refs  # source passthroughs stay lazy scans
                 ):
                     df = df.persist()
                     self._persisted.append(df)
@@ -166,7 +177,8 @@ class Runner:
             df = self.build(m.name, resolved)
             if m.config.materialized == "incremental" and self.warehouse:
                 return self._insert_overwrite(m, df)
-            if sel is not None and m.name not in sel:
+            if sel is not None and m.name not in sel and m.refs:
+                # Source passthroughs (no refs) stay lazy: see run().
                 return df.localCheckpoint(eager=True)
             return df
 
