@@ -1919,31 +1919,36 @@ def pipeline_end_to_end(spark, sf_dir):
     checked (`text_langid` family, `text_token_stats` ratios,
     `dedup_exact`, `doc_fingerprint`'s rolling-min winnowing (densified to k=4),
     `sample_train_test_split`), so a red here localizes to the
-    composition, not the operators.  At 100 TB this single-action
-    funnel is the shape of a real corpus build: one scan feeding
-    map-side filters, then key-bounded shuffles only for the dedup
-    keeps.
+    composition, not the operators.
+
+    SINGLE-PASS shape (round-13, guide §8 / §2.3 / §2.4): the old
+    6-branch union re-derived every stage prefix per branch — six
+    scans of ``documents``, six tokenizations, and the dedup windows
+    re-computed in three branches, with the window exchanges carrying
+    ``text`` and the token array.  Now each document is scanned ONCE,
+    the per-stage survival flags and both dedup keys are computed
+    map-side, the heavy columns are projected away BEFORE the first
+    exchange, and the two dedup "keeps" are min-doc_id-per-key window
+    aggregates over the narrow (doc_id, keys, flags) rows — survival
+    at stage k is ``doc_id == min(doc_id among stage-(k-1) survivors
+    in my key group)``, which is exactly the old ``row_number() == 1
+    ORDER BY doc_id`` keep because doc_id is unique.  One final
+    single-row aggregation counts every flag and unpivots to the same
+    six (stage, n_docs) rows.  At 100 TB: one pass over the corpus,
+    two narrow shuffles, instead of six passes and five full-width
+    window shuffles.
     """
     from pyspark.sql import Window
 
     d = P.spread(_docs(spark, sf_dir))
     w = P.ws_tokens(F.col("text"))
-    raw = d.select(
-        "doc_id", "text", "lang", "n_chars", w.alias("w")
-    )
-    s1 = raw.filter(F.col("lang").isin("en", "de", "fr", "es"))
+    raw = d.select("doc_id", "text", "lang", "n_chars", w.alias("w"))
+    f1 = F.col("lang").isin("en", "de", "fr", "es")
     ttr = F.size(F.array_distinct("w")).cast("double") / F.size("w")
-    s2 = s1.filter(
+    f2 = f1 & (
         (F.col("n_chars") >= 100) & (F.size("w") >= 20) & (ttr > 0.15)
     )
-    w_exact = Window.partitionBy(
-        F.md5(F.lower(F.trim(F.col("text"))))
-    ).orderBy("doc_id")
-    s3 = (
-        s2.withColumn("rn", F.row_number().over(w_exact))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    exact_key = F.md5(F.lower(F.trim(F.col("text"))))
     grams = F.transform(
         F.sequence(F.lit(1), F.size(F.col("w")) - 1),
         lambda i: F.concat_ws(
@@ -1953,7 +1958,7 @@ def pipeline_end_to_end(spark, sf_dir):
     # winnowing signature: the FOUR smallest distinct bigram hashes
     # (a single min collides globally on a tiny vocabulary; k=4 is the
     # standard winnowing density dial)
-    fp = F.concat_ws(
+    near_key = F.concat_ws(
         ",",
         F.slice(
             F.array_sort(F.array_distinct(F.transform(grams, P.md5_long))),
@@ -1961,26 +1966,49 @@ def pipeline_end_to_end(spark, sf_dir):
             4,
         ),
     )
-    w_near = Window.partitionBy(fp).orderBy("doc_id")
-    s4 = (
-        s3.withColumn("rn2", F.row_number().over(w_near))
-        .filter(F.col("rn2") == 1)
-        .drop("rn2")
+    # Narrow per-doc row: all heavy text/token work ends here, before
+    # any exchange.
+    flagged = raw.select(
+        F.col("doc_id"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+        exact_key.alias("exact_key"),
+        near_key.alias("near_key"),
     )
-    s5 = s4.filter(
+    # Stage-3 keep among stage-2 survivors: min(doc_id) over the
+    # exact-key group restricted to f2 rows (min skips NULLs, so the
+    # conditional projection restricts the group while non-survivors
+    # stay in the frame for the raw/f1 counts).
+    w_exact = Window.partitionBy("exact_key")
+    f3 = F.col("f2") & (
+        F.col("doc_id")
+        == F.min(F.when(F.col("f2"), F.col("doc_id"))).over(w_exact)
+    )
+    flagged = flagged.withColumn("f3", f3)
+    w_near = Window.partitionBy("near_key")
+    f4 = F.col("f3") & (
+        F.col("doc_id")
+        == F.min(F.when(F.col("f3"), F.col("doc_id"))).over(w_near)
+    )
+    flagged = flagged.withColumn("f4", f4)
+    f5 = F.col("f4") & (
         P.md5_long(F.col("doc_id").cast("string")) % 10 < 8
     )
-    stages = [
-        ("raw", raw), ("lang_filter", s1), ("quality_filter", s2),
-        ("exact_dedup", s3), ("neardup_dedup", s4), ("train_split", s5),
-    ]
-    out = None
-    for name, frame in stages:
-        c = frame.agg(
-            F.lit(name).alias("stage"), F.count("*").alias("n_docs")
-        )
-        out = c if out is None else out.unionByName(c)
-    return out
+    counts = flagged.agg(
+        F.count("*").alias("n_raw"),
+        F.count_if(F.col("f1")).alias("n_s1"),
+        F.count_if(F.col("f2")).alias("n_s2"),
+        F.count_if(F.col("f3")).alias("n_s3"),
+        F.count_if(F.col("f4")).alias("n_s4"),
+        F.count_if(f5).alias("n_s5"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(6, 'raw', n_raw, 'lang_filter', n_s1,"
+            " 'quality_filter', n_s2, 'exact_dedup', n_s3,"
+            " 'neardup_dedup', n_s4, 'train_split', n_s5)"
+        ).alias("stage", "n_docs")
+    )
 
 
 @query(
@@ -3594,9 +3622,23 @@ def pipeline_curation_v2(spark, sf_dir):
     packing lower bound (⌈Σ window tokens / 256⌉ bins) — survivors
     per stage, proving the new operators compose as one lazy plan
     exactly as pipeline_end_to_end proved for the round-2 set.
-    Same per-stage count idiom; the only exchanges are the span-df
-    groupBy/join and the per-doc rollup.
+
+    SINGLE-PASS shape (round-13, guide §8 / §2.3 / §2.4): the old
+    5-branch union re-derived the span pipeline per branch (~4 full
+    evaluations), shuffled the exploded span table TWICE (groupBy for
+    span-df, then the join back onto ``sp``), and the ``s1`` join
+    shuffled the full token arrays by doc_id.  Now: the span-df
+    "appears in >1 doc" test is a min/max window over ONE exchange of
+    the narrow (doc_id, span) rows (``count_distinct(doc_id) > 1`` ⇔
+    ``min(doc_id) != max(doc_id)`` per span group); the Gopher stats
+    are computed map-side per doc BEFORE any exchange so only narrow
+    (doc_id, 4 ints) rows join the ratio side; the chunk-window count
+    and packed-bin token sum fold per doc as closed-form array
+    expressions (no explode); one final aggregation counts every
+    stage flag and unpivots to the same five (ord, stage, n) rows.
     """
+    from pyspark.sql import Window
+
     d = _docs(spark, sf_dir).filter(F.length("text") > 0)
     toks = F.split(F.col("text"), " ")
     t = d.select("doc_id", toks.alias("toks"))
@@ -3612,24 +3654,26 @@ def pipeline_curation_v2(spark, sf_dir):
             )
         ).alias("pos", "span"),
     )
-    dfc = sp.groupBy("span").agg(
-        F.count_distinct("doc_id").alias("span_df")
-    )
+    # span_df > 1  ⇔  the span's doc_id group holds >1 distinct doc
+    # ⇔  min(doc_id) != max(doc_id) over the span partition: one
+    # exchange of (doc_id, span), no join back.
+    wsp = Window.partitionBy("span")
+    is_dup = F.min("doc_id").over(wsp) != F.max("doc_id").over(wsp)
     ratio = (
-        sp.join(dfc, "span")
+        sp.select("doc_id", is_dup.alias("is_dup"))
         .groupBy("doc_id")
         .agg(
             (
-                F.sum(F.when(F.col("span_df") > 1, 1).otherwise(0))
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
                 / F.count("*")
             ).alias("dup_ratio")
         )
     )
-    s1 = t.join(ratio, "doc_id").filter(F.col("dup_ratio") <= 0.5)
     stops = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
-    g = s1.select(
+    # Gopher stats map-side over the scan: only (doc_id, 4 ints)
+    # reach the join exchange — the token arrays never shuffle.
+    g = t.select(
         "doc_id",
-        "toks",
         F.size("toks").alias("n_words"),
         F.aggregate(
             "toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
@@ -3641,63 +3685,46 @@ def pipeline_curation_v2(spark, sf_dir):
             F.array_intersect(F.array_distinct("toks"), stops)
         ).alias("n_stop"),
     )
-    s2 = g.filter(
-        F.col("n_words").between(50, 100000)
+    # Inner join is total: every doc with length(text) > 0 has >= 1
+    # span, so ratio carries every doc_id of t.
+    per_doc = g.join(ratio, "doc_id")
+    s1f = F.col("dup_ratio") <= 0.5
+    s2f = (
+        s1f
+        & F.col("n_words").between(50, 100000)
         & (F.col("sum_len") / F.col("n_words")).between(3, 10)
         & (F.col("n_alpha") / F.col("n_words") >= 0.8)
         & (F.col("n_stop") >= 2)
-    ).select("doc_id", "n_words")
-    ch = s2.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n_words") - 1, F.lit(16))
-        ).alias("start"),
-        "n_words",
-    ).select(
-        F.least(F.lit(32), F.col("n_words") - F.col("start")).alias(
-            "win_tokens"
-        )
     )
-
-    def _row(o, name, df_count):
-        return spark.range(1).select(
-            F.lit(o).alias("ord"),
-            F.lit(name).alias("stage"),
-            df_count.alias("n"),
+    # Per-doc chunk-window count and window-token sum in closed form
+    # over the same starts sequence the old explode enumerated.
+    starts = F.sequence(F.lit(0), F.col("n_words") - 1, F.lit(16))
+    n_ch_doc = F.size(starts).cast("long")
+    win_sum_doc = F.aggregate(
+        starts,
+        F.lit(0).cast("long"),
+        lambda a, s: a + F.least(F.lit(32), F.col("n_words") - s),
+    )
+    counts = per_doc.agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.count_if(s1f).alias("n_s1"),
+        F.count_if(s2f).alias("n_s2"),
+        F.coalesce(
+            F.sum(F.when(s2f, n_ch_doc)), F.lit(0).cast("long")
+        ).alias("n_ch"),
+        F.ceil(
+            F.coalesce(F.sum(F.when(s2f, win_sum_doc)), F.lit(0)) / 256.0
         )
-
-    counts = ch.agg(
-        F.count("*").alias("n_ch"),
-        F.ceil(F.coalesce(F.sum("win_tokens"), F.lit(0)) / 256.0)
         .cast("long")
         .alias("n_bins"),
     )
-    from functools import reduce
-
-    rows = [
-        t.agg(F.count("*").cast("long").alias("n")).select(
-            F.lit(0).alias("ord"), F.lit("raw").alias("stage"), "n"
-        ),
-        s1.agg(F.count("*").cast("long").alias("n")).select(
-            F.lit(1).alias("ord"), F.lit("span_dedup").alias("stage"), "n"
-        ),
-        s2.agg(F.count("*").cast("long").alias("n")).select(
-            F.lit(2).alias("ord"),
-            F.lit("gopher_rules").alias("stage"),
-            "n",
-        ),
-        counts.select(
-            F.lit(3).alias("ord"),
-            F.lit("chunk_windows").alias("stage"),
-            F.col("n_ch").cast("long").alias("n"),
-        ),
-        counts.select(
-            F.lit(4).alias("ord"),
-            F.lit("packed_bins_lb").alias("stage"),
-            F.col("n_bins").alias("n"),
-        ),
-    ]
-    return reduce(lambda a, b: a.unionAll(b), rows).orderBy("ord")
+    return counts.select(
+        F.expr(
+            "stack(5, 0, 'raw', n_raw, 1, 'span_dedup', n_s1,"
+            " 2, 'gopher_rules', n_s2, 3, 'chunk_windows', n_ch,"
+            " 4, 'packed_bins_lb', n_bins)"
+        ).alias("ord", "stage", "n")
+    ).orderBy("ord")
 
 
 @query(
