@@ -640,6 +640,54 @@ def cosine(a_vec: Column, b_vec: Column, a_norm: Column, b_norm: Column) -> Colu
     return F.nanvl(raw, F.lit(None).cast("double"))
 
 
+def assign_nearest_cosine(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """``e`` (vec_id, embedding, norm) + the ``cent_id`` of its
+    nearest centroid by cosine — MAP-ONLY (guide §2.3/§2.4; the
+    round-13 pattern proven on the k-means family).
+
+    ``cent`` (cent_id, cvec, cnorm) folds into ONE broadcast row
+    carrying ``array<struct<...>>``; scoring is a per-row
+    ``transform`` over that array and the argmax a per-row
+    ``array_max`` over ``(c IS NOT NULL, c, -cent_id)`` sort keys —
+    exactly the old window's ``ORDER BY c DESC NULLS LAST, cent_id``
+    rank-1 pick (non-NULL beats NULL, higher c wins, lower cent_id
+    breaks ties, all-NULL rows fall back to the lowest cent_id).  The
+    previous shape paid three data-sized costs per assignment that
+    this removes: a k-row BroadcastNestedLoopJoin fan-out, a
+    per-vector ranking window (exchange + sort of k× the corpus), and
+    a shuffle join of the vectors back onto the assignment.  The
+    1-row codebook crossJoin remains the one allow-listed bounded
+    NLJ shape.
+    """
+    cb = cent.agg(
+        F.collect_list(F.struct("cent_id", "cvec", "cnorm")).alias("cb")
+    )
+    scored_arr = F.transform(
+        F.col("cb"),
+        lambda cc: F.struct(
+            cosine(
+                F.col("embedding"), cc["cvec"], F.col("norm"), cc["cnorm"]
+            ).alias("c"),
+            cc["cent_id"].alias("cent_id"),
+        ),
+    )
+    # second transform re-binds the scored struct so the cosine fold
+    # is evaluated once per codebook entry
+    best = F.array_max(
+        F.transform(
+            scored_arr,
+            lambda s: F.struct(
+                s["c"].isNotNull().alias("has"),
+                s["c"].alias("c"),
+                (-s["cent_id"]).alias("negid"),
+            ),
+        )
+    )
+    return e.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "embedding", "norm", (-best["negid"]).alias("cent_id")
+    )
+
+
 def topk_cosine_blocked(
     embs: DataFrame,
     k: int = 10,

@@ -836,35 +836,21 @@ def sem_dedup(spark, sf_dir):
     Centroids are the first 16 vectors (deterministic, so the oracle
     replicates the assignment exactly — same convention as
     ``sim_ann_ivf``); production swaps in k-means centroids without
-    changing the plan. The codebook fan-out is the allow-listed
-    bounded broadcast NLJ; the within-cluster self-join shuffles on
-    cent_id; the keep decision is one anti-join shape (left join +
-    null flag) on vec_id. At 100 TB the cluster count scales with the
-    corpus so per-bucket pair counts stay bounded — the paper's own
-    scaling argument.
+    changing the plan. The assignment is the round-13 MAP-ONLY
+    broadcast-codebook fold (``pipeline.assign_nearest_cosine`` —
+    no k-row fan-out, no ranking window, no join-back shuffle); the
+    within-cluster self-join shuffles on cent_id; the keep decision
+    is one anti-join shape (left join + null flag) on vec_id. At
+    100 TB the cluster count scales with the corpus so per-bucket
+    pair counts stay bounded — the paper's own scaling argument.
     """
-    from pyspark.sql import Window
-
-    e = P.with_norm(_embs(spark, sf_dir))
+    e = P.with_norm(P.spread(_embs(spark, sf_dir)))
     cent = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cent_id",
-        P.cosine(
-            F.col("embedding"), F.col("cvec"), F.col("norm"), F.col("cnorm")
-        ).alias("c"),
-    )
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cent_id"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
-    )
-    ee = e.join(assign, "vec_id").persist()
+    ee = P.assign_nearest_cosine(e, cent).persist()
     a = ee.select(
         "cent_id",
         "vec_id",

@@ -363,44 +363,41 @@ def sim_ann_ivf(spark, sf_dir):
 
     Centroids here are the first 16 vectors (deterministic, so the
     oracle can replicate the assignment exactly); production swaps in
-    sampled k-means centroids without changing the plan.  The
-    codebook fan-out is ``crossJoin(broadcast(cent))`` — a
-    BroadcastNestedLoopJoin whose build side is the k-row codebook.
-    That NLJ node is the OPTIMAL physical plan for a k-bounded
-    broadcast fan-out, and it is explicitly allow-listed in
-    ``plans.BOUNDED_NLJ_ALLOW``; the two "clean" alternatives both
-    lose: a literal-codebook explode re-evaluates k×dim literal
-    expressions per input row (measured 2.3× slower end-to-end), and
-    a constant-key equi join folds back to a cross join anyway
-    (Catalyst constant-propagates both keys).  Then one shuffle on
-    cent_id and a per-bucket top-k window.  nprobe>1 = union over the
-    top-n centroid assignments.
+    sampled k-means centroids without changing the plan.
+
+    Round-13 assignment shape (guide §2.3, §2.4; the map-only pattern
+    proven on the k-means family): the codebook folds into ONE
+    broadcast row carrying ``array<struct<cent_id, cvec, cnorm>>``, so
+    scoring is a per-row ``transform`` over that array and the argmax
+    a per-row ``array_max`` over ``(c IS NOT NULL, c, -cent_id)`` sort
+    keys — which reproduces the old window's ``ORDER BY c DESC NULLS
+    LAST, cent_id`` rank-1 pick exactly (non-NULL beats NULL, higher c
+    wins, lower cent_id breaks ties; all-NULL rows fall back to the
+    lowest cent_id).  The old form fanned out k rows per vector
+    (BroadcastNestedLoopJoin), ranked them back down with a
+    per-vector window (an exchange + sort of k× the corpus), and then
+    shuffled the vectors AGAIN to join the assignment back.  All
+    three costs are gone: assignment is map-only, and the only
+    remaining exchange is the cent_id bucket self-join plus the final
+    top-k window.  The 1-row codebook crossJoin is still the one
+    allow-listed BroadcastNestedLoopJoin (``plans.BOUNDED_NLJ_ALLOW``).
     """
     from pyspark.sql import Window
 
-    e = P.with_norm(_embs(spark, sf_dir))
+    # spread BEFORE the map-only scoring: a toy parquet scan is one
+    # split, and without the old window exchange nothing downstream
+    # re-parallelizes the per-row codebook fold (no-op on a real
+    # many-split corpus scan).
+    e = P.with_norm(P.spread(_embs(spark, sf_dir)))
     cent = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cent_id",
-        P.cosine(
-            F.col("embedding"), F.col("cvec"), F.col("norm"), F.col("cnorm")
-        ).alias("c"),
-    )
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cent_id"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
-    )
     # persisted: both sides of the bucketed self-join consume it — the
     # repo convention for multi-consumer intermediates (cleared by the
     # sweep/bench clearCache hygiene between queries)
-    ea = e.join(assign, "vec_id").persist()
+    ea = P.assign_nearest_cosine(e, cent).persist()
     a = ea.select(
         "cent_id",
         F.col("vec_id"),
