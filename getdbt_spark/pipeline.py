@@ -1207,7 +1207,13 @@ def kmeans_quantized(
     long-running trainer would localCheckpoint per round like
     connected_components.
     """
-    q = _kmeans_quantize_valid(embs)
+    # Fan-out parallelism guard (same as the deployment-IVFPQ stack):
+    # every round's scoring is a map-side fold over THIS frame, so a
+    # one-split toy scan would serialize the N·k work onto one core;
+    # results are partitioning-independent by construction (integer
+    # sums are order-free, ranks tie-break on ids), and spread() is a
+    # no-op whenever the scan is already split.
+    q = _kmeans_quantize_valid(spread(embs))
     cents = _kmeans_train(q, k, iters)
     return _kmeans_assign(q, cents).select(
         "vec_id",

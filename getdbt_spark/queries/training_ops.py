@@ -659,7 +659,11 @@ def emb_pq_encode(spark, sf_dir):
     """
     from functools import reduce
 
-    e = _embs(spark, sf_dir).filter(P.finite_vec("embedding"))
+    # spread: the per-subspace trainers are map-side folds whose
+    # parallelism is capped by this frame's split count (one split on
+    # the toy parquet scan; no-op on a real many-split corpus) — the
+    # same fan-out guard the deployment-IVFPQ stack carries.
+    e = P.spread(_embs(spark, sf_dir).filter(P.finite_vec("embedding")))
     parts = []
     for m in range(PQ_SUBSPACES):
         sub = e.select(
