@@ -5,11 +5,14 @@ fan-out invariants (SURVEY.md §7.5).
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
 from getdbt_spark import pipeline as P
 from getdbt_spark.io import load_table
+from getdbt_spark.queries import QUERIES, load_all
 
 SF = "/root/testdata/sf0.001"
 
@@ -769,3 +772,64 @@ def test_blocked_topk_pairs_all_blocks_beyond_aqe_coalescing(spark):
     assert len({r.vec_id for r in got}) == n
     best = {r.vec_id: r.neighbor_id for r in got if r.rnk == 1}
     assert best[1500] == 1501 and best[1501] == 1500
+
+
+def test_assign_nearest_cosine_matches_window_ranking_semantics(spark):
+    """Round-13 map-only assignment pin: assign_nearest_cosine must
+    reproduce the old ``row_number() OVER (ORDER BY c DESC, cent_id)
+    == 1`` pick exactly — higher cosine wins, the LOWER cent_id
+    breaks exact ties, and a vector whose every score is NULL (the
+    zero vector: try_divide 0/0) falls back to the lowest cent_id
+    rather than dropping out."""
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # aligned with centroid 10
+            (1, [0.0, 1.0]),   # aligned with centroid 11
+            (2, [1.0, 1.0]),   # ties 2.0/2.83... closer to neither axis
+            (3, [0.0, 0.0]),   # zero vector: all scores NULL
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    e = P.with_norm(embs)
+    cents = spark.createDataFrame(
+        # two identical centroids (12 duplicates 10) force an exact
+        # cosine tie for every vector — the tie must go to cent_id 10
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [1.0, 0.0])],
+        "cent_id long, cvec array<double>",
+    ).withColumn(
+        "cnorm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("cvec", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ),
+    )
+    got = {
+        r.vec_id: r.cent_id
+        for r in P.assign_nearest_cosine(e, cents).collect()
+    }
+    assert got[0] == 10  # exact tie with duplicate centroid 12 -> lower id
+    assert got[1] == 11
+    assert got[2] == 10  # 45-degree tie between 10 and 11 -> lower id
+    assert got[3] == 10  # all-NULL scores -> lowest cent_id, not dropped
+
+
+def test_funnel_single_pass_plan_shape(spark):
+    """Round-13 funnel rewrite pin: the stage-count funnels must stay
+    SINGLE-PASS — one scan of documents per funnel (the old 6-branch
+    union re-scanned and re-tokenized the corpus per stage branch)."""
+    load_all()
+    for qid in ("pipeline_end_to_end", "pipeline_curation_v2"):
+        df = QUERIES[qid](spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert n_scans <= 2, (
+            f"{qid}: {n_scans} parquet scans — the funnel lost its "
+            "single-pass shape"
+        )
