@@ -103,12 +103,34 @@ def test_no_per_query_regression_at_sf001(spark):
                 slow.append(name)
         return slow
 
-    # Min-of-two ONLY for first-pass violators: a transient scheduler
-    # hiccup on one query can't fail the gate, and the quiet-host fast
-    # path stays a single sweep (the r4 lesson — iterative queries show
-    # 2-3x cold-start variance that a re-measure erases).
+    # Canary-gated min-of-N ONLY for first-pass violators: a transient
+    # scheduler hiccup on one query can't fail the gate, and the
+    # quiet-host fast path stays a single sweep (the r4 lesson —
+    # iterative queries show 2-3x cold-start variance that a
+    # re-measure erases).  The retry reps are additionally admitted
+    # only while the parallel spark canary reads healthy: this VM
+    # class shows multi-minute collapse windows where EVERY Spark job
+    # runs 10-100× slow with idle CPU (r13 measurement: dedup_exact
+    # 29.16 s vs 0.11 s steady state, full recovery minutes later) —
+    # a single immediate retry lands inside the same window and the
+    # gate flags untouched queries (observed twice at r13 HEAD:
+    # join_date_spine 2.95 s min-of-two vs 0.46 s healthy).  A true
+    # plan regression reproduces on a healthy host; a collapse does
+    # not.  Bounded: ≤3 reps per violator, ≤120 s total extra.
+    retry_t0 = time.perf_counter()
+    best_canary = bench._spark_canary(spark)
     for name in _violations():
-        took[name] = min(took[name], _run_once(name))
+        for _attempt in range(3):
+            if time.perf_counter() - retry_t0 > 120:
+                break
+            if name not in _violations():
+                break
+            c = bench._spark_canary(spark)
+            best_canary = min(best_canary, c)
+            if c > 2.5 * best_canary:
+                time.sleep(8)  # mid-collapse: a rep would time the host
+                continue
+            took[name] = min(took[name], _run_once(name))
 
     base_total = sum(base[n] for n in gated)
     now_total = sum(took[n] for n in gated)
