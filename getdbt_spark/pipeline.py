@@ -1196,26 +1196,24 @@ def kmeans_quantized(
     boundary.  Production IVF (sim_ann_ivf) swaps its first-k
     codebook for these trained centroids without changing its plan.
 
-    Scale shape per iteration: assignment is MAP-ONLY — the codebook
-    folds into one broadcast row and the argmin is a per-row
-    ``array_min`` (see ``_kmeans_scored``); the update is posexplode
-    to (cluster, dim) cells → map-combinable groupBy of k×d groups →
-    k-row rebuild, the round's only exchange.  No
-    driver-side state: centroids stay a DataFrame end-to-end, empty
-    clusters keep their previous centroid (left-join coalesce).
-    ``iters`` is small and fixed, so the lineage stays shallow; a
-    long-running trainer would localCheckpoint per round like
-    connected_components.
+    Scale shape per iteration (``_pq_train``): assignment + partial
+    cell sums are ONE map-only vectorized Arrow pass over the cached
+    corpus; the round's only exchange carries k×d partial cells per
+    map partition — never vectors; the codebook rebuild is a
+    model-sized (k×d) driver collect, MLlib KMeans' own shape.  Empty
+    clusters keep their previous centroid.  ``iters`` is small and
+    fixed, so the lineage stays shallow; a long-running trainer would
+    localCheckpoint per round like connected_components.
     """
     # Fan-out parallelism guard (same as the deployment-IVFPQ stack):
-    # every round's scoring is a map-side fold over THIS frame, so a
+    # every round's scoring is a map-side pass over THIS frame, so a
     # one-split toy scan would serialize the N·k work onto one core;
     # results are partitioning-independent by construction (integer
     # sums are order-free, ranks tie-break on ids), and spread() is a
     # no-op whenever the scan is already split.
     q = _kmeans_quantize_valid(spread(embs))
-    cents = _kmeans_train(q, k, iters)
-    return _kmeans_assign(q, cents).select(
+    cbs = _pq_train(q, [(0, None, k, iters)])
+    return _pq_assign(q, cbs, [(0, 0, None, 1)]).select(
         "vec_id",
         F.col("cent_id").alias("cluster"),
         F.col("dist").alias("dist_q"),
@@ -1238,40 +1236,227 @@ def _kmeans_quantize_valid(embs: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_scored(q: DataFrame, cents_df: DataFrame) -> DataFrame:
-    """``q`` plus a per-row ``scored`` array: ``struct(dist, cent_id)``
-    for every codebook entry, computed MAP-SIDE.
+def _np_codebook(rows) -> tuple:
+    """``(ids, mat)`` int64 arrays from ``(cent_id, cvec)`` rows,
+    sorted ascending by cent_id.
 
-    The codebook is folded into ONE broadcast row holding the whole
-    ``array<struct<cent_id, cvec>>``, so scoring is a per-row
-    expression over that array — no k-way BroadcastNestedLoopJoin
-    fan-out, no per-vector window, no exchange at all.  The struct
-    field order ``(dist, cent_id)`` makes lexicographic struct
-    comparison (``array_min`` / ``array_sort``) reproduce the old
-    ``ORDER BY dist, cent_id`` argmin/rank tie-break bit-for-bit.
-    Broadcast payload is k×d longs — the same bytes the k-row codebook
-    broadcast carried."""
-    codebook = cents_df.agg(
-        F.collect_list(F.struct("cent_id", "cvec")).alias("cb")
+    The ascending sort is load-bearing: every argmin/rank below ties
+    on the LOWEST cent_id by taking the FIRST minimum position
+    (``np.argmin`` / stable ``np.argsort``), which reproduces the
+    engine's historical ``ORDER BY dist, cent_id`` semantics (and the
+    DuckDB oracles') bit-for-bit."""
+    import numpy as np
+
+    srows = sorted((int(r[0]), list(r[1])) for r in rows)
+    if not srows:
+        return np.empty(0, np.int64), np.empty((0, 0), np.int64)
+    ids = np.array([cid for cid, _ in srows], dtype=np.int64)
+    mat = np.array([cv for _, cv in srows], dtype=np.int64)
+    return ids, mat
+
+
+def _np_sq_dists(Q, C):
+    """Exact integer squared-L2 distances (n×k) via the expansion
+    identity ``|q-c|² = |q|² + |c|² - 2q·c`` — int64 end to end (numpy
+    integer matmul is exact), so the values equal the per-component
+    fold at any magnitude below int64 overflow.  Micro-unit quantized
+    components are ~1e6-1e7, so per-pair dot products are ≤ ~1e16 —
+    two orders of magnitude inside int64 (the same headroom the
+    previous JVM ``long`` fold had)."""
+    import numpy as np
+
+    Q = np.ascontiguousarray(Q)
+    q2 = (Q * Q).sum(axis=1, dtype=np.int64)
+    c2 = (C * C).sum(axis=1, dtype=np.int64)
+    return q2[:, None] + c2[None, :] - 2 * (Q @ C.T)
+
+
+def _pq_train(q: DataFrame, spec: list) -> list:
+    """Fused Lloyd's trainer over pre-quantized vectors: trains ONE
+    integer-exact codebook per ``spec`` entry ``(lo, hi, k, iters)``
+    (a column slice of ``qv``; ``hi=None`` means full width) in a
+    SINGLE loop, and returns ``[(ids, mat), ...]`` numpy codebooks.
+
+    Per round the plan is MLlib KMeans' exact shape (guide §4.2,
+    §2.3): one map-only Arrow pass over the cached corpus computes
+    every slice's assignments AND the per-partition partial cell sums
+    in vectorized numpy (the N·k·d work that interpreted Catalyst
+    higher-order functions made the dominant cost of the K=256
+    deployment stacks), one map-combinable exchange carries only
+    partials (≤ partitions × Σ k_m×d_m narrow rows — never vectors),
+    and one MODEL-sized collect (Σ k_m×d_m cells — the same payload
+    every previous shape already broadcast as the codebook) rebuilds
+    the codebooks on the driver, exactly like MLlib's per-round
+    ``collect`` of cluster sums.  ``q`` is persisted: each round is
+    one pass over the cached corpus instead of re-running
+    scan+quantize+spread per round (MLlib warns on uncached Lloyd
+    input for the same reason).
+
+    Exactness contract (pinned by
+    ``test_kmeans_quantized_matches_python_replay`` and every DuckDB
+    oracle over this family): init is the ``vec_id < k`` rows;
+    distances are exact int64; argmin ties take the lowest cent_id;
+    the centroid update is ``floor(float64(sum)/count)`` — float64
+    division, NOT exact integer floor-division, matching both the
+    previous Spark ``floor(sum(val)/count(*))`` and the oracles'
+    ``floor(sum/cnt)``; empty cells keep their previous centroid.
+    Integer sums are order-free, so the trajectory is
+    partitioning-invariant."""
+    import numpy as np
+
+    q = q.persist()
+    max_k = max(k for (_, _, k, _) in spec)
+    init = (
+        q.filter(F.col("vec_id") < max_k).select("vec_id", "qv").collect()
     )
-    scored = F.transform(
-        F.col("cb"),
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    "qv", c["cvec"], lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-            c["cent_id"].alias("cent_id"),
-        ),
+    cbs = []
+    for lo, hi, k, _ in spec:
+        rows = [
+            (int(r["vec_id"]), list(r["qv"])[lo:hi])
+            for r in init
+            if int(r["vec_id"]) < k
+        ]
+        cbs.append(_np_codebook(rows))
+
+    slices = [(lo, hi) for (lo, hi, _, _) in spec]
+    max_iters = max(it for (_, _, _, it) in spec)
+    sc = q.sparkSession.sparkContext
+
+    for rnd in range(max_iters):
+        live = [m for m, (_, _, _, it) in enumerate(spec) if rnd < it]
+        bc = sc.broadcast([(m, slices[m], cbs[m]) for m in live])
+
+        def _partials(it_pdf, _bc=bc):
+            import numpy as np
+            import pandas as pd
+
+            parts = _bc.value
+            S = [np.zeros(cb[1].shape, np.int64) for (_, _, cb) in parts]
+            N = [
+                np.zeros(cb[1].shape[0], np.int64) for (_, _, cb) in parts
+            ]
+            for pdf in it_pdf:
+                if not len(pdf):
+                    continue
+                Q = np.array(pdf["qv"].to_list(), dtype=np.int64)
+                for i, (_, (lo, hi), (ids, C)) in enumerate(parts):
+                    if len(ids) == 0:
+                        continue
+                    Qm = Q[:, lo:hi]
+                    am = _np_sq_dists(Qm, C).argmin(axis=1)
+                    np.add.at(S[i], am, Qm)
+                    N[i] += np.bincount(am, minlength=len(ids))
+            ms, cis, poss, ss, ns = [], [], [], [], []
+            for i, (m, _, (ids, _)) in enumerate(parts):
+                d_m = S[i].shape[1]
+                for j in np.nonzero(N[i])[0]:
+                    ms.append(np.full(d_m, m, np.int32))
+                    cis.append(np.full(d_m, ids[j], np.int64))
+                    poss.append(np.arange(d_m, dtype=np.int32))
+                    ss.append(S[i][j])
+                    ns.append(np.full(d_m, N[i][j], np.int64))
+            if ms:
+                yield pd.DataFrame(
+                    {
+                        "m": np.concatenate(ms),
+                        "ci": np.concatenate(cis),
+                        "pos": np.concatenate(poss),
+                        "s": np.concatenate(ss),
+                        "n": np.concatenate(ns),
+                    }
+                )
+
+        agg = (
+            q.select("qv")
+            .mapInPandas(_partials, "m int, ci long, pos int, s long, n long")
+            .groupBy("m", "ci", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        cells: dict = {}
+        for r in agg:
+            cells.setdefault((r["m"], r["ci"]), {})[r["pos"]] = (
+                r["s"],
+                r["n"],
+            )
+        for m in live:
+            ids, C = cbs[m]
+            if len(ids) == 0:
+                continue
+            C2 = C.copy()
+            for j, cid in enumerate(ids):
+                cell = cells.get((m, int(cid)))
+                if cell is None:
+                    continue  # empty cell keeps its previous centroid
+                s = np.array(
+                    [cell[p][0] for p in range(C.shape[1])], dtype=np.int64
+                )
+                n = cell[0][1]
+                C2[j] = np.floor(
+                    s.astype(np.float64) / np.float64(n)
+                ).astype(np.int64)
+            cbs[m] = (ids, C2)
+    return cbs
+
+
+def _pq_assign(
+    q: DataFrame, cbs: list, spec: list, with_subspace: bool = False
+) -> DataFrame:
+    """MAP-ONLY multi-slice assignment: for every vector and every
+    ``spec`` entry ``(m, lo, hi, nprobe)``, the ``nprobe`` nearest
+    codebook cells of the matching ``cbs`` entry as ``(vec_id[,
+    subspace], cent_id, dist, probe_rank)`` — one vectorized Arrow
+    pass, no fan-out, no window, no exchange, no join-back (guide
+    §4.2; ranks via stable argsort over cent_id-sorted codebooks, so
+    ties reproduce the historical ``ORDER BY dist, cent_id``)."""
+    sc = q.sparkSession.sparkContext
+    bc = sc.broadcast(
+        [(m, lo, hi, p, cbs[i]) for i, (m, lo, hi, p) in enumerate(spec)]
     )
-    return (
-        q.crossJoin(F.broadcast(codebook))
-        .withColumn("scored", scored)
-        .drop("cb")
+
+    def _assign(it_pdf, _bc=bc):
+        import numpy as np
+        import pandas as pd
+
+        parts = _bc.value
+        for pdf in it_pdf:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["qv"].to_list(), dtype=np.int64)
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            n = len(vids)
+            frames = []
+            for m, lo, hi, nprobe, (ids, C) in parts:
+                k = len(ids)
+                if k == 0:
+                    continue
+                d = _np_sq_dists(Q[:, lo:hi], C)
+                p = min(nprobe, k)
+                order = np.argsort(d, axis=1, kind="stable")[:, :p]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": np.repeat(vids, p),
+                            "subspace": np.full(n * p, m, np.int64),
+                            "cent_id": ids[order].ravel(),
+                            "dist": np.take_along_axis(
+                                d, order, axis=1
+                            ).ravel(),
+                            "probe_rank": np.tile(
+                                np.arange(1, p + 1, dtype=np.int32), n
+                            ),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    out = q.select("vec_id", "qv").mapInPandas(
+        _assign,
+        "vec_id long, subspace long, cent_id long, dist long, "
+        "probe_rank int",
     )
+    return out if with_subspace else out.drop("subspace")
 
 
 def _kmeans_assign(
@@ -1281,61 +1466,32 @@ def _kmeans_assign(
     (integer distance, cent_id tie-break): ``(vec_id, cent_id, dist,
     probe_rank)``.
 
-    Round-13 shape: one broadcast codebook row + per-row
-    ``array_sort``/``slice``/``posexplode`` (see ``_kmeans_scored``) —
-    the assignment is MAP-ONLY.  The previous form crossJoined the
-    k-row codebook (a BroadcastNestedLoopJoin fan-out of k rows per
-    vector) and ranked them back down with a per-vector window, paying
-    an exchange + sort of k× the corpus per call."""
-    top = F.slice(F.array_sort("scored"), 1, nprobe)
-    return (
-        _kmeans_scored(q, cents_df)
-        .select("vec_id", F.posexplode(top).alias("rank0", "sc"))
-        .select(
-            "vec_id",
-            F.col("sc.cent_id").alias("cent_id"),
-            F.col("sc.dist").alias("dist"),
-            (F.col("rank0") + 1).alias("probe_rank"),
-        )
+    Round-13 shape: the codebook (k rows — model-sized, the same
+    payload it was already broadcast as) rides to the executors once
+    and the ranking is one vectorized numpy pass per batch
+    (``_pq_assign``) — MAP-ONLY, no fan-out, no window, no exchange.
+    The interpreted Catalyst higher-order-function fold this replaces
+    evaluated N·k·d lambdas per pass, which dominated the K=256
+    deployment stacks (guide §4.2)."""
+    cb = _np_codebook(
+        [(r["cent_id"], r["cvec"]) for r in cents_df.collect()]
     )
+    return _pq_assign(q, [cb], [(0, 0, None, nprobe)])
 
 
 def _kmeans_train(q: DataFrame, k: int, iters: int) -> DataFrame:
     """The Lloyd's loop over pre-quantized vectors: returns the
     trained k-row ``(cent_id, cvec)`` codebook after ``iters`` rounds
-    from the deterministic first-``k`` init.
-
-    Per-round plan shape (round-13): the argmin is the map-side
-    ``array_min`` over the broadcast codebook scores and ``qv`` rides
-    along in the same row, so the ONLY shuffle per round is the
-    map-combinable (cent_id, pos) cell aggregation — k×d cells per map
-    partition cross the exchange, never vectors.  The old loop paid a
-    k-fan-out window exchange plus a full shuffle join back to ``q``
-    per round for the same arithmetic."""
-    cents = q.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cvec")
+    from the deterministic first-``k`` init (``_pq_train`` on the
+    full-width slice — see its docstring for the per-round plan shape
+    and the exactness contract)."""
+    ids, C = _pq_train(q, [(0, None, k, iters)])[0]
+    rows = [
+        (int(cid), [int(x) for x in row]) for cid, row in zip(ids, C)
+    ]
+    return q.sparkSession.createDataFrame(
+        rows, "cent_id long, cvec array<long>"
     )
-    for _ in range(iters):
-        best = F.array_min("scored")
-        comp = (
-            _kmeans_scored(q, cents)
-            .select(best["cent_id"].alias("cent_id"), "qv")
-            .filter(F.col("cent_id").isNotNull())  # empty codebook
-            .select("cent_id", F.posexplode("qv").alias("pos", "val"))
-        )
-        upd = comp.groupBy("cent_id", "pos").agg(
-            F.floor(F.sum("val") / F.count("*")).cast("long").alias("val")
-        )
-        newc = upd.groupBy("cent_id").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "val"))),
-                lambda s: s["val"],
-            ).alias("cvec_new")
-        )
-        cents = cents.join(newc, "cent_id", "left").select(
-            "cent_id", F.coalesce("cvec_new", "cvec").alias("cvec")
-        )
-    return cents
 
 
 def kmeans_probe_assign(
@@ -1354,8 +1510,8 @@ def kmeans_probe_assign(
     ``kmeans_quantized`` (same helpers), so a SQL oracle replays it
     with one extra rank bound."""
     q = _kmeans_quantize_valid(embs)
-    cents = _kmeans_train(q, k, iters)
-    return _kmeans_assign(q, cents, nprobe).select(
+    cbs = _pq_train(q, [(0, None, k, iters)])
+    return _pq_assign(q, cbs, [(0, 0, None, nprobe)]).select(
         "vec_id",
         "cent_id",
         "probe_rank",

@@ -650,40 +650,37 @@ def emb_pq_encode(spark, sf_dir):
     subspaces (a per-slice filter would give a vector codes in some
     subspaces only — unreconstructable).
 
-    Scale shape: M independent trainers, each the bounded-codebook
-    BroadcastNestedLoopJoin pattern over a SLICED projection (16 of
-    64 dims — each trainer moves a quarter of the column); the final
-    union is M map-side projections.  At deployment the codebooks are
+    Scale shape (round-13 fusion, guide §4.2/§2.3): ALL M subspace
+    codebooks train in ONE Lloyd loop over the cached quantized
+    corpus — per round one vectorized Arrow pass + one partial-cell
+    exchange + one model-sized collect (slicing the quantized full
+    vector IS quantizing the slice, so trajectories are bit-identical
+    to M independent trainers); the encode is one map-only assignment
+    pass emitting all M codes.  At deployment the codebooks are
     trained on a sample and shipped as artifacts; the encode pass is
-    one broadcast fan-out per subspace, embarrassingly parallel.
+    embarrassingly parallel.
     """
-    from functools import reduce
-
-    # spread: the per-subspace trainers are map-side folds whose
+    # spread: the trainer rounds are map-side passes whose
     # parallelism is capped by this frame's split count (one split on
     # the toy parquet scan; no-op on a real many-split corpus) — the
     # same fan-out guard the deployment-IVFPQ stack carries.
     e = P.spread(_embs(spark, sf_dir).filter(P.finite_vec("embedding")))
-    parts = []
-    for m in range(PQ_SUBSPACES):
-        sub = e.select(
-            "vec_id",
-            F.slice(
-                "embedding", m * PQ_SUBDIMS + 1, PQ_SUBDIMS
-            ).alias("embedding"),
-        )
-        q = P._kmeans_quantize_valid(sub)
-        cents = P._kmeans_train(q, PQ_K, 2)
-        a = P._kmeans_assign(q, cents)
-        parts.append(
-            a.select(
-                "vec_id",
-                F.lit(m).cast("long").alias("subspace"),
-                F.col("cent_id").alias("code"),
-                F.col("dist").alias("dist_q"),
-            )
-        )
-    return reduce(lambda x, y: x.unionByName(y), parts)
+    q = P._kmeans_quantize_valid(e)
+    spec_train = [
+        (m * PQ_SUBDIMS, (m + 1) * PQ_SUBDIMS, PQ_K, 2)
+        for m in range(PQ_SUBSPACES)
+    ]
+    cbs = P._pq_train(q, spec_train)
+    spec_assign = [
+        (m, m * PQ_SUBDIMS, (m + 1) * PQ_SUBDIMS, 1)
+        for m in range(PQ_SUBSPACES)
+    ]
+    return P._pq_assign(q, cbs, spec_assign, with_subspace=True).select(
+        "vec_id",
+        "subspace",
+        F.col("cent_id").alias("code"),
+        F.col("dist").alias("dist_q"),
+    )
 
 
 def _ivfpq_oracle() -> str:
@@ -802,8 +799,6 @@ def _ivfpq_top5(e, subspaces: int = PQ_SUBSPACES, subdims: int = PQ_SUBDIMS,
     mass Σ|cell|² ≈ N²·nprobe/k quadratic in the corpus —
     ``sim_ann_ivfpq_scaled_k`` feeds it k ∝ N for the linear
     deployment contract (cell size pinned at ``NPQ_TARGET_CELL``)."""
-    from functools import reduce
-
     from pyspark.sql import Window
 
     # Fan-out parallelism guard: every trainer/assignment below is a
@@ -819,38 +814,40 @@ def _ivfpq_top5(e, subspaces: int = PQ_SUBSPACES, subdims: int = PQ_SUBDIMS,
     if e.rdd.getNumPartitions() < sc.defaultParallelism:
         e = e.repartition(sc.defaultParallelism)
 
-    # IVF cells (full-vector trained codebook, nprobe-homed)
+    # Round-13 fusion (guide §4.2, §2.3, §1.2): the coarse IVF trainer
+    # and ALL ``subspaces`` PQ trainers share ONE Lloyd loop over the
+    # same cached quantized corpus (slicing the quantized full vector
+    # IS quantizing the slice — floor(x·1e6) is per-component), so a
+    # training round is one vectorized Arrow pass + one partial-cell
+    # exchange + one model-sized collect instead of 1+M independent
+    # trainers each re-deriving scan→slice→quantize per round; cell
+    # homing and every per-subspace LUT then come out of ONE map-only
+    # assignment pass.  Trajectories, tie-breaks, and row sets are
+    # bit-identical to the per-subspace form (same init, same exact
+    # integer distances — the whole-vector finite_vec filter already
+    # implies every slice's, so the corpus is the same frame).
     qfull = P._kmeans_quantize_valid(e)
-    cell = (
-        P._kmeans_assign(
-            qfull, P._kmeans_train(qfull, coarse_k, 2), nprobe=nprobe
-        )
-        .select("vec_id", "cent_id")
-        .persist()
-    )
+    spec_train = [(0, None, coarse_k, 2)] + [
+        (m * subdims, (m + 1) * subdims, pq_k, iters)
+        for m in range(subspaces)
+    ]
+    cbs = P._pq_train(qfull, spec_train)
+    spec_assign = [(-1, 0, None, nprobe)] + [
+        (m, m * subdims, (m + 1) * subdims, pq_k)
+        for m in range(subspaces)
+    ]
+    both = P._pq_assign(qfull, cbs, spec_assign, with_subspace=True).persist()
+    # IVF cells (full-vector trained codebook, nprobe-homed)
+    cell = both.filter(F.col("subspace") == -1).select("vec_id", "cent_id")
     # per-subspace LUTs: distance of every vector's subvector to EVERY
     # codebook entry (K rows per vector per subspace); codes = argmin
-    lut_parts = []
-    for m in range(subspaces):
-        sub = e.select(
-            "vec_id",
-            F.slice(
-                "embedding", m * subdims + 1, subdims
-            ).alias("embedding"),
-        )
-        qm = P._kmeans_quantize_valid(sub)
-        lut_parts.append(
-            P._kmeans_assign(
-                qm, P._kmeans_train(qm, pq_k, iters), nprobe=pq_k
-            ).select(
-                "vec_id",
-                F.lit(m).cast("long").alias("subspace"),
-                F.col("cent_id").alias("code"),
-                "dist",
-                "probe_rank",
-            )
-        )
-    lut = reduce(lambda x, y: x.unionByName(y), lut_parts).persist()
+    lut = both.filter(F.col("subspace") >= 0).select(
+        "vec_id",
+        "subspace",
+        F.col("cent_id").alias("code"),
+        "dist",
+        "probe_rank",
+    )
     codes = lut.filter(F.col("probe_rank") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "subspace", "code"
     )
