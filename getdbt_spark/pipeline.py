@@ -1459,6 +1459,61 @@ def _pq_assign(
     return out if with_subspace else out.drop("subspace")
 
 
+def _pq_lut_codes(q: DataFrame, cbs: list, slices: list) -> DataFrame:
+    """Per-vector ADC lookup tables and codes in ONE map-only Arrow
+    pass: ``(vec_id, codes array<long>, luts array<array<long>>)``
+    where ``luts[m][j]`` is the exact integer distance of the vector's
+    ``m``-th subvector to the ``j``-th centroid of ``cbs[m]`` in
+    cent_id-sorted (dense-position) order, and ``codes[m]`` is the
+    dense position of its argmin (first-minimum = lowest cent_id on
+    ties, the historical tie-break).
+
+    This row shape is the production ADC contract: a query carries
+    its M×K LUT once, a candidate carries M one-byte-class codes, and
+    scoring a pair is M array lookups — no K-fan-out rows, no
+    (vec_id, subspace, code) join, no per-pair groupBy (guide §8:
+    shuffle keys and metadata, attach the heavy LUT exactly once)."""
+    sc = q.sparkSession.sparkContext
+    bc = sc.broadcast(list(zip(slices, cbs)))
+
+    def _lut(it_pdf, _bc=bc):
+        import numpy as np
+        import pandas as pd
+
+        parts = _bc.value
+        if any(len(ids) == 0 for _, (ids, _) in parts):
+            # empty codebooks (empty corpus / no vec_id<k rows) carry
+            # no distances: emit nothing, matching the historical
+            # empty-LUT row set
+            return
+        for pdf in it_pdf:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["qv"].to_list(), dtype=np.int64)
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            dists = []
+            codes = []
+            for (lo, hi), (ids, C) in parts:
+                d = _np_sq_dists(Q[:, lo:hi], C)
+                dists.append(d)
+                codes.append(d.argmin(axis=1))
+            code_mat = np.stack(codes, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": vids,
+                    "codes": [row.tolist() for row in code_mat],
+                    "luts": [
+                        [d[i].tolist() for d in dists]
+                        for i in range(len(vids))
+                    ],
+                }
+            )
+
+    return q.select("vec_id", "qv").mapInPandas(
+        _lut, "vec_id long, codes array<long>, luts array<array<long>>"
+    )
+
+
 def _kmeans_assign(
     q: DataFrame, cents_df: DataFrame, nprobe: int = 1
 ) -> DataFrame:

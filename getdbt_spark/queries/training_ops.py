@@ -832,25 +832,22 @@ def _ivfpq_top5(e, subspaces: int = PQ_SUBSPACES, subdims: int = PQ_SUBDIMS,
         for m in range(subspaces)
     ]
     cbs = P._pq_train(qfull, spec_train)
-    spec_assign = [(-1, 0, None, nprobe)] + [
-        (m, m * subdims, (m + 1) * subdims, pq_k)
-        for m in range(subspaces)
-    ]
-    both = P._pq_assign(qfull, cbs, spec_assign, with_subspace=True).persist()
     # IVF cells (full-vector trained codebook, nprobe-homed)
-    cell = both.filter(F.col("subspace") == -1).select("vec_id", "cent_id")
-    # per-subspace LUTs: distance of every vector's subvector to EVERY
-    # codebook entry (K rows per vector per subspace); codes = argmin
-    lut = both.filter(F.col("subspace") >= 0).select(
-        "vec_id",
-        "subspace",
-        F.col("cent_id").alias("code"),
-        "dist",
-        "probe_rank",
+    cell = (
+        P._pq_assign(qfull, [cbs[0]], [(-1, 0, None, nprobe)])
+        .select("vec_id", "cent_id")
+        .persist()
     )
-    codes = lut.filter(F.col("probe_rank") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), "subspace", "code"
-    )
+    # Per-vector ADC state in ONE map-only pass: codes (M dense
+    # positions = argmins) + the M×K LUT as per-row arrays — the
+    # production ADC contract (a query's LUT travels ONCE; candidates
+    # carry only codes), replacing the K-fan-out LUT rows, the
+    # (vec_id, subspace, code) 3-key join, and the per-pair groupBy
+    # (guide §8: decide with small rows, attach heavy bytes once).
+    sub_slices = [
+        (m * subdims, (m + 1) * subdims) for m in range(subspaces)
+    ]
+    lc = P._pq_lut_codes(qfull, cbs[1:], sub_slices).persist()
     ca = cell.select("vec_id", "cent_id")
     cb = cell.select(F.col("vec_id").alias("neighbor_id"), "cent_id")
     cand = ca.join(cb, "cent_id").filter(
@@ -860,32 +857,66 @@ def _ivfpq_top5(e, subspaces: int = PQ_SUBSPACES, subdims: int = PQ_SUBDIMS,
         # a pair sharing MORE than one probed cell would otherwise
         # enter ADC twice and double its summed distance
         cand = cand.distinct()
-    j = cand.join(codes, "neighbor_id")
-    s = (
-        j.join(
-            lut.select("vec_id", "subspace", "code", "dist"),
-            ["vec_id", "subspace", "code"],
-        )
-        .groupBy("vec_id", "neighbor_id")
-        .agg(F.sum("dist").cast("long").alias("adc_dist"))
+    # candidates pick up the neighbor's M codes (narrow longs,
+    # flattened with the id so the kernel decodes one rectangular
+    # int64 array per query), group per query, then the query's LUT
+    # joins ONCE per query row — candidate mass crosses the exchanges
+    # as (id + M codes), never as K-sized rows.
+    nbr = cand.join(
+        lc.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.concat(
+                F.array(F.col("vec_id")), F.col("codes")
+            ).alias("nc"),
+        ),
+        "neighbor_id",
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.asc("adc_dist"), F.asc("neighbor_id")
+    grouped = nbr.groupBy("vec_id").agg(
+        F.collect_list("nc").alias("nbrs")
+    )
+    scored_in = grouped.join(lc.select("vec_id", "luts"), "vec_id")
+    topn = 5 if rerank is None else rerank
+
+    def _adc(it_pdf, _topn=topn, _m=subspaces):
+        import numpy as np
+        import pandas as pd
+
+        mgrid = np.arange(_m, dtype=np.int64)[None, :]
+        for pdf in it_pdf:
+            vs, rs, ns, ds = [], [], [], []
+            for vid, nbrs, luts in zip(
+                pdf["vec_id"], pdf["nbrs"], pdf["luts"]
+            ):
+                A = np.array(list(nbrs), dtype=np.int64)
+                L = np.array(list(luts), dtype=np.int64)
+                adc = L[mgrid, A[:, 1:]].sum(axis=1)
+                order = np.lexsort((A[:, 0], adc))[:_topn]
+                t = len(order)
+                vs.append(np.full(t, vid, np.int64))
+                rs.append(np.arange(1, t + 1, dtype=np.int32))
+                ns.append(A[order, 0])
+                ds.append(adc[order])
+            if vs:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.concatenate(vs),
+                        "rnk": np.concatenate(rs),
+                        "neighbor_id": np.concatenate(ns),
+                        "adc_dist": np.concatenate(ds),
+                    }
+                )
+
+    topped = scored_in.mapInPandas(
+        _adc, "vec_id long, rnk int, neighbor_id long, adc_dist long"
     )
     if rerank is None:
-        return (
-            s.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= 5)
-            .select("vec_id", "rnk", "neighbor_id", "adc_dist")
-        )
+        # the kernel's (adc_dist, neighbor_id) lexsort IS the old
+        # per-query row_number window — top-5 comes out directly
+        return topped.select("vec_id", "rnk", "neighbor_id", "adc_dist")
     # IVFADC+R: exact integer re-rank of the ADC top-R shortlist —
     # only R quantized raw vectors per query leave the compressed
     # index, the bounded refinement cost the paper trades for recall
-    short = (
-        s.withColumn("arnk", F.row_number().over(w))
-        .filter(F.col("arnk") <= rerank)
-        .select("vec_id", "neighbor_id")
-    )
+    short = topped.select("vec_id", "neighbor_id")
     qa = qfull.select("vec_id", F.col("qv").alias("__qa"))
     qb = qfull.select(
         F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("__qb")
