@@ -688,6 +688,161 @@ def assign_nearest_cosine(e: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _block_topk_fn(k: int):
+    """Per-block cosine top-``k`` kernel for the cogroup block layouts
+    (``topk_cosine_blocked`` / ``bucketed_topk_cosine``): dense numpy
+    ``Q @ M.T`` over one (query-chunk, index-shard) block, per-query
+    top-k candidates by (score DESC, neighbor_id ASC) with NaN scores
+    ordered LAST and emitted as NULL.
+
+    The per-block lexsort applies the SAME total order as the global
+    fold window (reals DESC, then NaN/NULL by ascending neighbor_id —
+    numpy sorts NaN after every real and lexsort's stability preserves
+    the id-ascending secondary among them), so the union of per-block
+    top-ks is a superset of the global top-k INCLUDING the
+    corrupt-vector NULL semantics."""
+    import numpy as np
+    import pandas as pd
+
+    def _block_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "c": pd.Series(dtype="float64")}
+        )
+        if left.empty or right.empty:
+            return empty
+        q = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        m = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        q_norm = np.sqrt((q * q).sum(axis=1))
+        m_norm = np.sqrt((m * m).sum(axis=1))
+        with np.errstate(invalid="ignore"):  # zero-norm 0/0 → NaN→NULL below
+            scores = (q @ m.T) / (q_norm[:, None] * m_norm[None, :])
+        q_ids = left["vec_id"].to_numpy()
+        i_ids = right["vec_id"].to_numpy()
+        out: dict[str, list] = {"vec_id": [], "neighbor_id": [], "c": []}
+        for qi, row in zip(q_ids, scores):
+            mask = i_ids != qi  # exclude self
+            cand_ids, cand = i_ids[mask], row[mask]
+            top = np.lexsort((cand_ids, -cand))[:k]  # desc score, id asc
+            out["vec_id"].extend([qi] * len(top))
+            out["neighbor_id"].extend(cand_ids[top])
+            out["c"].extend(cand[top])
+        # A zero-norm (corrupt) vector makes the 0/0 above a NaN — but
+        # Spark sorts NaN FIRST under desc (NaN > +Inf) while the
+        # DuckDB oracle's NULL-on-zero-divide sorts last, so a corrupt
+        # vector would silently WIN the global ranking.  Emit NULL at
+        # the source (nullable Float64 → Arrow null) so the window
+        # ranks it DESC-NULLS-LAST like the oracle; the lexsort above
+        # already places NaN last, consistently.  (Found by the
+        # `zerovec` random-corpus variant.  NOT fixable with a nanvl
+        # projection on the cogroup output: a Project directly atop
+        # FlatMapCoGroupsInPandas mis-prunes the right group's input
+        # columns down to the grouping key in Spark 4.1.)
+        cvals = np.asarray(out["c"], dtype="float64")
+        carr = pd.array(cvals, dtype="Float64")
+        carr[np.isnan(cvals)] = pd.NA
+        return pd.DataFrame(
+            {"vec_id": out["vec_id"], "neighbor_id": out["neighbor_id"],
+             "c": carr}
+        )
+
+    return _block_topk
+
+
+def lineage_cut_lazy(df: DataFrame) -> DataFrame:
+    """Lazy lineage cut for a multi-consumer intermediate: RELIABLE
+    ``checkpoint`` when the deployment configured a durable checkpoint
+    dir (cluster — see ``session.durable_checkpoints``), executor-local
+    otherwise.  Materializes on first action and then serves every
+    consumer from blocks — persist-equivalent reuse PLUS a truncated
+    plan, which is required where a frame containing a join feeds BOTH
+    sides of a ``cogroup`` (Spark 4.1's ambiguous-self-join detector
+    has no dedup path for cogroup children, so the un-cut plan fails
+    analysis outright)."""
+    from .session import durable_checkpoints  # lazy: avoids import cycle
+
+    if durable_checkpoints(df.sparkSession):
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
+def bucketed_topk_cosine(
+    ea: DataFrame,
+    k: int = 5,
+    index_shards: int = 4,
+    query_chunks: int = 4,
+    bucket: str = "cent_id",
+) -> DataFrame:
+    """Within-bucket exact cosine top-``k`` as per-bucket block matrix
+    products: ``(vec_id, rnk, neighbor_id, cos_sim)`` ranked by
+    (cosine DESC NULLS LAST, neighbor_id), cosine rounded to 1e-6
+    AFTER the global rank — the IVF/ANN in-bucket search shared by
+    ``sim_ann_ivf`` and ``sim_ann_ivf_trained``.
+
+    Round-13 shape (guide §4.2, §8): the old form self-joined the
+    bucket (Σ|cell|² pair ROWS each carrying two 64-float vectors),
+    scored every pair with the interpreted ``zip_with`` cosine fold,
+    and ranked with a window over all pairs.  Here each bucket is
+    sub-blocked exactly like ``topk_cosine_blocked`` — cogroup keys
+    ``(bucket, qc, shard)``, query side replicated ×shards, index side
+    ×chunks — one dense numpy matmul per block, per-query top-k folded
+    through one window over ≤ k×shards rows per query.  Vector bytes
+    cross the exchange once per replication constant, never per pair.
+    Scoring matches the sequential-fold oracle inside the 1e-6
+    rounding grid (the ``topk_cosine_blocked`` precedent, hash-green
+    since round 10), and the NaN→NULL corrupt-vector semantics are the
+    kernel's (see ``_block_topk_fn``)."""
+    from pyspark.sql import Window
+
+    # Key-type discipline copied verbatim from topk_cosine_blocked:
+    # pmod(bigint,int) is BIGINT, explode(sequence(int,int)) is INT,
+    # and HashPartitioning is type-sensitive — mismatched key types
+    # scatter equal keys to different partitions and blocks silently
+    # never pair (latent at small SF; pinned by test_pipeline).
+    # Each side projects the bucket alias FRESH from ``ea`` (a shared
+    # aliased attribute on both cogroup sides trips the ambiguous-
+    # self-join check).
+    qs = ea.select(
+        F.col(bucket).alias("__b"),
+        F.pmod("vec_id", F.lit(query_chunks)).cast("int").alias("qc"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(index_shards - 1))
+        ).alias("shard"),
+        "vec_id",
+        "embedding",
+    )
+    ix = ea.select(
+        F.col(bucket).alias("__b"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(query_chunks - 1))
+        ).alias("qc"),
+        F.pmod("vec_id", F.lit(index_shards)).cast("int").alias("shard"),
+        "vec_id",
+        "embedding",
+    )
+    partial = (
+        qs.groupBy("__b", "qc", "shard")
+        .cogroup(ix.groupBy("__b", "qc", "shard"))
+        .applyInPandas(
+            _block_topk_fn(k), schema="vec_id long, neighbor_id long, c double"
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "vec_id",
+            "rnk",
+            "neighbor_id",
+            E.round_to(F.col("c"), 6).alias("cos_sim"),
+        )
+    )
+
+
 def topk_cosine_blocked(
     embs: DataFrame,
     k: int = 10,
@@ -751,53 +906,12 @@ def topk_cosine_blocked(
         "embedding",
     )
 
-    def _block_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"vec_id": pd.Series(dtype="int64"),
-             "neighbor_id": pd.Series(dtype="int64"),
-             "c": pd.Series(dtype="float64")}
-        )
-        if left.empty or right.empty:
-            return empty
-        q = np.stack(left["embedding"].to_numpy()).astype(np.float64)
-        m = np.stack(right["embedding"].to_numpy()).astype(np.float64)
-        q_norm = np.sqrt((q * q).sum(axis=1))
-        m_norm = np.sqrt((m * m).sum(axis=1))
-        with np.errstate(invalid="ignore"):  # zero-norm 0/0 → NaN→NULL below
-            scores = (q @ m.T) / (q_norm[:, None] * m_norm[None, :])
-        q_ids = left["vec_id"].to_numpy()
-        i_ids = right["vec_id"].to_numpy()
-        out: dict[str, list] = {"vec_id": [], "neighbor_id": [], "c": []}
-        for qi, row in zip(q_ids, scores):
-            mask = i_ids != qi  # exclude self
-            cand_ids, cand = i_ids[mask], row[mask]
-            top = np.lexsort((cand_ids, -cand))[:k]  # desc score, id asc
-            out["vec_id"].extend([qi] * len(top))
-            out["neighbor_id"].extend(cand_ids[top])
-            out["c"].extend(cand[top])
-        # A zero-norm (corrupt) vector makes the 0/0 above a NaN — but
-        # Spark sorts NaN FIRST under desc (NaN > +Inf) while the
-        # DuckDB oracle's NULL-on-zero-divide sorts last, so a corrupt
-        # vector would silently WIN the global ranking.  Emit NULL at
-        # the source (nullable Float64 → Arrow null) so the window
-        # ranks it DESC-NULLS-LAST like the oracle; the lexsort above
-        # already places NaN last, consistently.  (Found by the
-        # `zerovec` random-corpus variant.  NOT fixable with a nanvl
-        # projection on the cogroup output: a Project directly atop
-        # FlatMapCoGroupsInPandas mis-prunes the right group's input
-        # columns down to the grouping key in Spark 4.1.)
-        cvals = np.asarray(out["c"], dtype="float64")
-        carr = pd.array(cvals, dtype="Float64")
-        carr[np.isnan(cvals)] = pd.NA
-        return pd.DataFrame(
-            {"vec_id": out["vec_id"], "neighbor_id": out["neighbor_id"],
-             "c": carr}
-        )
-
     partial = (
         qs.groupBy("qc", "shard")
         .cogroup(ix.groupBy("qc", "shard"))
-        .applyInPandas(_block_topk, schema="vec_id long, neighbor_id long, c double")
+        .applyInPandas(
+            _block_topk_fn(k), schema="vec_id long, neighbor_id long, c double"
+        )
     )
     from pyspark.sql import Window
 

@@ -377,13 +377,13 @@ def sim_ann_ivf(spark, sf_dir):
     (BroadcastNestedLoopJoin), ranked them back down with a
     per-vector window (an exchange + sort of k× the corpus), and then
     shuffled the vectors AGAIN to join the assignment back.  All
-    three costs are gone: assignment is map-only, and the only
-    remaining exchange is the cent_id bucket self-join plus the final
-    top-k window.  The 1-row codebook crossJoin is still the one
-    allow-listed BroadcastNestedLoopJoin (``plans.BOUNDED_NLJ_ALLOW``).
+    three costs are gone: assignment is map-only, the in-bucket search
+    is the per-bucket block-matmul kernel (one exchange per
+    replication constant instead of a Σ|cell|² pair self-join), and
+    the final top-k window folds ≤ k×shards rows per query.  The
+    1-row codebook crossJoin is still the one allow-listed
+    BroadcastNestedLoopJoin (``plans.BOUNDED_NLJ_ALLOW``).
     """
-    from pyspark.sql import Window
-
     # spread BEFORE the map-only scoring: a toy parquet scan is one
     # split, and without the old window exchange nothing downstream
     # re-parallelizes the per-row codebook fold (no-op on a real
@@ -394,37 +394,16 @@ def sim_ann_ivf(spark, sf_dir):
         F.col("embedding").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
-    # persisted: both sides of the bucketed self-join consume it — the
-    # repo convention for multi-consumer intermediates (cleared by the
-    # sweep/bench clearCache hygiene between queries)
-    ea = P.assign_nearest_cosine(e, cent).persist()
-    a = ea.select(
-        "cent_id",
-        F.col("vec_id"),
-        F.col("embedding").alias("va"),
-        F.col("norm").alias("na"),
-    )
-    b = ea.select(
-        "cent_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
-    pairs = (
-        a.join(b, "cent_id")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select(
-            "vec_id",
-            "neighbor_id",
-            P.cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("c"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("vec_id", "rnk", "neighbor_id", E.round_to(F.col("c"), 6).alias("cos_sim"))
-    )
+    # lineage-cut (lazy): both replicated sides of the bucketed block
+    # search consume it, and a joined frame feeding both sides of a
+    # cogroup needs the cut to pass the ambiguous-self-join check (see
+    # pipeline.lineage_cut_lazy).  The in-bucket search is the shared
+    # block-matmul kernel (pipeline.bucketed_topk_cosine): one dense
+    # numpy product per (bucket, chunk, shard) block instead of a
+    # Σ|cell|² pair self-join scored by the interpreted zip_with
+    # cosine fold.
+    ea = P.lineage_cut_lazy(P.assign_nearest_cosine(e, cent))
+    return P.bucketed_topk_cosine(ea, k=5)
 
 
 @query(
@@ -962,37 +941,20 @@ def sim_ann_lsh(spark, sf_dir):
     buckets — a nearly vacuous 6-row check); production picks nbits by
     target bucket size n/2^nbits.
     """
-    from pyspark.sql import Window
-
+    # In-bucket search via the shared block-matmul kernel.  LSH buckets
+    # are SMALL by design (the nbits dial targets n/2^nbits rows), so
+    # the block constants are 1×1 — one kernel group per bucket — and
+    # the exchange carries each vector once instead of once per
+    # in-bucket pair.
     e = P.lsh_bucket(P.with_norm(_embs(spark, sf_dir)), nbits=8).persist()
-    a = e.select(
-        "bucket", "vec_id",
-        F.col("embedding").alias("va"), F.col("norm").alias("na"),
+    out = P.bucketed_topk_cosine(
+        e, k=5, index_shards=1, query_chunks=1, bucket="bucket"
     )
-    b = e.select(
-        "bucket",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("vb"), F.col("norm").alias("nb"),
-    )
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select(
-            "vec_id", "neighbor_id",
-            P.cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
-            .alias("c"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select(
-            "vec_id",
-            F.col("rnk").cast("long").alias("rnk"),
-            "neighbor_id",
-            E.round_to("c", 6).alias("cos_sim"),
-        )
+    return out.select(
+        "vec_id",
+        F.col("rnk").cast("long").alias("rnk"),
+        "neighbor_id",
+        "cos_sim",
     )
 
 
@@ -2927,51 +2889,16 @@ def sim_ann_ivf_trained(spark, sf_dir):
     distribution, which is what keeps bucket sizes (and so per-bucket
     quadratic search cost) balanced at 100 TB.  Every float cosine is
     computed only WITHIN buckets; the assignment itself is integer
-    arithmetic end-to-end.
+    arithmetic end-to-end.  The in-bucket search is the shared
+    per-bucket block-matmul kernel (``pipeline.bucketed_topk_cosine``
+    — see sim_ann_ivf).
     """
-    from pyspark.sql import Window
-
     e = P.with_norm(_embs(spark, sf_dir))
     assign = P.kmeans_quantized(e, k=8, iters=2).select(
         "vec_id", F.col("cluster").alias("cent_id")
     )
-    ea = e.join(assign, "vec_id").persist()
-    a = ea.select(
-        "cent_id",
-        "vec_id",
-        F.col("embedding").alias("va"),
-        F.col("norm").alias("na"),
-    )
-    b = ea.select(
-        "cent_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
-    pairs = (
-        a.join(b, "cent_id")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select(
-            "vec_id",
-            "neighbor_id",
-            P.cosine(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-            ).alias("c"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("c"), F.asc("neighbor_id")
-    )
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select(
-            "vec_id",
-            "rnk",
-            "neighbor_id",
-            E.round_to(F.col("c"), 6).alias("cos_sim"),
-        )
-    )
+    ea = P.lineage_cut_lazy(e.join(assign, "vec_id"))
+    return P.bucketed_topk_cosine(ea, k=5)
 
 
 @query(
