@@ -941,20 +941,48 @@ def sim_ann_lsh(spark, sf_dir):
     buckets — a nearly vacuous 6-row check); production picks nbits by
     target bucket size n/2^nbits.
     """
-    # In-bucket search via the shared block-matmul kernel.  LSH buckets
-    # are SMALL by design (the nbits dial targets n/2^nbits rows), so
-    # the block constants are 1×1 — one kernel group per bucket — and
-    # the exchange carries each vector once instead of once per
-    # in-bucket pair.
+    # In-bucket search: pair join + JVM cosine fold, NOT the
+    # bucketed_topk_cosine block kernel that sim_ann_ivf/_trained use.
+    # Measured both ways in round 13: this fixture dials nbits=8 so
+    # buckets hold ~8 vectors (B² ≈ 64 pairs/bucket), and the kernel's
+    # per-bucket cogroup groups + two grouping exchanges cost MORE
+    # than the tiny interpreted fold they replace (1.35 → 1.93 s at
+    # sf0.1, flagged by the bench share gate).  The crossover is
+    # bucket size: production dials nbits for target bucket sizes in
+    # the hundreds, where the kernel's dense matmul wins — swap in
+    # P.bucketed_topk_cosine(e, k=5, index_shards=1, query_chunks=1,
+    # bucket="bucket") at that operating point.
+    from pyspark.sql import Window
+
     e = P.lsh_bucket(P.with_norm(_embs(spark, sf_dir)), nbits=8).persist()
-    out = P.bucketed_topk_cosine(
-        e, k=5, index_shards=1, query_chunks=1, bucket="bucket"
+    a = e.select(
+        "bucket", "vec_id",
+        F.col("embedding").alias("va"), F.col("norm").alias("na"),
     )
-    return out.select(
-        "vec_id",
-        F.col("rnk").cast("long").alias("rnk"),
-        "neighbor_id",
-        "cos_sim",
+    b = e.select(
+        "bucket",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("vb"), F.col("norm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id", "neighbor_id",
+            P.cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            .alias("c"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "vec_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "neighbor_id",
+            E.round_to("c", 6).alias("cos_sim"),
+        )
     )
 
 
