@@ -322,7 +322,11 @@ def main() -> None:
         retry_t0 = time.perf_counter()
         best_canary = spark_canary
         for name in [n for n, ok in sorted(verdicts.items()) if not ok]:
-            for _attempt in range(3):
+            reps = 0
+            # collapse-waits do NOT consume the rep budget (the wall
+            # bound caps them): a slow canary would otherwise eat every
+            # retry and leave the flagged in-window reading in place
+            while reps < 3:
                 if time.perf_counter() - retry_t0 > 180:
                     break
                 if verdicts.get(name, True):
@@ -334,6 +338,7 @@ def main() -> None:
                     continue
                 timings[name] = round(min(timings[name], _time_once(name)), 3)
                 verdicts = gate_verdicts(timings, base_queries, ratio)
+                reps += 1
 
     total = round(sum(timings.values()), 3)
 

@@ -120,7 +120,14 @@ def test_no_per_query_regression_at_sf001(spark):
     retry_t0 = time.perf_counter()
     best_canary = bench._spark_canary(spark)
     for name in _violations():
-        for _attempt in range(3):
+        reps = 0
+        # collapse-waits do NOT consume the rep budget (the wall bound
+        # caps them): a slow canary otherwise eats every retry and the
+        # violator keeps its in-window reading (observed: untouched
+        # model_streams_daily_v4 flagged at 2.43 s min-of-4 while its
+        # post-warm steady state is ~1.2 s — the DAG path needs ~2 warm
+        # reps before codegen settles, so the budget must buy real reps)
+        while reps < 3:
             if time.perf_counter() - retry_t0 > 120:
                 break
             if name not in _violations():
@@ -131,6 +138,7 @@ def test_no_per_query_regression_at_sf001(spark):
                 time.sleep(8)  # mid-collapse: a rep would time the host
                 continue
             took[name] = min(took[name], _run_once(name))
+            reps += 1
 
     base_total = sum(base[n] for n in gated)
     now_total = sum(took[n] for n in gated)
