@@ -1480,13 +1480,31 @@ def _pq_train(q: DataFrame, spec: list) -> list:
                     }
                 )
 
-        agg = (
-            q.select("qv")
-            .mapInPandas(_partials, "m int, ci long, pos int, s long, n long")
-            .groupBy("m", "ci", "pos")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
-            .collect()
-        )
+        try:
+            agg = (
+                q.select("qv")
+                .mapInPandas(
+                    _partials, "m int, ci long, pos int, s long, n long"
+                )
+                .groupBy("m", "ci", "pos")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )
+        finally:
+            # The round's codebook broadcast is only read inside this
+            # round's collect — destroy it now so a long-running
+            # trainer / repeated bench reps don't accumulate one
+            # executor-resident broadcast per round (r13 ADVICE).  The
+            # `q` persist intentionally stays: every caller feeds the
+            # SAME cached frame to the assignment/LUT passes right
+            # after training (one pass each instead of re-running
+            # scan+quantize), and it is released by the session's
+            # clearCache / ContextCleaner like every other
+            # intermediate.  The `_pq_assign`/`_pq_lut_codes`
+            # broadcasts cannot be eagerly destroyed: their frames are
+            # lazy and may be consumed more than once; ContextCleaner
+            # reclaims them when the plan is garbage-collected.
+            bc.destroy()
         cells: dict = {}
         for r in agg:
             cells.setdefault((r["m"], r["ci"]), {})[r["pos"]] = (

@@ -25,6 +25,8 @@ def con():
     return c
 
 
+@pytest.mark.slow  # 289 EXPLAINs ≈ 3 min wall — opt-in (pytest -m slow);
+# the driver's own verify re-binds 50 oracles per round regardless
 def test_every_oracle_binds_in_duckdb(con):
     from getdbt_spark.queries import ORACLES, load_all
 

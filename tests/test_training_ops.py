@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
+
 from getdbt_spark.queries import QUERIES, load_all
 
 SF = "/root/testdata/sf0.001"
@@ -612,6 +614,8 @@ def test_whitening_constant_dimension_yields_null(spark, tmp_path_factory):
     assert dim1 and all(r["z"] is not None for r in dim1)
 
 
+@pytest.mark.slow  # spawns a second SparkSession (full JVM restart,
+# ~2.5 min wall) — opt-in via pytest -m slow
 def test_trained_memos_retrain_identically_across_restart():
     """VERDICT r10 #7: ``_bpe_train_apply`` and ``_NB_TRAINED`` memoize
     per (applicationId, sf_dir) — a kill/restart between a consumer's
