@@ -29,6 +29,19 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # PySpark 4's per-Column-call error-context capture
+    # (call-site lines attached to DataFrame error messages) costs
+    # ~3 Py4J round trips + a Python stack walk on EVERY wrapped
+    # Column/function call — measured 35-45% of the 22-model
+    # dashboard DAG's driver-side build time (13k Py4J round trips
+    # per build, profiled r14).  It affects only error-message
+    # metadata, never results or plans, and the cost is driver-side
+    # at ANY deployment scale (guide §5: the driver should do almost
+    # no work).  Re-enable when debugging with
+    # GETDBT_SPARK_DF_DEBUG=1.
+    "spark.python.sql.dataFrameDebugging.enabled": (
+        "true" if os.environ.get("GETDBT_SPARK_DF_DEBUG") == "1" else "false"
+    ),
     # Let AQE upgrade sort-merge joins to broadcast from MEASURED
     # runtime sizes well past the static 10 MB threshold.  Static
     # estimates lie below Arrow kernels (pipeline._plan_with_real_
